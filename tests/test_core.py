@@ -1,0 +1,386 @@
+"""Core (non-Spark) module tests: grid math, cell index, codecs, geometry."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tilegrid import cell, codec, fixtures, geometry, oracle
+from tilegrid.celltype import FLOAT64, INT32, binary_nodata, union
+from tilegrid.grid import (
+    Extent,
+    GridBounds,
+    LayoutDefinition,
+    MapKeyTransform,
+    TileLayout,
+    ZoomedLayoutScheme,
+    lnglat_to_webmercator,
+    webmercator_to_lnglat,
+)
+
+
+class TestMapKeyTransform:
+    def setup_method(self):
+        self.mt = MapKeyTransform(Extent(0.0, 0.0, 8.0, 8.0), 8, 8)
+
+    def test_point_to_key(self):
+        assert self.mt.key_for_point(0.5, 7.5) == (0, 0)
+        assert self.mt.key_for_point(7.5, 0.5) == (7, 7)
+        # on-boundary point goes to the tile it opens (floor)
+        assert self.mt.key_for_point(1.0, 7.0) == (1, 1)
+
+    def test_extent_to_gridbounds_backoff(self):
+        # extent max edge exactly on a tile boundary does NOT claim next tile
+        gb = self.mt.gridbounds_for_extent(Extent(0.0, 6.0, 2.0, 8.0))
+        assert gb == GridBounds(0, 0, 1, 1)
+        # zero-width extent on a boundary claims the east tile
+        gb = self.mt.gridbounds_for_extent(Extent(2.0, 6.0, 2.0, 8.0))
+        assert gb.col_min == 2 and gb.col_max == 2
+
+    def test_roundtrip_key_extent(self):
+        e = self.mt.extent_for_key(3, 4)
+        assert e == Extent(3.0, 3.0, 4.0, 4.0)
+        gb = self.mt.gridbounds_for_extent(e)
+        assert gb == GridBounds(3, 4, 3, 4)
+
+    def test_vectorized_matches_scalar(self):
+        rng = np.random.default_rng(42)
+        xs = rng.uniform(-1, 9, 500)
+        ys = rng.uniform(-1, 9, 500)
+        cols, rows = self.mt.keys_for_points(xs, ys)
+        for x, y, c, r in zip(xs, ys, cols, rows):
+            assert self.mt.key_for_point(x, y) == (c, r)
+
+    def test_vectorized_gridbounds(self):
+        rng = np.random.default_rng(7)
+        x0 = rng.uniform(0, 6, 200)
+        y0 = rng.uniform(0, 6, 200)
+        x1 = x0 + rng.uniform(0, 2, 200)
+        y1 = y0 + rng.uniform(0, 2, 200)
+        # include exact-boundary cases
+        x1[:20] = np.round(x1[:20])
+        y1[:20] = np.round(y1[:20])
+        cmin, rmin, cmax, rmax = self.mt.gridbounds_for_extents(x0, y0, x1, y1)
+        for i in range(200):
+            gb = self.mt.gridbounds_for_extent(Extent(x0[i], y0[i], x1[i], y1[i]))
+            assert (gb.col_min, gb.row_min, gb.col_max, gb.row_max) == (
+                cmin[i], rmin[i], cmax[i], rmax[i],
+            ), i
+
+
+class TestZoomedLayoutScheme:
+    def test_layout_for_zoom(self):
+        s = ZoomedLayoutScheme("webmercator")
+        lvl = s.level_for_zoom(3)
+        assert lvl.layout.tile_layout == TileLayout(8, 8, 256, 256)
+        assert s.zoom_in(lvl).zoom == 4
+        assert s.zoom_out(lvl).layout.tile_layout.layout_cols == 4
+
+    def test_zoom_for_cell_size(self):
+        s = ZoomedLayoutScheme("webmercator")
+        lvl = s.level_for_zoom(10)
+        cw = lvl.layout.cell_width
+        assert s.zoom_for_cell_size(cw) == 10
+
+    def test_mercator_roundtrip(self):
+        lon = np.array([-120.0, 0.0, 37.5])
+        lat = np.array([-60.0, 0.0, 70.0])
+        x, y = lnglat_to_webmercator(lon, lat)
+        lon2, lat2 = webmercator_to_lnglat(x, y)
+        np.testing.assert_allclose(lon, lon2, atol=1e-9)
+        np.testing.assert_allclose(lat, lat2, atol=1e-9)
+
+
+class TestCellIndex:
+    def test_z2_roundtrip(self):
+        rng = np.random.default_rng(0)
+        col = rng.integers(0, 1 << 29, 1000)
+        row = rng.integers(0, 1 << 29, 1000)
+        z = cell.z2_encode(col, row)
+        c2, r2 = cell.z2_decode(z)
+        np.testing.assert_array_equal(col, c2)
+        np.testing.assert_array_equal(row, r2)
+
+    def test_z2_known_values(self):
+        # interleave: col bits even, row bits odd
+        assert int(cell.z2_encode(0, 0)) == 0
+        assert int(cell.z2_encode(1, 0)) == 1
+        assert int(cell.z2_encode(0, 1)) == 2
+        assert int(cell.z2_encode(1, 1)) == 3
+        assert int(cell.z2_encode(2, 0)) == 4
+        assert int(cell.z2_encode(7, 7)) == 63
+
+    def test_cell_pack_roundtrip(self):
+        z, c, r = cell.cell_decode(cell.cell_encode(12, 1000, 2000))
+        assert (int(z), int(c), int(r)) == (12, 1000, 2000)
+
+    def test_parent_children(self):
+        cid = cell.cell_encode(5, 10, 20)
+        par = cell.cell_parent(cid)
+        z, c, r = cell.cell_decode(par)
+        assert (int(z), int(c), int(r)) == (4, 5, 10)
+        kids = cell.cell_children(par)
+        assert cid in set(int(k) for k in np.ravel(kids))
+
+    def test_k_ring(self):
+        cid = cell.cell_encode(4, 8, 8)
+        ring = cell.k_ring(cid, 1)
+        assert len(ring) == 9
+        # clipped at grid edge
+        edge = cell.cell_encode(4, 0, 0)
+        assert len(cell.k_ring(edge, 1)) == 4
+
+    def test_zranges_cover_rectangle_exactly(self):
+        ranges = cell.zranges(2, 3, 10, 9)
+        members = set()
+        for lo, hi in ranges:
+            members.update(range(lo, hi + 1))
+        expect = set()
+        for c in range(2, 11):
+            for r in range(3, 10):
+                expect.add(int(cell.z2_encode(c, r)))
+        assert expect == members  # exact decomposition (no over/under scan)
+
+    def test_zranges_max_ranges_superset(self):
+        exact = cell.zranges(2, 3, 40, 50, max_ranges=10**9)
+        coarse = cell.zranges(2, 3, 40, 50, max_ranges=4)
+        assert len(coarse) <= 4
+        exact_set = set()
+        for lo, hi in exact:
+            exact_set.update(range(lo, hi + 1))
+        for lo, hi in exact:
+            # every exact range must be inside some coarse range
+            assert any(clo <= lo and hi <= chi for clo, chi in coarse)
+
+    def test_merge_ranges(self):
+        assert cell.merge_ranges([(5, 7), (0, 2), (3, 4), (10, 12)]) == [
+            (0, 7), (10, 12),
+        ]
+
+    def test_sql_expr_matches_numpy(self):
+        import duckdb
+
+        expr = cell.z2_sql("col", "row", dialect="duckdb")
+        rows = duckdb.sql(
+            "SELECT col, row, " + expr + " AS z FROM "
+            "(SELECT (i % 1000) * 7 AS col, (i % 997) * 11 AS row "
+            " FROM range(500) t(i))"
+        ).fetchall()
+        for c, r, z in rows:
+            assert int(cell.z2_encode(c, r)) == z
+
+
+class TestCodec:
+    def test_png_roundtrip_gray8(self):
+        arr = fixtures.make_pattern(3, 64, 96)
+        assert np.array_equal(codec.png_decode(codec.png_encode(arr)), arr)
+
+    def test_png_roundtrip_rgb(self):
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        assert np.array_equal(codec.png_decode(codec.png_encode(arr)), arr)
+
+    def test_png_roundtrip_gray16(self):
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 65536, (20, 20), dtype=np.uint16)
+        assert np.array_equal(codec.png_decode(codec.png_encode(arr)), arr)
+
+    def test_png_filters_decode(self):
+        # build a PNG with Up/Sub filters by hand and check decode
+        import struct
+        import zlib
+
+        arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        rows = []
+        prev = np.zeros(8, np.int32)
+        for y in range(8):
+            cur = arr[y].astype(np.int32)
+            if y % 2 == 0:  # Up filter
+                rows.append(bytes([2]) + ((cur - prev) & 0xFF).astype(np.uint8).tobytes())
+            else:  # Sub filter
+                d = cur.copy()
+                d[1:] = (cur[1:] - cur[:-1]) & 0xFF
+                rows.append(bytes([1]) + d.astype(np.uint8).tobytes())
+            prev = cur
+        idat = zlib.compress(b"".join(rows))
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            codec.PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(codec.png_decode(png), arr)
+
+    def test_fake_jpeg_psnr(self):
+        arr = fixtures.make_pattern(5, 128, 128)
+        dec = codec.fake_jpeg_decode(codec.fake_jpeg_encode(arr))
+        assert codec.psnr(arr, dec) >= 40.0
+
+    def test_raw_roundtrip(self):
+        arr = np.linspace(0, 1, 256).reshape(16, 16).astype(np.float64)
+        arr[0, 0] = np.nan
+        out = codec.raw_decode(codec.raw_encode(arr))
+        np.testing.assert_array_equal(
+            np.isnan(arr), np.isnan(out)
+        )
+        np.testing.assert_array_equal(arr[~np.isnan(arr)], out[~np.isnan(out)])
+
+    def test_sniff(self):
+        arr = fixtures.make_pattern(1, 16, 16)
+        assert np.array_equal(codec.decode_tile(codec.png_encode(arr)), arr)
+
+
+class TestGeometry:
+    def test_wkb_roundtrip(self):
+        ring = geometry.regular_ngon(5.0, 5.0, 6, 2.0)
+        rings = geometry.wkb_decode(geometry.wkb_encode_polygon([ring]))
+        np.testing.assert_allclose(rings[0], ring)
+
+    def test_pip_square(self):
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+        px = np.array([2.0, 5.0, -1.0, 2.0])
+        py = np.array([2.0, 2.0, 2.0, 5.0])
+        np.testing.assert_array_equal(
+            geometry.points_in_polygon(px, py, [sq]),
+            [True, False, False, False],
+        )
+
+    def test_pip_with_hole(self):
+        outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+        hole = np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]])
+        px = np.array([5.0, 2.0])
+        py = np.array([5.0, 2.0])
+        np.testing.assert_array_equal(
+            geometry.points_in_polygon(px, py, [outer, hole]), [False, True]
+        )
+
+    def test_polygon_intersects_extents(self):
+        tri = np.array([[0.0, 0.0], [4.0, 0.0], [2.0, 4.0]])
+        xmin = np.array([1.0, 10.0, -5.0, 1.9])
+        ymin = np.array([1.0, 10.0, -5.0, 1.9])
+        xmax = np.array([2.0, 11.0, 10.0, 2.1])
+        ymax = np.array([2.0, 11.0, 10.0, 2.1])
+        hit = geometry.polygon_intersects_extents([tri], xmin, ymin, xmax, ymax)
+        np.testing.assert_array_equal(hit, [True, False, True, True])
+
+    def test_edge_crossing_extent_no_vertex_inside(self):
+        # long thin triangle passes through the box without vertices inside
+        tri = np.array([[-10.0, 1.0], [10.0, 1.0], [0.0, 1.5]])
+        hit = geometry.polygon_intersects_extents(
+            [tri], np.array([-1.0]), np.array([0.0]), np.array([1.0]), np.array([0.9])
+        )
+        assert not hit[0]
+        hit = geometry.polygon_intersects_extents(
+            [tri], np.array([-1.0]), np.array([0.0]), np.array([1.0]), np.array([1.1])
+        )
+        assert hit[0]
+
+    def test_polygon_contains_extent(self):
+        big = geometry.regular_ngon(0.0, 0.0, 8, 10.0)
+        assert geometry.polygon_contains_extent([big], Extent(-1, -1, 1, 1))
+        assert not geometry.polygon_contains_extent([big], Extent(8, 8, 12, 12))
+
+
+class TestCellType:
+    def test_union_widens(self):
+        assert union(INT32, FLOAT64).dtype == "float64"
+
+    def test_binary_nodata_propagates(self):
+        a = np.array([[1, INT32.nodata], [3, 4]], dtype=np.int32)
+        b = np.array([[10, 20], [INT32.nodata, 40]], dtype=np.int32)
+        out = binary_nodata(np.add, a, b, INT32)
+        assert out[0, 0] == 11 and out[1, 1] == 44
+        assert out[0, 1] == INT32.nodata and out[1, 0] == INT32.nodata
+
+
+class TestOracle:
+    def test_stitch_cut_roundtrip(self):
+        arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+        tiles = oracle.cut(arr, 4, 4)
+        out, gb = oracle.stitch(tiles)
+        np.testing.assert_array_equal(arr, out)
+        assert gb == GridBounds(0, 0, 1, 1)
+
+    def test_focal_mean_simple(self):
+        arr = np.ones((5, 5))
+        np.testing.assert_allclose(oracle.focal_mean(arr), np.ones((5, 5)))
+
+    def test_focal_mean_nodata_skipped(self):
+        arr = np.ones((3, 3))
+        arr[1, 1] = np.nan
+        m = oracle.focal_mean(arr)
+        assert m[1, 1] == 1.0  # center NoData ignored, neighbors avg to 1
+        assert m[0, 0] == 1.0
+
+    def test_slope_flat_is_zero(self):
+        arr = np.full((5, 5), 7.0)
+        np.testing.assert_allclose(oracle.slope(arr, 1.0, 1.0), np.zeros((5, 5)))
+
+    def test_slope_known_plane(self):
+        # z = x → dz/dx = 1 (interior), slope = 45 deg
+        yy, xx = np.mgrid[0:8, 0:8]
+        s = oracle.slope(xx.astype(float), 1.0, 1.0)
+        np.testing.assert_allclose(s[2:-2, 2:-2], 45.0)
+
+    def test_aspect_plane(self):
+        yy, xx = np.mgrid[0:8, 0:8]
+        # z increases with x: atan2(dz/dy, -dz/dx) = atan2(0, -1) = 180 deg
+        # (the reference SurfacePoint.aspect convention)
+        a = oracle.aspect(xx.astype(float), 1.0, 1.0)
+        np.testing.assert_allclose(a[2:-2, 2:-2], 180.0)
+
+    def test_pyramid_average(self):
+        arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+        up = oracle.pyramid_up(arr, "average")
+        np.testing.assert_allclose(up, [[2.5, 4.5], [10.5, 12.5]])
+
+    def test_rasterize_square(self):
+        sq = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+        mask = oracle.rasterize_polygon([sq], Extent(0, 0, 4, 4), 4, 4)
+        assert mask.sum() == 4  # pixel centers at 0.5, 1.5 inside
+        assert mask[2:, :2].all()
+
+    def test_knn_ties_deterministic(self):
+        q = np.array([0.0]), np.array([0.0])
+        cx = np.array([1.0, -1.0, 2.0])
+        cy = np.array([0.0, 0.0, 0.0])
+        out = oracle.knn(q[0], q[1], cx, cy, ["b", "a", "c"], 2)
+        assert out == [["a", "b"]]
+
+
+class TestFixtures:
+    def test_images_deterministic(self):
+        a = fixtures.images_table(20)
+        b = fixtures.images_table(20)
+        assert a["phash"].tolist() == b["phash"].tolist()
+        assert (a["caption"] == b["caption"]).all()
+        # decode round-trip invariants: png exact, jpeg PSNR >= 40
+        for _, r in a.iterrows():
+            dec = codec.decode_tile(r["bytes"], r["fmt"])
+            pat = fixtures.make_pattern(int(r["image_id"][3:]), r["h"], r["w"])
+            if r["fmt"] == "png":
+                assert np.array_equal(dec, pat)
+            else:
+                assert codec.psnr(pat, dec) >= 40.0
+
+    def test_hot_box_skew_exists(self):
+        df = fixtures.points_table(1000)
+        hot = (
+            (df.lon >= fixtures.HOT_BOX.xmin) & (df.lon <= fixtures.HOT_BOX.xmax)
+            & (df.lat >= fixtures.HOT_BOX.ymin) & (df.lat <= fixtures.HOT_BOX.ymax)
+        )
+        assert hot.sum() >= 90
+
+    def test_tile_layer_increasing_stitches(self):
+        pdf = fixtures.tile_layer_table("increasing", tile_size=4)
+        arr, (cmin, rmin, cmax, rmax) = fixtures.stitch_layer_df(pdf)
+        assert (cmin, rmin, cmax, rmax) == fixtures.TEST_BOUNDS
+        w = arr.shape[1]
+        np.testing.assert_allclose(arr.ravel(), np.arange(arr.size, dtype=float))

@@ -1,0 +1,25 @@
+"""tilegrid — a from-scratch PySpark-native tiled-raster + spatial-join engine.
+
+Re-expresses the capabilities of GeoTrellis (reference study: SURVEY.md) as
+DataFrame ops + vectorized pandas/Arrow UDFs over parquet/Iceberg-style tables.
+Not a port: the Scala/RDD execution machinery of the reference is replaced by
+Catalyst planning, explicit cell partitioning, and NumPy batch kernels.
+
+Layout:
+  grid       — Extent / TileLayout / LayoutDefinition / MapKeyTransform /
+               ZoomedLayoutScheme (ZXY pyramid math)
+  cell       — hierarchical cell index (Z-order / quadtree), k_ring, cover,
+               zranges range decomposition + MergeQueue
+  celltype   — (dtype, nodata) cell types + masked NoData arithmetic
+  codec      — tile <-> bytes codecs (real PNG, raw, deterministic fake JPEG)
+  geometry   — from-scratch WKB, ray-casting point-in-polygon, bbox ops
+  meta       — layer metadata + attribute store
+  oracle     — single-process NumPy reference implementations (test oracle)
+  fixtures   — deterministic synthetic corpora (images/points/polygons/layers)
+  operators  — Spark operators: tiler, pyramid, local/focal/zonal, joins, knn,
+               rasterize/vectorize, summaries, reshaping
+  sources    — layer read/write with pruning, lineage manifests, slippy, render
+  pipeline   — end-to-end ingest + training-data ops (dedup, text, ann)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,235 @@
+"""From-scratch vector geometry: WKB codec, ray-casting point-in-polygon,
+polygon x extent intersection, segment tests, distances, polygon builders.
+
+The reference delegates geometry to JTS (vector/.../Geometry.scala:28); the
+north rule forbids leaning on a geo lib, so the predicates we need (PIP,
+intersects, distance) are implemented directly in NumPy, batched so they run
+over whole Arrow record batches at once.
+
+Polygon representation: list of (m, 2) float64 rings — rings[0] = exterior,
+rest = holes. Even-odd (ray-casting) semantics, so winding order is free.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .grid import Extent
+
+# ----------------------------------------------------------------------- WKB
+
+_WKB_POINT, _WKB_POLYGON, _WKB_MULTIPOLYGON = 1, 3, 6
+
+
+def wkb_encode_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_encode_polygon(rings: list[np.ndarray]) -> bytes:
+    out = [struct.pack("<BII", 1, _WKB_POLYGON, len(rings))]
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not (r[0] == r[-1]).all():  # close ring per WKB convention
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(r)))
+        out.append(r.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_decode(data: bytes):
+    """Decode point -> (x, y); polygon -> list[rings]; multipolygon ->
+    list[list[rings]]. Rings are returned unclosed (last==first removed)."""
+    byte_order, geom_type = struct.unpack_from("<BI", data, 0)
+    if byte_order != 1:
+        raise ValueError("big-endian WKB unsupported")
+    if geom_type == _WKB_POINT:
+        x, y = struct.unpack_from("<dd", data, 5)
+        return (x, y)
+    if geom_type == _WKB_POLYGON:
+        rings, _ = _decode_polygon_body(data, 5)
+        return rings
+    if geom_type == _WKB_MULTIPOLYGON:
+        (n,) = struct.unpack_from("<I", data, 5)
+        pos, polys = 9, []
+        for _ in range(n):
+            pos += 5  # inner byte order + type
+            rings, pos = _decode_polygon_body(data, pos)
+            polys.append(rings)
+        return polys
+    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+def _decode_polygon_body(data: bytes, pos: int):
+    (n_rings,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    rings = []
+    for _ in range(n_rings):
+        (m,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        r = np.frombuffer(data, dtype="<f8", count=2 * m, offset=pos).reshape(m, 2)
+        pos += 16 * m
+        if m > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        rings.append(r.astype(np.float64))
+    return rings, pos
+
+
+# ------------------------------------------------------- point-in-polygon
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray casting: for each point, parity of crossings of a +x ray
+    with the ring's edges. Vectorized over points (loop over edges — polygons
+    are small, point batches are large)."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(ring)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for i in range(n):
+        cond = (y1[i] > py) != (y2[i] > py)
+        if not cond.any():
+            continue
+        xint = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i]) + x1[i]
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd over all rings (holes flip parity back out)."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(px, py, ring)
+    return inside
+
+
+# ------------------------------------------------- polygon x extent intersect
+
+def _segments_cross(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> np.ndarray:
+    """Vectorized proper/touching segment intersection via orientation signs."""
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    return (d1 * d2 <= 0) & (d3 * d4 <= 0) & ~((d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0) & _no_1d_overlap(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2))
+
+
+def _no_1d_overlap(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    ox = (np.minimum(ax1, ax2) > np.maximum(bx1, bx2)) | (
+        np.maximum(ax1, ax2) < np.minimum(bx1, bx2)
+    )
+    oy = (np.minimum(ay1, ay2) > np.maximum(by1, by2)) | (
+        np.maximum(ay1, ay2) < np.minimum(by1, by2)
+    )
+    return ox | oy
+
+
+def polygon_bbox(rings: list[np.ndarray]) -> Extent:
+    ext = rings[0]
+    return Extent(
+        float(ext[:, 0].min()), float(ext[:, 1].min()),
+        float(ext[:, 0].max()), float(ext[:, 1].max()),
+    )
+
+
+def polygon_intersects_extents(
+    rings: list[np.ndarray], xmin, ymin, xmax, ymax
+) -> np.ndarray:
+    """For arrays of extents, True where the polygon intersects the extent:
+    bbox overlap AND (a vertex in extent OR an extent corner in polygon OR a
+    polygon edge crosses an extent edge)."""
+    xmin = np.asarray(xmin, np.float64)
+    ymin = np.asarray(ymin, np.float64)
+    xmax = np.asarray(xmax, np.float64)
+    ymax = np.asarray(ymax, np.float64)
+    bb = polygon_bbox(rings)
+    hit = (
+        (xmin <= bb.xmax) & (xmax >= bb.xmin) & (ymin <= bb.ymax) & (ymax >= bb.ymin)
+    )
+    if not hit.any():
+        return hit
+    exterior = rings[0]
+    # (a) any polygon vertex inside extent (n_ext x n_vert)
+    vx, vy = exterior[:, 0], exterior[:, 1]
+    vert_in = (
+        (vx[None, :] >= xmin[:, None]) & (vx[None, :] <= xmax[:, None])
+        & (vy[None, :] >= ymin[:, None]) & (vy[None, :] <= ymax[:, None])
+    ).any(axis=1)
+    # (b) any extent corner inside polygon
+    corner_in = np.zeros(xmin.shape, dtype=bool)
+    for cx, cy in ((xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)):
+        corner_in |= points_in_polygon(cx, cy, rings)
+    out = hit & (vert_in | corner_in)
+    # (c) residual: polygon edge crosses an extent edge
+    rem = hit & ~out
+    if rem.any():
+        idx = np.where(rem)[0]
+        ex1 = np.stack([xmin[idx], xmin[idx], xmax[idx], xmin[idx]], axis=1)
+        ey1 = np.stack([ymin[idx], ymax[idx], ymin[idx], ymin[idx]], axis=1)
+        ex2 = np.stack([xmax[idx], xmax[idx], xmax[idx], xmin[idx]], axis=1)
+        ey2 = np.stack([ymin[idx], ymax[idx], ymax[idx], ymax[idx]], axis=1)
+        crossed = np.zeros(len(idx), dtype=bool)
+        x1, y1 = exterior[:, 0], exterior[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for i in range(len(exterior)):
+            c = _segments_cross(
+                x1[i], y1[i], x2[i], y2[i],
+                ex1, ey1, ex2, ey2,
+            ).any(axis=1)
+            crossed |= c
+            if crossed.all():
+                break
+        out[idx] = crossed
+    return out
+
+
+def polygon_contains_extent(rings: list[np.ndarray], ext: Extent) -> bool:
+    """True when the extent is fully inside the polygon: all 4 corners inside
+    and no edge crossings with the extent boundary."""
+    cx = np.array([ext.xmin, ext.xmin, ext.xmax, ext.xmax])
+    cy = np.array([ext.ymin, ext.ymax, ext.ymin, ext.ymax])
+    if not points_in_polygon(cx, cy, rings).all():
+        return False
+    ex1 = np.array([[ext.xmin, ext.xmin, ext.xmax, ext.xmin]])
+    ey1 = np.array([[ext.ymin, ext.ymax, ext.ymin, ext.ymin]])
+    ex2 = np.array([[ext.xmax, ext.xmax, ext.xmax, ext.xmin]])
+    ey2 = np.array([[ext.ymin, ext.ymax, ext.ymax, ext.ymax]])
+    for ring in rings:
+        x1, y1 = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for i in range(len(ring)):
+            if _segments_cross(x1[i], y1[i], x2[i], y2[i], ex1, ey1, ex2, ey2).any():
+                return False
+    return True
+
+
+# ------------------------------------------------------------------ builders
+
+def regular_ngon(cx: float, cy: float, n: int, radius: float, rot: float = 0.0) -> np.ndarray:
+    ang = rot + 2.0 * np.pi * np.arange(n) / n
+    return np.stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)], axis=1)
+
+
+def extent_polygon(ext: Extent) -> np.ndarray:
+    return np.array(
+        [
+            [ext.xmin, ext.ymin],
+            [ext.xmax, ext.ymin],
+            [ext.xmax, ext.ymax],
+            [ext.xmin, ext.ymax],
+        ]
+    )
+
+
+def polygon_area(ring: np.ndarray) -> float:
+    """Shoelace area (positive regardless of winding)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(abs(np.sum(x * y2 - x2 * y)) / 2.0)
