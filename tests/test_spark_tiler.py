@@ -1,0 +1,194 @@
+"""Distributed == sequential tests for tiler, pyramid, local map algebra
+(the reference's OpAsserter invariant, OpAsserter.scala:63-81)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilegrid import codec, fixtures, oracle
+from tilegrid.grid import Extent, ZoomedLayoutScheme, lnglat_to_webmercator
+from tilegrid.operators import local as L
+from tilegrid.operators import pyramid as P
+from tilegrid.operators import tiler as T
+from tilegrid.tiles import nn_paste, nodata_mask_nan
+
+ZOOM = 3
+SCHEME = ZoomedLayoutScheme("webmercator")
+LAYOUT = SCHEME.level_for_zoom(ZOOM).layout
+
+
+def images_with_xy(n):
+    pdf = fixtures.images_table(n)
+    x, y = lnglat_to_webmercator(pdf.lon.values, pdf.lat.values)
+    pdf["x"], pdf["y"] = x, y
+    return pdf
+
+
+def oracle_extents(pdf):
+    cw, ch = LAYOUT.cell_width, LAYOUT.cell_height
+    xmin = pdf.x.values - pdf.w.values * cw / 2
+    xmax = pdf.x.values + pdf.w.values * cw / 2
+    ymin = pdf.y.values - pdf.h.values * ch / 2
+    ymax = pdf.y.values + pdf.h.values * ch / 2
+    return xmin, ymin, xmax, ymax
+
+
+class TestTileAssignments:
+    def test_assignments_match_oracle(self, spark):
+        pdf = images_with_xy(80)
+        df = spark.createDataFrame(pdf[["image_id", "x", "y", "w", "h"]])
+        got = (
+            T.tile_assignments(
+                T.with_extent_from_center(df, LAYOUT, "x", "y"), LAYOUT, ZOOM
+            )
+            .toPandas()
+        )
+        got_set = set(zip(got.image_id, got.col, got.row))
+
+        xmin, ymin, xmax, ymax = oracle_extents(pdf)
+        keys = oracle.tile_assignments(LAYOUT, xmin, ymin, xmax, ymax)
+        want = set()
+        for iid, ks in zip(pdf.image_id, keys):
+            for c, r in ks:
+                want.add((iid, c, r))
+        assert got_set == want
+
+    def test_point_keys_match_oracle(self, spark):
+        pdf = fixtures.points_table(300)
+        x, y = lnglat_to_webmercator(pdf.lon.values, pdf.lat.values)
+        pdf["x"], pdf["y"] = x, y
+        df = spark.createDataFrame(pdf[["point_id", "x", "y"]])
+        lvl = SCHEME.level_for_zoom(8)
+        got = T.with_key_columns(df, lvl.layout, "x", "y", 8).toPandas()
+        oc, orw = lvl.layout.map_transform.keys_for_points(x, y)
+        got = got.sort_values("point_id")
+        np.testing.assert_array_equal(got.col.values, oc)
+        np.testing.assert_array_equal(got.row.values, orw)
+        from tilegrid.cell import z2_encode
+
+        np.testing.assert_array_equal(got.cell.values, z2_encode(oc, orw))
+
+
+def oracle_tile_to_layout(pdf):
+    """Sequential tiler: same merge semantics, id-sorted order."""
+    mt = LAYOUT.map_transform
+    xmin, ymin, xmax, ymax = oracle_extents(pdf)
+    keysets = oracle.tile_assignments(LAYOUT, xmin, ymin, xmax, ymax)
+    order = np.argsort(pdf.image_id.values)
+    tiles: dict[tuple[int, int], np.ndarray] = {}
+    ts = LAYOUT.tile_layout.tile_cols
+    for i in order:
+        r = pdf.iloc[i]
+        src = codec.decode_tile(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+        src_ext = Extent(xmin[i], ymin[i], xmax[i], ymax[i])
+        for c, rw in keysets[i]:
+            tgt = tiles.setdefault((c, rw), np.full((ts, ts), np.nan))
+            nn_paste(tgt, mt.extent_for_key(c, rw), src, src_ext, nodata_mask_nan)
+    return tiles
+
+
+class TestTileToLayout:
+    def test_pixels_match_oracle(self, spark):
+        pdf = images_with_xy(40)
+        df = spark.createDataFrame(
+            pdf[["image_id", "bytes", "fmt", "x", "y", "w", "h"]].rename(
+                columns={"bytes": "tile"}
+            )
+        )
+        layer = T.tile_to_layout(
+            T.with_extent_from_center(df, LAYOUT, "x", "y"), LAYOUT, ZOOM
+        ).toPandas()
+        want = oracle_tile_to_layout(pdf)
+        assert set(zip(layer.col, layer.row)) == set(want)
+        for t in layer.itertuples(index=False):
+            got = codec.decode_tile(bytes(t.tile), t.fmt)
+            exp = want[(t.col, t.row)]
+            np.testing.assert_array_equal(
+                np.isnan(got), np.isnan(exp), err_msg=f"key {(t.col, t.row)}"
+            )
+            m = ~np.isnan(exp)
+            np.testing.assert_allclose(got[m], exp[m], err_msg=f"key {(t.col, t.row)}")
+
+
+def layer_df(spark, variant, tile_size=16):
+    return spark.createDataFrame(fixtures.tile_layer_table(variant, tile_size=tile_size))
+
+
+def stitched(pdf):
+    arr, _ = fixtures.stitch_layer_df(pdf)
+    return arr
+
+
+class TestLocalOps:
+    def test_binary_add(self, spark):
+        a = layer_df(spark, "increasing")
+        b = layer_df(spark, "all-twos")
+        out = L.local_binary(a, b, "add").toPandas()
+        got = stitched(out)
+        want = stitched(fixtures.tile_layer_table("increasing")) + 2.0
+        np.testing.assert_allclose(got, want)
+
+    def test_unary_sqrt_and_scalar(self, spark):
+        a = layer_df(spark, "increasing")
+        got = stitched(L.local_unary(a, "sqrt").toPandas())
+        want = np.sqrt(stitched(fixtures.tile_layer_table("increasing")))
+        np.testing.assert_allclose(got, want)
+        got2 = stitched(L.local_unary(a, "multiply", scalar=3.0).toPandas())
+        np.testing.assert_allclose(got2, want**2 * 3.0)
+
+    def test_nodata_propagates(self, spark):
+        a = layer_df(spark, "every-other-undefined")
+        b = layer_df(spark, "all-ones")
+        got = stitched(L.local_binary(a, b, "add").toPandas())
+        src = stitched(fixtures.tile_layer_table("every-other-undefined"))
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(src))
+        np.testing.assert_allclose(got[~np.isnan(got)], src[~np.isnan(src)] + 1)
+
+    def test_nary_mean_and_variety(self, spark):
+        dfs = [layer_df(spark, v) for v in ("all-ones", "all-twos", "all-hundreds")]
+        got = stitched(L.local_nary(dfs, "mean").toPandas())
+        np.testing.assert_allclose(got, np.full_like(got, (1 + 2 + 100) / 3))
+        got_v = stitched(L.local_nary(dfs, "variety").toPandas())
+        np.testing.assert_allclose(got_v, np.full_like(got_v, 3.0))
+
+    def test_local_mask(self, spark):
+        a = layer_df(spark, "all-hundreds")
+        m = layer_df(spark, "every-other-undefined")
+        got = stitched(L.local_mask(a, m).toPandas())
+        mask_src = stitched(fixtures.tile_layer_table("every-other-undefined"))
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(mask_src))
+
+
+class TestPyramid:
+    def test_one_level_matches_oracle(self, spark):
+        a = layer_df(spark, "increasing")
+        up = P.pyramid_up(a, "average").toPandas()
+        # oracle: stitch bounds grid into global array aligned to even keys
+        src = fixtures.tile_layer_table("increasing")
+        tiles = {
+            (int(r["col"]), int(r["row"])): codec.decode_tile(bytes(r["tile"]))
+            for _, r in src.iterrows()
+        }
+        ts = 16
+        cmin, rmin, cmax, rmax = fixtures.TEST_BOUNDS
+        for t in up.itertuples(index=False):
+            assert t.zoom == 7
+            big = np.full((2 * ts, 2 * ts), np.nan)
+            for dc in (0, 1):
+                for dr in (0, 1):
+                    child = (2 * t.col + dc, 2 * t.row + dr)
+                    if child in tiles:
+                        big[dr * ts : (dr + 1) * ts, dc * ts : (dc + 1) * ts] = tiles[child]
+            want = oracle.pyramid_up(big, "average")
+            got = codec.decode_tile(bytes(t.tile))
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+            m = ~np.isnan(want)
+            np.testing.assert_allclose(got[m], want[m])
+
+    def test_full_pyramid_counts(self, spark):
+        a = layer_df(spark, "all-ones")
+        levels = P.build_pyramid(a, max_zoom=8, min_zoom=5)
+        counts = {z: levels[z].count() for z in levels}
+        # bounds (1,1)-(6,7): z8=6x7=42 keys, z7 cols 0..3 rows 0..3 = 16,
+        # z6 cols 0..1 rows 0..1 = 4, z5 = 1
+        assert counts == {8: 42, 7: 16, 6: 4, 5: 1}
