@@ -1,0 +1,274 @@
+"""Focal (stencil) map algebra: BufferTiles + neighborhood kernels.
+
+BufferTiles (reference spark/.../buffer/BufferTiles.scala:31-145) is THE
+distributed stencil mechanism: every tile contributes itself plus 8 edge
+slivers to its neighbors' keys; one groupBy assembles each key's buffered
+(h+2s, w+2s) array; the kernel sweeps it and crops the center back out.
+We reproduce that shape exactly — explode-9 (mapInPandas, slivers only, so
+the shuffle carries ~ (1 + 8*s/tile) x the layer, not 9x) + one groupBy.
+
+Kernels are vectorized NumPy (sliding_window_view / Horn stencils), replacing
+the reference's Cursor/Cellwise sweep machinery
+(raster/.../focal/FocalCalculation.scala:45-170). Missing-neighbor margins
+are NaN: mean/sum/... then clip the window (matches FocalCalculation edge
+behavior); slope/aspect/hillshade substitute the focal value
+(SurfacePointCalculation.scala edge note).
+
+At 100TB scale: the groupBy shuffles on (zoom,col,row); writing layers
+sorted/partitioned by cell makes most sliver traffic partition-local (the
+reference's SpacePartitioner rationale, PartitionerIndex.scala:34-45).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codec
+from ..cell import z2_encode
+from ..oracle import (  # the same vetted kernels the oracle uses, applied
+    _horn_derivatives,  # per buffered tile instead of per whole raster
+)
+from . import LAYER_SCHEMA
+
+_BUFFER_SCHEMA = (
+    "zoom int, tcol int, trow int, dx int, dy int, part binary, ph int, pw int, "
+    "h int, w int"
+)
+
+
+def buffer_parts(layer: DataFrame, size: int) -> DataFrame:
+    """Explode each tile into (target_key, direction, sliver) rows.
+    dx,dy = src_key - target_key (so dx=-1 means the sliver comes from the
+    tile west of the target and lands on the buffered array's west margin)."""
+
+    def emit(it):
+        for pdf in it:
+            rows = {k: [] for k in (
+                "zoom", "tcol", "trow", "dx", "dy", "part", "ph", "pw", "h", "w")}
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                h, w = arr.shape
+                s = size
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            part = arr
+                        else:
+                            # target east of src (dx=1) gets src's RIGHT strip
+                            # (lands on the target's west margin), etc.
+                            xs = slice(w - s, w) if dx == 1 else (slice(0, s) if dx == -1 else slice(0, w))
+                            ys = slice(h - s, h) if dy == 1 else (slice(0, s) if dy == -1 else slice(0, h))
+                            part = arr[ys, xs]
+                        rows["zoom"].append(t.zoom)
+                        rows["tcol"].append(t.col + dx)
+                        rows["trow"].append(t.row + dy)
+                        rows["dx"].append(-dx)
+                        rows["dy"].append(-dy)
+                        rows["part"].append(codec.raw_encode(np.ascontiguousarray(part)))
+                        rows["ph"].append(part.shape[0])
+                        rows["pw"].append(part.shape[1])
+                        rows["h"].append(h)
+                        rows["w"].append(w)
+            yield pd.DataFrame(rows)
+
+    return layer.mapInPandas(emit, _BUFFER_SCHEMA)
+
+
+def _assemble(pdf: pd.DataFrame, size: int) -> tuple[np.ndarray, int, int] | None:
+    """Build the buffered array for one target key. Returns None when the
+    target key has no center tile (pure-margin key outside the layer)."""
+    s = size
+    h, w = int(pdf.iloc[0]["h"]), int(pdf.iloc[0]["w"])
+    buf = np.full((h + 2 * s, w + 2 * s), np.nan)
+    has_center = False
+    for t in pdf.itertuples(index=False):
+        part = codec.decode_tile(bytes(t.part), "raw")
+        dx, dy = int(t.dx), int(t.dy)
+        if dx == 0 and dy == 0:
+            buf[s : s + h, s : s + w] = part
+            has_center = True
+        else:
+            x0 = 0 if dx == -1 else (s + w if dx == 1 else s)
+            y0 = 0 if dy == -1 else (s + h if dy == 1 else s)
+            buf[y0 : y0 + part.shape[0], x0 : x0 + part.shape[1]] = part
+    return (buf, h, w) if has_center else None
+
+
+def _win_kernels(size: int):
+    k = 2 * size + 1
+
+    def windows(buf):
+        return np.lib.stride_tricks.sliding_window_view(buf, (k, k))
+
+    def guard(fn):
+        def run(buf):
+            w = windows(buf)
+            with np.errstate(invalid="ignore", all="ignore"):
+                return fn(w)
+        return run
+
+    return {
+        "mean": guard(lambda w: np.nanmean(w, axis=(2, 3))),
+        "sum": guard(lambda w: np.nansum(w, axis=(2, 3))),
+        "min": guard(lambda w: np.nanmin(w, axis=(2, 3))),
+        "max": guard(lambda w: np.nanmax(w, axis=(2, 3))),
+        "median": guard(lambda w: np.nanmedian(w, axis=(2, 3))),
+        "stddev": guard(lambda w: np.nanstd(w, axis=(2, 3))),
+    }
+
+
+def focal(
+    layer: DataFrame,
+    op: str,
+    size: int = 1,
+    cell_size: tuple[float, float] | None = None,
+    z_factor: float = 1.0,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    kernel: np.ndarray | None = None,
+) -> DataFrame:
+    """FocalOperation (FocalOperation.scala:29-63): bufferTiles(size) ->
+    stencil kernel -> center crop. `op` in {mean,sum,min,max,median,stddev,
+    mode,convolve,slope,aspect,hillshade}. slope/aspect/hillshade need
+    cell_size=(cw,ch) and force size=1 (3x3 Horn stencil)."""
+    surface = op in ("slope", "aspect", "hillshade")
+    if surface:
+        size = 1
+        if cell_size is None:
+            raise ValueError(f"{op} requires cell_size=(cw, ch)")
+        cw, ch = cell_size
+    if op == "convolve":
+        if kernel is None:
+            raise ValueError("convolve requires kernel")
+        size = kernel.shape[0] // 2
+    parts = buffer_parts(layer, size)
+    win = _win_kernels(size)
+
+    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble(pdf, size)
+        if asm is None:
+            return pd.DataFrame(
+                {c: [] for c in ("zoom", "col", "row", "cell", "tile", "h", "w", "fmt")}
+            )
+        buf, h, w = asm
+        s = size
+        if op in win:
+            res = win[op](buf)  # window view already yields (h, w)
+        elif op == "mode":
+            res = _focal_mode_crop(buf, s, h, w)
+        elif op == "convolve":
+            kw = np.lib.stride_tricks.sliding_window_view(buf, kernel.shape)
+            kz = np.where(np.isnan(kw), 0.0, kw)
+            res = np.einsum("ijkl,kl->ij", kz, kernel)
+        elif surface:
+            dzdx, dzdy = _horn_derivatives(buf, cw, ch)
+            dzdx, dzdy = dzdx[s : s + h, s : s + w], dzdy[s : s + h, s : s + w]
+            if op == "slope":
+                res = np.degrees(np.arctan(z_factor * np.sqrt(dzdx**2 + dzdy**2)))
+            elif op == "aspect":
+                a = np.arctan2(dzdy, -dzdx)
+                a = np.where(a < 0, a + 2 * np.pi, a)
+                a = np.where((dzdx == 0) & (dzdy == 0), np.nan, a)
+                res = np.degrees(np.where(a == 2 * np.pi, 0.0, a))
+            else:
+                res = _hillshade(dzdx, dzdy, azimuth, altitude)
+            res = np.asarray(res, np.float64)
+        else:
+            raise ValueError(f"unknown focal op {op!r}")
+        first = pdf.iloc[0]
+        zoom, col, row = int(first["zoom"]), int(first["tcol"]), int(first["trow"])
+        return pd.DataFrame(
+            {
+                "zoom": [zoom], "col": [col], "row": [row],
+                "cell": [int(z2_encode(col, row))],
+                "tile": [codec.raw_encode(np.ascontiguousarray(res))],
+                "h": [h], "w": [w], "fmt": ["raw"],
+            }
+        )
+
+    return parts.groupBy("zoom", "tcol", "trow").applyInPandas(apply_group, LAYER_SCHEMA)
+
+
+def _focal_mode_crop(buf: np.ndarray, s: int, h: int, w: int) -> np.ndarray:
+    k = 2 * s + 1
+    win = np.lib.stride_tricks.sliding_window_view(buf, (k, k))
+    out = np.full((h, w), np.nan)
+    for i in range(h):
+        for j in range(w):
+            v = win[i, j]
+            v = v[~np.isnan(v)]
+            if len(v):
+                vals, counts = np.unique(v, return_counts=True)
+                out[i, j] = vals[np.argmax(counts)]
+    return out
+
+
+def _hillshade(dzdx, dzdy, azimuth, altitude):
+    az = math.radians(90.0 - azimuth)
+    ze = math.radians(90.0 - altitude)
+    denom = np.sqrt(dzdx**2 + dzdy**2 + 1.0)
+    cos_slope = 1.0 / denom
+    sin_slope = np.sqrt(dzdx**2 + dzdy**2) / denom
+    mag = np.sqrt(dzdx**2 + dzdy**2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos_aspect = np.where(
+            dzdx == 0,
+            np.where(dzdy == 0, -1.0, 0.0),
+            np.where(dzdy == 0, np.where(dzdx < 0, 1.0, -1.0), -dzdx / mag),
+        )
+        sin_aspect = np.where(
+            dzdy == 0, 0.0, np.where(dzdx == 0, np.sign(dzdy), dzdy / mag)
+        )
+    c = math.cos(az) * cos_aspect + math.sin(az) * sin_aspect
+    return np.round(127.0 * np.maximum(0.0, math.cos(ze) * cos_slope + math.sin(ze) * sin_slope * c))
+
+
+def focal_mean(layer, size=1):
+    return focal(layer, "mean", size)
+
+
+def focal_sum(layer, size=1):
+    return focal(layer, "sum", size)
+
+
+def focal_min(layer, size=1):
+    return focal(layer, "min", size)
+
+
+def focal_max(layer, size=1):
+    return focal(layer, "max", size)
+
+
+def focal_median(layer, size=1):
+    return focal(layer, "median", size)
+
+
+def focal_mode(layer, size=1):
+    return focal(layer, "mode", size)
+
+
+def focal_stddev(layer, size=1):
+    return focal(layer, "stddev", size)
+
+
+def convolve(layer, kernel: np.ndarray):
+    return focal(layer, "convolve", kernel=kernel)
+
+
+def slope(layer, cell_size, z_factor=1.0):
+    return focal(layer, "slope", cell_size=cell_size, z_factor=z_factor)
+
+
+def aspect(layer, cell_size):
+    return focal(layer, "aspect", cell_size=cell_size)
+
+
+def hillshade(layer, cell_size, azimuth=315.0, altitude=45.0, z_factor=1.0):
+    return focal(
+        layer, "hillshade", cell_size=cell_size,
+        azimuth=azimuth, altitude=altitude, z_factor=z_factor,
+    )

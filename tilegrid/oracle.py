@@ -119,7 +119,9 @@ def _surface_neighbors(arr: np.ndarray) -> dict[str, np.ndarray]:
     """8-neighbor arrays with outside-raster and NoData neighbors replaced by
     the focal value (reference edge rule)."""
     a = arr.astype(np.float64)
-    p = np.pad(a, 1, mode="edge")
+    # outside-raster neighbors = focal value (reference note), achieved by
+    # NaN-padding then substituting the focal value below
+    p = np.pad(a, 1, constant_values=np.nan)
     out = {}
     names = {
         "nw": (0, 0), "n": (0, 1), "ne": (0, 2),
