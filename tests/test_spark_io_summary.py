@@ -1,0 +1,277 @@
+"""Tests: layer IO (pruning, manifests, resume), summaries, rasterize,
+vectorize, reshape, render."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilegrid import codec, fixtures, oracle
+from tilegrid.geometry import regular_ngon, wkb_decode, wkb_encode_polygon
+from tilegrid.grid import Extent, ZoomedLayoutScheme
+from tilegrid.meta import AttributeStore, LayerMeta
+from tilegrid.operators import rasterize as R
+from tilegrid.operators import reshape as RS
+from tilegrid.operators import summary as S
+from tilegrid.operators import vectorize as V
+from tilegrid.celltype import FLOAT64
+from tilegrid.grid import GridBounds, LayoutDefinition, TileLayout
+from tilegrid.sources import layer_io as IO
+from tilegrid.sources import render as RD
+
+# test layout: an 8x8 grid of 16px tiles over a simple square world
+WORLD = Extent(0.0, 0.0, 128.0, 128.0)
+LAYOUT = LayoutDefinition(WORLD, TileLayout(8, 8, 16, 16))
+
+
+def layer_df(spark, variant, tile_size=16):
+    return spark.createDataFrame(fixtures.tile_layer_table(variant, tile_size=tile_size))
+
+
+def stitched(pdf):
+    arr, _ = fixtures.stitch_layer_df(pdf)
+    return arr
+
+
+def make_meta(zoom=8):
+    return LayerMeta(
+        cell_type=FLOAT64, layout=LAYOUT, extent=WORLD, crs="webmercator",
+        bounds=GridBounds(*fixtures.TEST_BOUNDS), zoom=zoom,
+    )
+
+
+class TestLayerIO:
+    def test_roundtrip_and_pruning(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        df = layer_df(spark, "increasing")
+        assert IO.write_layer(df, root, "inc", 8, meta=make_meta())
+        back = IO.read_layer(spark, root, "inc", 8)
+        assert back.count() == 42
+        np.testing.assert_allclose(
+            stitched(back.toPandas()), stitched(fixtures.tile_layer_table("increasing"))
+        )
+        # key-bounds pruning
+        q = IO.read_layer(
+            spark, root, "inc", 8, where=[IO.Intersects(key_bounds=(2, 2, 3, 3))]
+        ).toPandas()
+        assert set(zip(q.col, q.row)) == {(c, r) for c in (2, 3) for r in (2, 3)}
+        # extent pruning: tile (1,1) extent in layout coords
+        ext = LAYOUT.map_transform.extent_for_key(1, 1)
+        q2 = IO.read_layer(spark, root, "inc", 8, where=[IO.Intersects(extent=ext)])
+        got = {(r["col"], r["row"]) for r in q2.select("col", "row").collect()}
+        assert (1, 1) in got and all(1 <= c <= 2 and 1 <= r <= 2 for c, r in got)
+
+    def test_manifest_and_resume(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        df = layer_df(spark, "all-ones")
+        assert IO.write_layer(df, root, "ones", 8, meta=make_meta())
+        assert IO.verify_manifest(spark, root, "ones", 8)
+        m = AttributeStore(root).read_attr("ones", 8, "manifest")
+        assert sum(f["n_rows"] for f in m["files"]) == 42
+        # non-overlapping sorted cell ranges across files
+        spans = sorted((f["min_cell"], f["max_cell"]) for f in m["files"])
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 < b0
+        # resume: second write is skipped
+        assert IO.write_layer(df, root, "ones", 8, resume=True) is False
+
+    def test_pushdown_in_plan(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        IO.write_layer(layer_df(spark, "all-ones"), root, "ones", 8, meta=make_meta())
+        q = IO.read_layer(
+            spark, root, "ones", 8, where=[IO.Intersects(key_bounds=(2, 2, 3, 3))]
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "cell" in plan
+
+
+class TestSummaries:
+    def test_min_max_and_mean(self, spark):
+        a = layer_df(spark, "increasing")
+        mm = S.min_max(a).collect()[0]
+        src = stitched(fixtures.tile_layer_table("increasing"))
+        assert mm["vmin"] == 0.0 and mm["vmax"] == src.max()
+        ms = S.mean_stddev(a).collect()[0]
+        np.testing.assert_allclose(ms["mean"], src.mean())
+        np.testing.assert_allclose(ms["stddev"], src.std(), rtol=1e-9)
+
+    def test_exact_histogram(self, spark):
+        a = layer_df(spark, "zones")
+        got = {r["value"]: r["count"] for r in S.histogram_exact_int(a).collect()}
+        src = stitched(fixtures.tile_layer_table("zones"))
+        vals, counts = np.unique(src, return_counts=True)
+        assert got == {int(v): int(c) for v, c in zip(vals, counts)}
+
+    def test_fixed_histogram_total(self, spark):
+        a = layer_df(spark, "mod-10000")
+        rows = S.histogram(a, num_buckets=20).collect()
+        src = stitched(fixtures.tile_layer_table("mod-10000"))
+        assert sum(r["count"] for r in rows) == src.size
+
+    def test_class_breaks_quartiles(self, spark):
+        a = layer_df(spark, "increasing")
+        br = S.class_breaks(a, 4)
+        src = np.sort(stitched(fixtures.tile_layer_table("increasing")).ravel())
+        want = [src[int(q * len(src)) - 1] for q in (0.25, 0.5, 0.75, 1.0)]
+        np.testing.assert_allclose(br, want, atol=1.0)
+
+    def test_polygonal_summary(self, spark):
+        a = layer_df(spark, "increasing")
+        # polygon in the test layout's map coords = a square over tiles (2,2)-(3,3)
+        ring = np.array([[33.0, 63.0], [63.0, 63.0], [63.0, 33.0], [33.0, 33.0]])
+        got = S.polygonal_summary(a, [ring], LAYOUT).collect()[0]
+        src = stitched(fixtures.tile_layer_table("increasing"))
+        # oracle: mask pixel centers inside polygon over the bounds grid
+        cmin, rmin, cmax, rmax = fixtures.TEST_BOUNDS
+        full = np.full((8 * 16, 8 * 16), np.nan)
+        full[rmin * 16 : (rmax + 1) * 16, cmin * 16 : (cmax + 1) * 16] = src
+        m = oracle.rasterize_polygon([ring], WORLD, 128, 128)
+        sel = full[m & ~np.isnan(full)]
+        assert got["count"] == sel.size
+        np.testing.assert_allclose(got["sum"], sel.sum())
+        np.testing.assert_allclose(got["mean"], sel.mean())
+
+
+class TestRasterize:
+    def test_scanline_equals_center_pip(self):
+        ring = regular_ngon(60.0, 60.0, 7, 25.0, rot=0.3)
+        a = R.scanline_rasterize([ring], WORLD, 128, 128)
+        b = oracle.rasterize_polygon([ring], WORLD, 128, 128)
+        np.testing.assert_array_equal(a, b)
+
+    def test_rasterize_to_layer(self, spark):
+        polys = pd.DataFrame(
+            {
+                "polygon_id": ["p1"],
+                "wkb": [wkb_encode_polygon([regular_ngon(40.0, 80.0, 6, 20.0)])],
+                "zone": [7],
+            }
+        )
+        out = R.rasterize_to_layer(polys, LAYOUT, 8, spark).toPandas()
+        assert len(out) > 0
+        total = 0
+        for t in out.itertuples(index=False):
+            arr = codec.decode_tile(bytes(t.tile), t.fmt)
+            total += int((~np.isnan(arr)).sum())
+        want = oracle.rasterize_polygon(
+            [regular_ngon(40.0, 80.0, 6, 20.0)], WORLD, 128, 128
+        ).sum()
+        assert total == want
+
+    def test_kernel_density_conserves_mass(self, spark):
+        rng = np.random.default_rng(3)
+        pts = pd.DataFrame(
+            {
+                "point_id": [f"p{i}" for i in range(50)],
+                "x": rng.uniform(20, 100, 50),
+                "y": rng.uniform(20, 100, 50),
+            }
+        )
+        kern = np.ones((3, 3))
+        out = R.kernel_density(spark.createDataFrame(pts), LAYOUT, 8, kern).toPandas()
+        total = sum(
+            np.nansum(codec.decode_tile(bytes(t.tile), t.fmt))
+            for t in out.itertuples(index=False)
+        )
+        # all kernels fully inside the world: mass = 9 per point
+        np.testing.assert_allclose(total, 9.0 * 50)
+
+
+class TestVectorize:
+    def test_region_group_labels(self):
+        arr = np.array(
+            [
+                [1.0, 1.0, 2.0],
+                [1.0, 2.0, 2.0],
+                [3.0, 3.0, np.nan],
+            ]
+        )
+        labels = V.region_group(arr)
+        assert labels[0, 0] == labels[1, 0] == labels[0, 1]
+        assert labels[0, 2] == labels[1, 1] == labels[1, 2]
+        assert labels[2, 0] == labels[2, 1]
+        assert labels[2, 2] == -1
+        assert len(np.unique(labels[labels >= 0])) == 3
+
+    def test_vectorize_roundtrip_via_pip(self, spark):
+        # rasterize a polygon, vectorize it back, check pixel membership
+        layer = R.rasterize_to_layer(
+            pd.DataFrame(
+                {
+                    "polygon_id": ["p"],
+                    "wkb": [wkb_encode_polygon([regular_ngon(64.0, 64.0, 4, 20.0)])],
+                    "zone": [5],
+                }
+            ),
+            LAYOUT, 8, spark,
+        )
+        feats = V.vectorize(layer, LAYOUT).toPandas()
+        assert len(feats) >= 1
+        assert (feats.value == 5.0).all()
+        # total traced pixels match burned pixels
+        burned = oracle.rasterize_polygon(
+            [regular_ngon(64.0, 64.0, 4, 20.0)], WORLD, 128, 128
+        ).sum()
+        assert feats.n_pixels.sum() == burned
+
+    def test_raster_to_points(self, spark):
+        a = layer_df(spark, "every-other-undefined")
+        pts = V.raster_to_points(a, LAYOUT).toPandas()
+        src = stitched(fixtures.tile_layer_table("every-other-undefined"))
+        assert len(pts) == int((~np.isnan(src)).sum())
+
+
+class TestReshape:
+    def test_crop(self, spark):
+        a = layer_df(spark, "all-ones")
+        ext = Extent(30.0, 30.0, 70.0, 70.0)
+        out = RS.crop(a, ext, LAYOUT).toPandas()
+        total = sum(
+            int((~np.isnan(codec.decode_tile(bytes(t.tile), t.fmt))).sum())
+            for t in out.itertuples(index=False)
+        )
+        # pixel centers inside ext: 40x40 px square at 1 map unit/px
+        assert total == 40 * 40
+
+    def test_merge_layers(self, spark):
+        a = layer_df(spark, "every-other-undefined")
+        b = layer_df(spark, "all-hundreds")
+        out = RS.merge_layers(a, b).toPandas()
+        got = stitched(out)
+        src = stitched(fixtures.tile_layer_table("every-other-undefined"))
+        assert not np.isnan(got).any()
+        np.testing.assert_allclose(got[np.isnan(src)], 100.0)
+        np.testing.assert_allclose(got[~np.isnan(src)], src[~np.isnan(src)])
+
+    def test_zoom_resample(self, spark):
+        a = layer_df(spark, "increasing")
+        out = RS.zoom_resample(a, 8, 9)
+        assert out.count() == 42 * 4
+        one = out.where("col = 2 AND row = 2").toPandas().iloc[0]
+        arr = codec.decode_tile(bytes(one["tile"]), one["fmt"])
+        src = fixtures.layer_tile("increasing", 1, 1, 16)
+        np.testing.assert_allclose(arr[0, 0], src[0, 0])
+        np.testing.assert_allclose(arr[0, 1], src[0, 0])  # NN upsample repeats
+
+    def test_histogram_equalization_monotone(self, spark):
+        a = layer_df(spark, "mod-10000")
+        out = stitched(RS.histogram_equalization(a, 64).toPandas())
+        src = stitched(fixtures.tile_layer_table("mod-10000"))
+        # equalized values preserve order of source values
+        s = src.ravel()
+        o = out.ravel()
+        idx = np.argsort(s)
+        assert (np.diff(o[idx]) >= -1e-9).all()
+
+
+class TestRender:
+    def test_render_and_slippy(self, spark, tmp_path):
+        a = layer_df(spark, "zones")
+        png_layer = RD.render_png(a, RD.ColorMap.ramp(0, 15, 16))
+        n = RD.write_slippy(png_layer, str(tmp_path / "tiles"))
+        assert n == 42
+        p = tmp_path / "tiles" / "8" / "1" / "1.png"
+        assert p.exists()
+        img = codec.png_decode(p.read_bytes())
+        assert img.shape == (16, 16, 4)

@@ -1,0 +1,161 @@
+"""Raster <- vector: scanline polygon rasterizer, rasterize-to-layer,
+kernel density (point -> raster aggregation).
+
+Reference: Rasterizer/PolygonRasterizer (raster/.../rasterize/
+Rasterizer.scala:61-130, polygon/PolygonRasterizer.scala:35-392) and
+RDDKernelDensity (spark/.../density/RDDKernelDensity.scala:72-177).
+
+Inclusion rule: pixel-center-in-polygon (PixelIsPoint), implemented as a
+vectorized even-odd scanline: per pixel row, x-intersections of the ring
+edges with the row's center line, then np.searchsorted parity fill — exactly
+equivalent to ray casting at every pixel center but O(rows x edges) instead
+of O(pixels x edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codec
+from ..cell import z2_decode, z2_encode  # noqa: F401
+from ..geometry import wkb_decode
+from ..grid import Extent, LayoutDefinition
+from . import LAYER_SCHEMA
+
+
+def scanline_rasterize(
+    rings: list[np.ndarray], ext: Extent, cols: int, rows: int
+) -> np.ndarray:
+    """Boolean mask via scanline even-odd fill at pixel centers."""
+    cw, ch = ext.width / cols, ext.height / rows
+    ys = ext.ymax - (np.arange(rows) + 0.5) * ch
+    mask = np.zeros((rows, cols), dtype=bool)
+    cxs = ext.xmin + (np.arange(cols) + 0.5) * cw
+    for ring in rings:
+        x1, y1 = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for r in range(rows):
+            y = ys[r]
+            crosses = (y1 > y) != (y2 > y)
+            if not crosses.any():
+                continue
+            xi = x1[crosses] + (y - y1[crosses]) * (x2[crosses] - x1[crosses]) / (
+                y2[crosses] - y1[crosses]
+            )
+            xi.sort()
+            # parity of intersections strictly RIGHT of the pixel center —
+            # matches ray casting's `px < xint` rule exactly (including
+            # centers that fall on an edge), geometry.points_in_ring
+            parity = (len(xi) - np.searchsorted(xi, cxs, side="right")) % 2
+            mask[r] ^= parity.astype(bool)
+    return mask
+
+
+def rasterize_to_layer(
+    polygons: pd.DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    spark,
+    value_col: str = "zone",
+    id_col: str = "polygon_id",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Burn polygons into a tile layer (rasterizeWithValue): polygon ->
+    covering cells (driver), explode, per-tile scanline burn, merge overlaps
+    by last-id-wins (deterministic)."""
+    from ..cell import cover_polygon
+
+    rows = []
+    for t in polygons.itertuples(index=False):
+        rings = wkb_decode(bytes(getattr(t, wkb_col)))
+        for c in cover_polygon(layout, rings):
+            rows.append(
+                {
+                    id_col: getattr(t, id_col),
+                    "wkb": getattr(t, wkb_col),
+                    "value": float(getattr(t, value_col)),
+                    "cell": int(c),
+                }
+            )
+    exploded = spark.createDataFrame(pd.DataFrame(rows))
+    mt = layout.map_transform
+    tc, tr = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
+
+    def burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        cell = int(pdf.iloc[0]["cell"])
+        col, row = (int(v) for v in z2_decode(cell))
+        ext = mt.extent_for_key(col, row)
+        out = np.full((tr, tc), np.nan)
+        for t in pdf.itertuples(index=False):
+            rings = wkb_decode(bytes(t.wkb))
+            m = scanline_rasterize(rings, ext, tc, tr)
+            out[m] = t.value
+        return pd.DataFrame(
+            {
+                "zoom": [zoom], "col": [col], "row": [row], "cell": [cell],
+                "tile": [codec.raw_encode(out)], "h": [tr], "w": [tc], "fmt": ["raw"],
+            }
+        )
+
+    return exploded.groupBy("cell").applyInPandas(burn, LAYER_SCHEMA)
+
+
+def kernel_density(
+    points: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    kernel: np.ndarray,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """RDDKernelDensity (density/RDDKernelDensity.scala:72-177): each point
+    explodes to every tile its kernel footprint touches (computed in
+    Catalyst from the kernel radius), tiles stamp+sum their points in one
+    groupBy — the canonical point->raster aggregation."""
+    from .tiler import explode_covering_keys
+
+    kr_y, kr_x = kernel.shape[0] // 2, kernel.shape[1] // 2
+    cw, ch = layout.cell_width, layout.cell_height
+    rx, ry = kr_x * cw, kr_y * ch
+    df = (
+        points.withColumn("xmin", F.col(x) - F.lit(rx))
+        .withColumn("xmax", F.col(x) + F.lit(rx))
+        .withColumn("ymin", F.col(y) - F.lit(ry))
+        .withColumn("ymax", F.col(y) + F.lit(ry))
+    )
+    exploded = explode_covering_keys(df, layout, zoom).select("zoom", "col", "row", "cell", x, y)
+    mt = layout.map_transform
+    tc, tr = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
+    kh, kw = kernel.shape
+
+    def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        col, row = int(first["col"]), int(first["row"])
+        ext = mt.extent_for_key(col, row)
+        out = np.zeros((tr, tc))
+        # pixel index of each point's center within this tile's grid
+        px = np.floor((pdf[x].values - ext.xmin) / cw).astype(np.int64)
+        py = np.floor((ext.ymax - pdf[y].values) / ch).astype(np.int64)
+        for cx_, cy_ in zip(px, py):
+            y0, y1 = cy_ - kr_y, cy_ + kr_y + 1
+            x0, x1 = cx_ - kr_x, cx_ + kr_x + 1
+            ky0, kx0 = max(0, -y0), max(0, -x0)
+            ty0, tx0 = max(0, y0), max(0, x0)
+            ty1, tx1 = min(tr, y1), min(tc, x1)
+            if ty1 <= ty0 or tx1 <= tx0:
+                continue
+            out[ty0:ty1, tx0:tx1] += kernel[
+                ky0 : ky0 + (ty1 - ty0), kx0 : kx0 + (tx1 - tx0)
+            ]
+        return pd.DataFrame(
+            {
+                "zoom": [int(first["zoom"])], "col": [col], "row": [row],
+                "cell": [int(first["cell"])], "tile": [codec.raw_encode(out)],
+                "h": [tr], "w": [tc], "fmt": ["raw"],
+            }
+        )
+
+    return exploded.groupBy("zoom", "col", "row").applyInPandas(stamp, LAYER_SCHEMA)

@@ -1,0 +1,210 @@
+"""Layer summaries: histogram, min/max, class breaks, polygonal summary,
+temporal statistics.
+
+Reference: StatsTileRDDMethods (spark/.../summary/StatsTileRDDMethods.scala:
+35-115), StreamingHistogram (Ben-Haim/Tom-Tov, raster/.../histogram/
+StreamingHistogram.scala) and polygonal summaries
+(PolygonalSummaryTileLayerRDDMethods.scala:35-75). Our plan: per-tile Arrow
+partials (np.unique / bincount / masked folds) -> JVM groupBy merge — the
+same two-phase shape as the reference's map+reduce, but the reduce is
+Tungsten hash aggregation with map-side combine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codec
+from ..geometry import (
+    polygon_contains_extent,
+    polygon_intersects_extents,
+)
+from ..grid import LayoutDefinition
+from ..oracle import rasterize_polygon
+
+
+def _tiles(it):
+    for pdf in it:
+        for t in pdf.itertuples(index=False):
+            yield t, codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+
+
+def histogram(layer: DataFrame, num_buckets: int = 80, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Fixed-break histogram: (bucket, lo, hi, count). Breaks from the layer
+    min/max (one cheap pre-pass) unless given."""
+    if lo is None or hi is None:
+        mm = min_max(layer).collect()[0]
+        lo = mm["vmin"] if lo is None else lo
+        hi = mm["vmax"] if hi is None else hi
+    edges = np.linspace(lo, hi, num_buckets + 1)
+
+    def partials(it):
+        for t, arr in _tiles(it):
+            v = arr[~np.isnan(arr)].ravel()
+            if not len(v):
+                continue
+            counts, _ = np.histogram(v, bins=edges)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({"bucket": nz, "count": counts[nz]})
+
+    part = layer.mapInPandas(partials, "bucket int, count long")
+    out = part.groupBy("bucket").agg(F.sum("count").alias("count"))
+    w = (hi - lo) / num_buckets
+    return out.select(
+        "bucket",
+        (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("lo"),
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("hi"),
+        "count",
+    )
+
+
+def histogram_exact_int(layer: DataFrame) -> DataFrame:
+    """Exact integer-value histogram (FastMapHistogram analogue):
+    (value, count)."""
+
+    def partials(it):
+        for t, arr in _tiles(it):
+            v = arr[~np.isnan(arr)].ravel()
+            if not len(v):
+                continue
+            vals, counts = np.unique(v.astype(np.int64), return_counts=True)
+            yield pd.DataFrame({"value": vals, "count": counts})
+
+    part = layer.mapInPandas(partials, "value long, count long")
+    return part.groupBy("value").agg(F.sum("count").alias("count"))
+
+
+def min_max(layer: DataFrame) -> DataFrame:
+    """Layer-wide (vmin, vmax) — per-tile fold + JVM min/max."""
+
+    def partials(it):
+        for t, arr in _tiles(it):
+            v = arr[~np.isnan(arr)]
+            if v.size:
+                yield pd.DataFrame({"tmin": [float(v.min())], "tmax": [float(v.max())]})
+
+    part = layer.mapInPandas(partials, "tmin double, tmax double")
+    return part.agg(F.min("tmin").alias("vmin"), F.max("tmax").alias("vmax"))
+
+
+def class_breaks(layer: DataFrame, n: int) -> list[float]:
+    """Quantile breaks from the exact histogram CDF
+    (StatsTileRDDMethods.scala:85-100)."""
+    hist = histogram_exact_int(layer).orderBy("value").collect()
+    values = np.array([r["value"] for r in hist], dtype=np.float64)
+    counts = np.array([r["count"] for r in hist], dtype=np.float64)
+    cdf = np.cumsum(counts) / counts.sum()
+    qs = np.linspace(0, 1, n + 1)[1:]
+    idx = np.searchsorted(cdf, qs, side="left").clip(0, len(values) - 1)
+    return [float(values[i]) for i in idx]
+
+
+def mean_stddev(layer: DataFrame) -> DataFrame:
+    """(count, mean, stddev) over all data cells — (sum, sumsq, n) partials."""
+
+    def partials(it):
+        for t, arr in _tiles(it):
+            v = arr[~np.isnan(arr)].ravel()
+            if v.size:
+                yield pd.DataFrame(
+                    {"s": [float(v.sum())], "ss": [float((v * v).sum())], "n": [int(v.size)]}
+                )
+
+    part = layer.mapInPandas(partials, "s double, ss double, n long")
+    agg = part.agg(F.sum("s").alias("s"), F.sum("ss").alias("ss"), F.sum("n").alias("n"))
+    return agg.select(
+        F.col("n").alias("count"),
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) ** 2).alias("stddev"),
+    )
+
+
+def polygonal_summary(
+    layer: DataFrame,
+    rings: list[np.ndarray],
+    layout: LayoutDefinition,
+    stats: tuple[str, ...] = ("sum", "count", "min", "max", "mean"),
+) -> DataFrame:
+    """Fold pixels under a polygon (PolygonalSummaryTileLayerRDDMethods.scala:
+    35-75): coarse cell-cover prefilter in the scan, full-tile fold when the
+    tile extent is contained, rasterize-and-mask on boundary tiles."""
+    from ..cell import cover_polygon
+
+    cells = [int(c) for c in cover_polygon(layout, rings)]
+    spark = layer.sparkSession
+    bc = spark.sparkContext.broadcast([r.tolist() for r in rings])
+    mt = layout.map_transform
+    ext = layout.extent
+    lc, lr = layout.tile_layout.layout_cols, layout.tile_layout.layout_rows
+    filtered = layer.where(F.col("cell").isin(cells)) if cells else layer.limit(0)
+
+    def partials(it):
+        rr = [np.asarray(r) for r in bc.value]
+        for t, arr in _tiles(it):
+            text = mt.extent_for_key(int(t.col), int(t.row))
+            if polygon_contains_extent(rr, text):
+                sel = arr[~np.isnan(arr)]
+            else:
+                mask = rasterize_polygon(rr, text, arr.shape[1], arr.shape[0])
+                sel = arr[mask & ~np.isnan(arr)]
+            if sel.size:
+                yield pd.DataFrame(
+                    {
+                        "psum": [float(sel.sum())],
+                        "pcount": [int(sel.size)],
+                        "pmin": [float(sel.min())],
+                        "pmax": [float(sel.max())],
+                    }
+                )
+
+    part = filtered.mapInPandas(partials, "psum double, pcount long, pmin double, pmax double")
+    return part.agg(
+        F.sum("psum").alias("sum"),
+        F.sum("pcount").alias("count"),
+        F.min("pmin").alias("min"),
+        F.max("pmax").alias("max"),
+        (F.sum("psum") / F.sum("pcount")).alias("mean"),
+    )
+
+
+# ------------------------------------------------------ temporal statistics
+
+def temporal_stats(
+    layer: DataFrame, window: str, stat: str = "mean", ts_col: str = "ts"
+) -> DataFrame:
+    """Temporal map algebra over a space-time layer (LocalTemporalStatistics
+    .scala:34-60): per spatial key, reduce tiles within each time window.
+    `window` is a Spark window duration string ('7 days'). Returns a layer
+    with an extra window_start column."""
+    from .local import NARY_OPS
+
+    fn = NARY_OPS[stat]
+    grouped = layer.withColumn("_w", F.window(ts_col, window)).groupBy(
+        "zoom", "col", "row", "_w"
+    )
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack(
+            [codec.decode_tile(bytes(t), f).astype(np.float64)
+             for t, f in zip(pdf["tile"], pdf["fmt"])]
+        )
+        with np.errstate(invalid="ignore"):
+            r = fn(stack)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [first["zoom"]], "col": [first["col"]], "row": [first["row"]],
+                "cell": [first["cell"]],
+                "tile": [codec.raw_encode(np.asarray(r, np.float64))],
+                "h": [first["h"]], "w": [first["w"]], "fmt": ["raw"],
+                "window_start": [first["_w"]["start"]],
+            }
+        )
+
+    from . import LAYER_SCHEMA
+
+    return grouped.applyInPandas(
+        reduce_group, LAYER_SCHEMA + ", window_start timestamp"
+    )
