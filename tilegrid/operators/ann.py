@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, mirroring what a 100 TB corpus needs:
+  - ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+    set, one narrow pass over candidates, per-query top-k via window.
+    O(N·Q·d) flops all inside codegen (``aggregate``/``zip_with`` fold —
+    sequential, so bit-identical to the DuckDB oracle's ``list_reduce``).
+  - ``lsh_bucket_topk``: the scale path — sign-of-hyperplane LSH buckets on
+    BOTH sides, equi-join on bucket, top-k within. Deterministic integer
+    hyperplanes (no RNG), so results are reproducible and oracle-checkable.
+
+Embedding near-duplicate detection (`cosine_dup_pairs`) rides the same
+bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential-fold dot product of two float arrays, f64 accumulation."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cand_id: str = "vec_id",
+    query_id: str = "query_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query. Queries broadcast; the
+    candidate side is never shuffled (the window's partition key is
+    query_id — Q partitions, each a distributed top-k)."""
+    q = queries.select(
+        F.col(query_id), F.col(emb).alias("_qemb")
+    )
+    sim = (
+        candidates.crossJoin(F.broadcast(q))
+        .withColumn(
+            "sim",
+            F.expr(
+                f"{dot_expr(emb, '_qemb')} / ({norm_expr(emb)} * {norm_expr('_qemb')})"
+            ),
+        )
+        .select(query_id, F.col(cand_id), "sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
+def hyperplane_expr(emb: str, plane: int, dim: int) -> str:
+    """Sign bit of <emb, H_plane> for the deterministic integer hyperplane
+    H_plane[i] = ((i*2654435761 + plane*40503) % 1021) - 510 (Knuth/Fibonacci
+    multipliers mod prime — fixed, reproducible, oracle-matching)."""
+    terms = f"zip_with({emb}, sequence(0, {dim - 1}), (x, i) -> " \
+        f"CAST(x AS DOUBLE) * (CAST((i * 2654435761 + {plane} * 40503) % 1021 AS DOUBLE) - 510.0))"
+    s = f"aggregate({terms}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return f"CASE WHEN {s} >= 0 THEN 1 ELSE 0 END"
+
+
+def with_lsh_bucket(df: DataFrame, emb: str = "embedding", n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Pack n_planes sign bits into one int bucket id (2^n_planes buckets)."""
+    bits = " + ".join(
+        f"({hyperplane_expr(emb, p, dim)}) * {1 << p}" for p in range(n_planes)
+    )
+    return df.withColumn("bucket", F.expr(f"CAST({bits} AS INT)"))
+
+
+def lsh_bucket_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cand_id: str = "vec_id",
+    query_id: str = "query_id",
+    emb: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. At scale both sides are hashed on `bucket` (one shuffle each,
+    or broadcast if queries are small); recall is tuned by n_planes."""
+    c = with_lsh_bucket(candidates, emb, n_planes, dim)
+    q = with_lsh_bucket(queries, emb, n_planes, dim).select(
+        query_id, "bucket", F.col(emb).alias("_qemb")
+    )
+    sim = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn(
+            "sim",
+            F.expr(
+                f"{dot_expr(emb, '_qemb')} / ({norm_expr(emb)} * {norm_expr('_qemb')})"
+            ),
+        )
+        .select(query_id, F.col(cand_id), "sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket self-join + exact cosine
+    refine. (Near-identical vectors land in the same bucket with prob
+    ~(1 - theta/pi)^n_planes — high for dup-grade similarity.)"""
+    b = with_lsh_bucket(df, emb, n_planes, dim).select(id_col, "bucket", emb)
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, "bucket")
+        .where(F.expr(f"a.{id_col} < c.{id_col}"))
+        .withColumn(
+            "sim",
+            F.expr(
+                f"{dot_expr('a.' + emb, 'c.' + emb)} /"
+                f" ({norm_expr('a.' + emb)} * {norm_expr('c.' + emb)})"
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.expr(f"a.{id_col}").alias("vec_a"),
+            F.expr(f"c.{id_col}").alias("vec_b"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""Text analysis for a large-scale training-data pipeline: tokenization,
+token/quality stats, language-ID heuristic, document fingerprinting.
+
+Everything here is *pure Spark SQL expression* work — no Python UDFs — so the
+whole stage stays inside whole-stage codegen and scales linearly with
+executors (the 100 TB path: a narrow map over the scan, no shuffle).
+
+Each builder has a DuckDB twin (same logical expression, DuckDB dialect) in
+``tilegrid.queries`` used as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Whitespace tokens after lowercasing + punctuation strip. The corpus is
+# already lowercase single-space words; the normalizer keeps this robust to
+# arbitrary text while staying regex-portable (POSIX classes only, so the
+# Java-regex engine and DuckDB's RE2 agree).
+NORMALIZE_RE = "[^a-z0-9 ]"
+
+
+def tokens_expr(text_col: str, dialect: str = "spark") -> str:
+    """SQL expression: array of non-empty lowercase tokens."""
+    if dialect == "spark":
+        return (
+            f"filter(split(regexp_replace(lower({text_col}), '{NORMALIZE_RE}', ' '),"
+            f" ' '), x -> x <> '')"
+        )
+    return (
+        f"list_filter(string_split(regexp_replace(lower({text_col}),"
+        f" '{NORMALIZE_RE}', ' ', 'g'), ' '), x -> x <> '')"
+    )
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (deterministic; ties broken by fixed language order).
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "de", "la", "los", "y"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def _count_in(tok_arr: str, words: tuple[str, ...], dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({tok_arr}, x -> array_contains(array({lst}), x)))"
+    return f"len(list_filter({tok_arr}, x -> list_contains([{lst}], x)))"
+
+
+def lang_id_expr(tok_arr: str, dialect: str = "spark") -> str:
+    """Predicted language = argmax stopword hits (first-listed wins ties)."""
+    counts = {
+        lang: _count_in(tok_arr, words, dialect)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(counts.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {counts[lang]} = _best THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    # inline _best to stay a single expression
+    return case.replace("_best", greatest)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count, char_count, avg_token_len, space_ratio, digit_ratio —
+    the quality-scoring raw features. All codegen'd."""
+    toks = tokens_expr(text_col)
+    return (
+        df.withColumn("toks", F.expr(toks))
+        .withColumn("token_count", F.expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn("char_count", F.expr(f"CAST(length({text_col}) AS BIGINT)"))
+        .withColumn(
+            "avg_token_len",
+            F.expr(
+                "CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+                "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE)"
+                " / size(toks) END"
+            ),
+        )
+        .withColumn(
+            "space_ratio",
+            F.expr(
+                f"CAST(length({text_col}) - length(replace({text_col}, ' ', ''))"
+                f" AS DOUBLE) / length({text_col})"
+            ),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.expr(
+                "CASE WHEN size(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+                "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) END"
+            ),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: length band + vocabulary diversity +
+    stopword presence (a C4/Gopher-style filter, rebuilt relationally)."""
+    out = with_token_stats(df, text_col)
+    sw = _count_in("toks", LANG_STOPWORDS["en"], "spark")
+    return (
+        out.withColumn("stopword_hits", F.expr(f"CAST({sw} AS BIGINT)"))
+        .withColumn(
+            "quality",
+            F.expr(
+                "round((CASE WHEN token_count BETWEEN 16 AND 4096 THEN 0.4 ELSE 0.0 END)"
+                " + least(distinct_ratio, 0.5) * 0.6"
+                " + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 6)"
+            ),
+        )
+        .drop("toks")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized token stream (robust to
+    whitespace/punctuation), plus a head fingerprint of the first 8 tokens
+    (cheap prefix clustering key)."""
+    toks = tokens_expr(text_col)
+    return (
+        df.withColumn("toks", F.expr(toks))
+        .withColumn("fp_full", F.expr("md5(concat_ws(' ', toks))"))
+        .withColumn("fp_head", F.expr("md5(concat_ws(' ', slice(toks, 1, 8)))"))
+        .drop("toks")
+    )

@@ -1,0 +1,919 @@
+"""Driver-contract queries: every entry pairs a Spark-first implementation
+(built on the tilegrid operators) with an independent DuckDB ANSI-SQL oracle
+over the same parquet tables (views: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+The spatial queries synthesize deterministic lon/lat placement from integer
+key columns (pure +-*/ and floor — bit-identical IEEE arithmetic in Spark and
+DuckDB, so tile/key assignment is bitwise-reproducible, the parity bar the
+reference sets for its tiler: MapKeyTransform.scala:48-112).
+
+Aggregates that must value-hash across engines avoid order-dependent float
+sums: money is floor-cents BIGINT, counts are BIGINT, ratios are per-row
+rationals, and sequential-fold dot products use the same fold order on both
+engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import codec
+from .cell import z2_encode, z2_sql
+from .geometry import wkb_encode_polygon
+from .grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
+from .operators import LAYER_SCHEMA
+from .operators import ann as A
+from .operators import dedup as D
+from .operators import text as T
+from .operators.focal import focal_sum
+from .operators.join import knn_join, pip_join
+from .operators.pyramid import pyramid_up
+from .operators.rasterize import kernel_density
+from .operators.tiler import key_exprs, with_key_columns
+from .operators.zonal import zonal_histogram
+
+# ---------------------------------------------------------------- layouts
+
+L8 = LayoutDefinition(LATLNG_WORLD, TileLayout(256, 256, 256, 256))   # zoom 8
+L5 = LayoutDefinition(LATLNG_WORLD, TileLayout(32, 32, 256, 256))     # zoom 5
+LR = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 32, 32))         # zoom 3 raster
+ZR = 3
+
+# deterministic point placement (same text runs in Spark SQL and DuckDB)
+LON_E = "(CAST((event_id * 7919) % 3600 AS DOUBLE) / 10.0 - 180.0)"
+LAT_E = "(CAST((event_id * 104729) % 1700 AS DOUBLE) / 10.0 - 85.0)"
+LON_C = "(CAST((c_custkey * 7919) % 3600 AS DOUBLE) / 10.0 - 180.0)"
+LAT_C = "(CAST((c_custkey * 104729) % 1700 AS DOUBLE) / 10.0 - 85.0)"
+
+QUERY_EXTENT = Extent(-30.05, -10.05, 59.95, 39.95)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "events")
+        .withColumn("lon", F.expr(LON_E))
+        .withColumn("lat", F.expr(LAT_E))
+    )
+
+
+def _keyed_sql(lon: str, lat: str, layout: LayoutDefinition, as_int: bool = True):
+    cx, rx = key_exprs(layout, lon, lat)
+    if as_int:
+        cx, rx = f"CAST({cx} AS INT)", f"CAST({rx} AS INT)"
+    return cx, rx
+
+
+# ================================================================ spatial
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key assignment at zoom 8 + per-tile aggregation (the tiler's
+    bitwise-parity surface)."""
+    pts = _events_points(spark, sf_dir)
+    keyed = with_key_columns(pts, L8, "lon", "lat", 8)
+    return keyed.groupBy("zoom", "col", "row", "cell").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("sum_cents"),
+    )
+
+
+def _o_tile_assign() -> str:
+    cx, rx = _keyed_sql(LON_E, LAT_E, L8)
+    cell = z2_sql("col", "row", "duckdb")
+    return f"""
+WITH k AS (
+  SELECT CAST(8 AS INT) AS zoom, {cx} AS col, {rx} AS row,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT zoom, col, row, {cell} AS cell,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM k GROUP BY zoom, col, row
+"""
+
+
+def q_zorder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) linearization: first 100 events in cell order —
+    the storage sort order that powers range pruning (Z2.scala:57-77)."""
+    pts = _events_points(spark, sf_dir)
+    keyed = with_key_columns(pts, L8, "lon", "lat", 8)
+    return (
+        keyed.select("event_id", "cell")
+        .orderBy("cell", "event_id")
+        .limit(100)
+    )
+
+
+def _o_zorder_topk() -> str:
+    cx, rx = _keyed_sql(LON_E, LAT_E, L8)
+    cell = z2_sql("col", "row", "duckdb")
+    return f"""
+WITH k AS (SELECT event_id, {cx} AS col, {rx} AS row FROM events)
+SELECT event_id, {cell} AS cell FROM k ORDER BY cell, event_id LIMIT 100
+"""
+
+
+def q_extent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersects(extent) layer filter: key-range predicate (LayerQuery ->
+    KeyBounds -> pruned scan; LayerFilter.scala:121-134)."""
+    gb = L8.map_transform.gridbounds_for_extent(QUERY_EXTENT)
+    pts = _events_points(spark, sf_dir)
+    keyed = with_key_columns(pts, L8, "lon", "lat", 8)
+    return (
+        keyed.where(
+            (F.col("col") >= gb.col_min) & (F.col("col") <= gb.col_max)
+            & (F.col("row") >= gb.row_min) & (F.col("row") <= gb.row_max)
+        )
+        .groupBy("col", "row")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
+def _o_extent_query() -> str:
+    gb = L8.map_transform.gridbounds_for_extent(QUERY_EXTENT)
+    cx, rx = _keyed_sql(LON_E, LAT_E, L8)
+    return f"""
+WITH k AS (SELECT {cx} AS col, {rx} AS row FROM events)
+SELECT col, row, CAST(count(*) AS BIGINT) AS n_events FROM k
+WHERE col BETWEEN {gb.col_min} AND {gb.col_max}
+  AND row BETWEEN {gb.row_min} AND {gb.row_max}
+GROUP BY col, row
+"""
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpatialJoin (SpatialJoin.scala:55-78): inner key-join of two layers
+    (events-per-tile x customers-per-tile) at zoom 5, small side broadcast."""
+    ev = with_key_columns(_events_points(spark, sf_dir), L5, "lon", "lat", 5)
+    a = ev.groupBy("zoom", "col", "row").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("sum_cents"),
+    )
+    cu = (
+        _read(spark, sf_dir, "customer")
+        .withColumn("lon", F.expr(LON_C))
+        .withColumn("lat", F.expr(LAT_C))
+    )
+    b = with_key_columns(cu, L5, "lon", "lat", 5).groupBy("zoom", "col", "row").agg(
+        F.count("*").cast("long").alias("n_cust")
+    )
+    return a.join(F.broadcast(b), ["zoom", "col", "row"])
+
+
+def _o_spatial_join() -> str:
+    ecx, erx = _keyed_sql(LON_E, LAT_E, L5)
+    ccx, crx = _keyed_sql(LON_C, LAT_C, L5)
+    return f"""
+WITH a AS (
+  SELECT CAST(5 AS INT) AS zoom, {ecx} AS col, {erx} AS row,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2, 3
+), b AS (
+  SELECT CAST(5 AS INT) AS zoom, {ccx} AS col, {crx} AS row,
+         CAST(count(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT a.zoom, a.col, a.row, a.n_events, a.sum_cents, b.n_cust
+FROM a JOIN b ON a.zoom = b.zoom AND a.col = b.col AND a.row = b.row
+"""
+
+
+# triangle polygons derived from nation keys (convex, CCW, off-lattice)
+_TRI = ((0.0, 0.0), (21.31, 4.77), (7.91, 19.23))
+
+
+def _tri_origin(key: int) -> tuple[float, float]:
+    return (key % 12) * 30.0 - 172.713, (key % 6) * 27.0 - 81.617
+
+
+def _triangles(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
+    nk = _read(spark, sf_dir, "nation").select("n_nationkey").toPandas()
+    rows = []
+    for k in nk["n_nationkey"]:
+        x0, y0 = _tri_origin(int(k))
+        ring = np.array([(x0 + dx, y0 + dy) for dx, dy in _TRI])
+        rows.append((int(k), wkb_encode_polygon([ring])))
+    return pd.DataFrame(rows, columns=["polygon_id", "wkb"])
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join: cell-cover equi-join + vectorized ray-casting
+    refine (our VectorJoin.scala:35-79 replacement)."""
+    pts = _events_points(spark, sf_dir).withColumn("point_id", F.col("event_id"))
+    tri = _triangles(spark, sf_dir)
+    out = pip_join(
+        pts, tri, L5, 5, x="lon", y="lat", point_cols=("point_id",)
+    )
+    return out.select(
+        F.col("polygon_id").cast("int"), F.col("point_id").alias("event_id")
+    )
+
+
+def _o_pip_join() -> str:
+    (x1, y1), (x2, y2) = _TRI[1], _TRI[2]
+    return f"""
+WITH p AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events),
+t AS (
+  SELECT CAST(n_nationkey AS INT) AS polygon_id,
+         ((n_nationkey % 12) * 30.0 - 172.713) AS x0,
+         ((n_nationkey % 6) * 27.0 - 81.617) AS y0
+  FROM nation
+)
+SELECT t.polygon_id, p.event_id
+FROM p, t
+WHERE (({x1!r}) * (p.lat - t.y0) - ({y1!r}) * (p.lon - t.x0)) > 0
+  AND (({x2!r} - {x1!r}) * (p.lat - (t.y0 + {y1!r}))
+       - ({y2!r} - {y1!r}) * (p.lon - (t.x0 + {x1!r}))) > 0
+  AND ((0.0 - {x2!r}) * (p.lat - (t.y0 + {y2!r}))
+       - (0.0 - {y2!r}) * (p.lon - (t.x0 + {x2!r}))) > 0
+"""
+
+
+_KNN_K = 10
+
+
+def _knn_queries(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
+    rk = _read(spark, sf_dir, "region").select("r_regionkey").toPandas()
+    return pd.DataFrame(
+        {
+            "query_id": rk["r_regionkey"].astype("int32"),
+            "lon": rk["r_regionkey"] * 61.37 - 140.81,
+            "lat": rk["r_regionkey"] * 29.93 - 64.17,
+        }
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-center kNN via cell-ring expansion + window top-k (replaces
+    KNearestRDD.scala:93-115's single-aggregate priority queues)."""
+    pts = _events_points(spark, sf_dir).withColumn("point_id", F.col("event_id"))
+    q = _knn_queries(spark, sf_dir)
+    out = knn_join(pts, q, L5, 5, _KNN_K, x="lon", y="lat")
+    return out.select(
+        F.col("query_id").cast("int"),
+        F.col("point_id").alias("event_id"),
+        F.col("rank").cast("long"),
+    )
+
+
+def _o_knn() -> str:
+    return f"""
+WITH p AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events),
+q AS (
+  SELECT CAST(r_regionkey AS INT) AS query_id,
+         r_regionkey * 61.37 - 140.81 AS qx,
+         r_regionkey * 29.93 - 64.17 AS qy
+  FROM region
+), d AS (
+  SELECT q.query_id, p.event_id,
+         (p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy) AS d2
+  FROM p, q
+)
+SELECT query_id, event_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, event_id)
+            AS BIGINT) AS rank
+FROM d QUALIFY rank <= {_KNN_K}
+"""
+
+
+def q_temporal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time keys: per-(tile, day) counts (SpaceTimeKey batch semantics,
+    LocalTemporalStatistics.scala:34-60 reduced to the relational form)."""
+    ev = with_key_columns(_events_points(spark, sf_dir), L5, "lon", "lat", 5)
+    return ev.groupBy(
+        "col", "row", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+
+
+def _o_temporal_daily() -> str:
+    cx, rx = _keyed_sql(LON_E, LAT_E, L5)
+    return f"""
+WITH k AS (SELECT {cx} AS col, {rx} AS row, date_trunc('day', ts) AS day FROM events)
+SELECT col, row, day, CAST(count(*) AS BIGINT) AS n_events
+FROM k GROUP BY col, row, day
+"""
+
+
+# ================================================== raster pipeline (zoom 3)
+
+def _const_layer(spark: SparkSession, value_fn) -> DataFrame:
+    """64 driver-built 32x32 raw tiles; value_fn(col, row) -> constant."""
+    rows = []
+    for col in range(8):
+        for row in range(8):
+            arr = np.full((32, 32), float(value_fn(col, row)), dtype=np.float64)
+            rows.append(
+                (ZR, col, row, int(z2_encode(col, row)), codec.raw_encode(arr), 32, 32, "raw")
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]
+    )
+    return spark.createDataFrame(pdf, schema=LAYER_SCHEMA)
+
+
+def _count_raster(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFrame:
+    pts = _events_points(spark, sf_dir)
+    if where:
+        pts = pts.where(where)
+    layer = kernel_density(pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat")
+    zeros = _const_layer(spark, lambda c, r: 0.0)
+    missing = zeros.join(layer.select("zoom", "col", "row"), ["zoom", "col", "row"], "left_anti")
+    return layer.unionByName(missing)
+
+
+_PIXEL_SCHEMA = "zoom int, col int, row int, px int, py int, val double"
+
+
+def _layer_pixels(layer: DataFrame, keep_zero: bool = False) -> DataFrame:
+    """Explode a tile layer to (zoom,col,row,px,py,val) pixel rows (the
+    RasterToPoints path, grid-indexed)."""
+
+    def run(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                m = ~np.isnan(arr)
+                if not keep_zero:
+                    m &= arr != 0.0
+                yy, xx = np.nonzero(m)
+                if len(yy) == 0:
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "zoom": np.full(len(yy), t.zoom, np.int32),
+                            "col": np.full(len(yy), t.col, np.int32),
+                            "row": np.full(len(yy), t.row, np.int32),
+                            "px": xx.astype(np.int32),
+                            "py": yy.astype(np.int32),
+                            "val": arr[yy, xx],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return layer.mapInPandas(run, _PIXEL_SCHEMA)
+
+
+def _o_pixel_counts(where: str = "TRUE", sfx: str = "") -> str:
+    """Shared oracle CTE: per-pixel event counts at zoom 3, replicating the
+    engine's exact float path (key_exprs + tile-local pixel math). The final
+    CTE is named pc{sfx}."""
+    cx, rx = _keyed_sql("lon", "lat", LR)
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+pts{sfx} AS (SELECT {LON_E} AS lon, {LAT_E} AS lat FROM events WHERE {where}),
+k{sfx} AS (SELECT lon, lat, {cx} AS col, {rx} AS row FROM pts{sfx}),
+gpx{sfx} AS (
+  SELECT col, row,
+         CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px,
+         CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py
+  FROM k{sfx}
+),
+pc{sfx} AS (
+  SELECT col, row, px, py, CAST(count(*) AS DOUBLE) AS cnt
+  FROM gpx{sfx}
+  WHERE px BETWEEN 0 AND 31 AND py BETWEEN 0 AND 31
+  GROUP BY col, row, px, py
+)"""
+
+
+def q_rasterize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point->raster aggregation (RDDKernelDensity.scala:72-177 pattern):
+    count of events per pixel at zoom 3, emitted as pixel rows."""
+    return _layer_pixels(_count_raster(spark, sf_dir))
+
+
+def _o_rasterize_count() -> str:
+    return f"""
+WITH {_o_pixel_counts()}
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py, cnt AS val FROM pc
+"""
+
+
+def q_local_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local map algebra: tile-join + per-pixel add of two rasters
+    (CombineMethods.scala:29-33 + local/Add.scala:31-38)."""
+    from .operators.local import local_binary
+
+    a = _count_raster(spark, sf_dir, "event_type = 'click'")
+    b = _count_raster(spark, sf_dir, "event_type = 'error'")
+    return _layer_pixels(local_binary(a, b, "add"))
+
+
+def _o_local_add() -> str:
+    ca = _o_pixel_counts("event_type = 'click'", "_a")
+    cb = _o_pixel_counts("event_type = 'error'", "_b")
+    return f"""
+WITH {ca},
+{cb}
+SELECT CAST(3 AS INT) AS zoom,
+       COALESCE(a.col, b.col) AS col, COALESCE(a.row, b.row) AS row,
+       COALESCE(a.px, b.px) AS px, COALESCE(a.py, b.py) AS py,
+       COALESCE(a.cnt, 0.0) + COALESCE(b.cnt, 0.0) AS val
+FROM pc_a a FULL OUTER JOIN pc_b b
+  ON a.col = b.col AND a.row = b.row AND a.px = b.px AND a.py = b.py
+WHERE COALESCE(a.cnt, 0.0) + COALESCE(b.cnt, 0.0) > 0
+"""
+
+
+def _o_dense_grid() -> str:
+    """Oracle CTE: dense 256x256 global pixel grid with counts (0 where no
+    events) — the relational twin of the densified count raster."""
+    return f"""
+{_o_pixel_counts()},
+g AS (
+  SELECT CAST(gx.range AS INT) AS gx, CAST(gy.range AS INT) AS gy
+  FROM range(0, 256) gx, range(0, 256) gy
+),
+dense AS (
+  SELECT g.gx, g.gy, COALESCE(pc.cnt, 0.0) AS cnt
+  FROM g LEFT JOIN pc
+    ON pc.col * 32 + pc.px = g.gx AND pc.row * 32 + pc.py = g.gy
+)"""
+
+
+def q_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3x3 sum via the BufferTiles stencil kernel
+    (BufferTiles.scala:31-145 + FocalOperation.scala:29-63)."""
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(focal_sum(dense, size=1))
+
+
+def _o_focal_sum() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(a.gx // 32 AS INT) AS col, CAST(a.gy // 32 AS INT) AS row,
+       CAST(a.gx % 32 AS INT) AS px, CAST(a.gy % 32 AS INT) AS py,
+       sum(b.cnt) AS val
+FROM dense a JOIN dense b
+  ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+GROUP BY a.gx, a.gy
+HAVING sum(b.cnt) > 0
+"""
+
+
+def q_pyramid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid.up (Pyramid.scala:45-238): zoom 3 -> 2, 2x2 sum decimation."""
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(pyramid_up(dense, method="sum"))
+
+
+def _o_pyramid_sum() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(2 AS INT) AS zoom,
+       CAST((gx // 2) // 32 AS INT) AS col, CAST((gy // 2) // 32 AS INT) AS row,
+       CAST((gx // 2) % 32 AS INT) AS px, CAST((gy // 2) % 32 AS INT) AS py,
+       sum(cnt) AS val
+FROM dense
+GROUP BY gx // 2, gy // 2
+HAVING sum(cnt) > 0
+"""
+
+
+def q_zonal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal histogram (Zonal.scala:45-55): value layer x zone layer ->
+    (zone, value, n_px)."""
+    dense = _count_raster(spark, sf_dir)
+    zones = _const_layer(spark, lambda c, r: (c // 2) * 4 + (r // 2))
+    return zonal_histogram(dense, zones).withColumnRenamed("count", "n_px")
+
+
+def _o_zonal_hist() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(((gx // 32) // 2) * 4 + ((gy // 32) // 2) AS BIGINT) AS zone,
+       cnt AS value, CAST(count(*) AS BIGINT) AS n_px
+FROM dense
+GROUP BY 1, 2
+"""
+
+
+# ================================================== documents: dedup + text
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def _o_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.with_minhash(_read(spark, sf_dir, "documents")).select(
+        "doc_id", *[f"sig_{j}" for j in range(D.N_MINHASH)]
+    )
+
+
+def _o_minhash_sig() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    sh = D.shingles_expr("toks", 3, "duckdb")
+    sigs = D.minhash_sig_exprs("sh", "duckdb")
+    sig_cols = ",\n       ".join(f"{e} AS sig_{j}" for j, e in enumerate(sigs))
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, {sh} AS sh FROM t)
+SELECT doc_id, {sig_cols} FROM s
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+
+
+def _o_minhash_lsh_pairs() -> str:
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS bucket FROM sig"
+        for b in range(D.N_MINHASH // 2)
+    )
+    return f"""
+WITH sig AS ({_o_minhash_sig().strip()}),
+bands AS ({band_sel})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.with_simhash(_read(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+def _o_simhash() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    h = D.hash60_expr("t", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+hs AS (SELECT doc_id, list_transform(toks, t -> {h}) AS hs FROM t)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 60), j ->
+         CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+              CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+       AS simhash
+FROM hs
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.with_token_stats(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "token_count", "char_count",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("space_ratio", 6).alias("space_ratio"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+    )
+
+
+def _o_token_stats() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS token_count,
+       CAST(length(text) AS BIGINT) AS char_count,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+       END, 6) AS avg_token_len,
+       round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             / length(text), 6) AS space_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6)
+       AS distinct_ratio
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            T.lang_id_expr(f"({T.tokens_expr('text')})", "spark")
+        ).alias("pred_lang"),
+    )
+
+
+def _o_lang_id() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    pred = T.lang_id_expr("toks", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents)
+SELECT doc_id, lang, {pred} AS pred_lang FROM t
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "token_count", "stopword_hits", "quality"
+    )
+
+
+def _o_quality() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    sw = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS token_count,
+         CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS BIGINT)
+           AS stopword_hits,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dr
+  FROM t
+)
+SELECT doc_id, token_count, stopword_hits,
+       round((CASE WHEN token_count BETWEEN 16 AND 4096 THEN 0.4 ELSE 0.0 END)
+             + least(dr, 0.5) * 0.6
+             + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_full", "fp_head"
+    )
+
+
+def _o_fingerprint() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fp_full,
+       md5(array_to_string(toks[1:8], ' ')) AS fp_head
+FROM t
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.1
+    )
+
+
+def _o_ngram_jaccard() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    sh = D.shingles_expr("toks", 3, "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, source, list_distinct({sh}) AS sh FROM t),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM s),
+ex AS (SELECT doc_id, source, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+"""
+
+
+# ================================================== embeddings: ANN
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "embeddings")
+        .where("vec_id < 5")
+        .select(F.col("vec_id").cast("long").alias("query_id"), "embedding")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = _read(spark, sf_dir, "embeddings")
+    return A.cosine_topk(cands, _emb_queries(spark, sf_dir), k=10).select(
+        "query_id", "vec_id", "rank", "sim"
+    )
+
+
+def _o_dot(a: str, b: str) -> str:
+    # same sequential fold order as Spark's aggregate(zip_with(...)):
+    # ((0 + x1) + x2) + ... == list_reduce's (x1 + x2) + ... bit-for-bit
+    return (
+        f"list_reduce(list_transform(range(1, 65), i ->"
+        f" CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def _o_ann_topk() -> str:
+    dot = _o_dot("c.embedding", "q.embedding")
+    na = _o_dot("c.embedding", "c.embedding")
+    nb = _o_dot("q.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding
+           FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         {dot} / (sqrt({na}) * sqrt({nb})) AS sim
+  FROM embeddings c, q
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+            AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = _read(spark, sf_dir, "embeddings")
+    return A.lsh_bucket_topk(
+        cands, _emb_queries(spark, sf_dir), k=5, n_planes=4
+    ).select("query_id", "vec_id", "rank", "sim")
+
+
+def _o_ann_lsh() -> str:
+    def bucket(e: str) -> str:
+        bits = []
+        for p in range(4):
+            s = (
+                f"list_reduce(list_transform(range(1, 65), i -> CAST({e}[i] AS DOUBLE)"
+                f" * (CAST(((i - 1) * 2654435761 + {p} * 40503) % 1021 AS DOUBLE)"
+                f" - 510.0)), (acc, v) -> acc + v)"
+            )
+            bits.append(f"(CASE WHEN {s} >= 0 THEN 1 ELSE 0 END) * {1 << p}")
+        return "CAST(" + " + ".join(bits) + " AS INT)"
+
+    dot = _o_dot("c.embedding", "q.embedding")
+    na = _o_dot("c.embedding", "c.embedding")
+    nb = _o_dot("q.embedding", "q.embedding")
+    return f"""
+WITH cb AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings),
+qb AS (SELECT CAST(vec_id AS BIGINT) AS query_id, embedding,
+              {bucket('embedding')} AS bucket
+       FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         {dot} / (sqrt({na}) * sqrt({nb})) AS sim
+  FROM cb c JOIN qb q ON c.bucket = q.bucket
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+            AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM s QUALIFY rank <= 5
+"""
+
+
+# ================================================== relational breadth
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary with order-independent integer sums."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("count_order"),
+            F.sum(F.expr("CAST(floor(l_quantity) AS BIGINT)")).alias("sum_qty"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(F.expr("CAST(floor(l_discount * 100) AS BIGINT)")).alias(
+                "sum_disc_pct"
+            ),
+        )
+    )
+
+
+def _o_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS sum_disc_pct
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + per-group top-k window."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where("rank <= 3")
+        .select(
+            "c_mktsegment", "rank", "o_orderkey",
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        )
+    )
+
+
+def _o_top_orders() -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+       o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY rank <= 3
+"""
+
+
+# ================================================== registry
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "zorder_topk": q_zorder_topk,
+    "extent_query": q_extent_query,
+    "spatial_join": q_spatial_join,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "temporal_daily": q_temporal_daily,
+    "rasterize_count": q_rasterize_count,
+    "local_add": q_local_add,
+    "focal_sum": q_focal_sum,
+    "pyramid_sum": q_pyramid_sum,
+    "zonal_hist": q_zonal_hist,
+    "dedup_exact": q_dedup_exact,
+    "minhash_sig": q_minhash_sig,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+}
+
+ORACLES = {
+    "tile_assign": _o_tile_assign(),
+    "zorder_topk": _o_zorder_topk(),
+    "extent_query": _o_extent_query(),
+    "spatial_join": _o_spatial_join(),
+    "pip_join": _o_pip_join(),
+    "knn": _o_knn(),
+    "temporal_daily": _o_temporal_daily(),
+    "rasterize_count": _o_rasterize_count(),
+    "local_add": _o_local_add(),
+    "focal_sum": _o_focal_sum(),
+    "pyramid_sum": _o_pyramid_sum(),
+    "zonal_hist": _o_zonal_hist(),
+    "dedup_exact": _o_dedup_exact(),
+    "minhash_sig": _o_minhash_sig(),
+    "minhash_lsh_pairs": _o_minhash_lsh_pairs(),
+    "simhash": _o_simhash(),
+    "token_stats": _o_token_stats(),
+    "lang_id": _o_lang_id(),
+    "quality": _o_quality(),
+    "fingerprint": _o_fingerprint(),
+    "ngram_jaccard": _o_ngram_jaccard(),
+    "ann_topk": _o_ann_topk(),
+    "ann_lsh": _o_ann_lsh(),
+    "pricing_summary": _o_pricing_summary(),
+    "top_orders": _o_top_orders(),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: PIP-join events to triangle polygons, assign zoom-5 tiles,
+    aggregate per (polygon, tile) — join + tiler in one pipeline."""
+    pts = _events_points(spark, sf_dir).withColumn("point_id", F.col("event_id"))
+    tri = _triangles(spark, sf_dir)
+    joined = pip_join(pts, tri, L5, 5, x="lon", y="lat", point_cols=("point_id",))
+    keyed = with_key_columns(joined, L5, "lon", "lat", 5)
+    return keyed.groupBy("polygon_id", "zoom", "col", "row", "cell").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
