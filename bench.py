@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs (a) the flagship image-corpus pipeline — distributed synth of the
+BASELINE.json input table (image_id, bytes, w, h, fmt, caption, phash),
+tile-to-layout at zoom 6, 4-level pyramid, PIP spatial join to a polygon
+set — and (b) the headline oracle-checked queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "tiles+join-rows/sec", "value": <flagship throughput>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": ...,
+   "flagship": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_IMAGES        flagship corpus size (default 2000)
+  BENCH_QUERIES       csv of query names, "all" (default), or "" to skip
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "2000"))
+QUERIES_ENV = os.environ.get("BENCH_QUERIES", "all")
+
+HEADLINE = [
+    "tile_assign",
+    "spatial_join",
+    "pip_join",
+    "knn",
+    "rasterize_count",
+    "focal_sum",
+    "pyramid_sum",
+    "zonal_hist",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash",
+    "quality",
+    "ann_topk",
+    "pricing_summary",
+]
+
+FLAGSHIP_ZOOM = 6
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def images_df(spark, n: int):
+    """Distributed deterministic synth of the input_hint image table —
+    generation is a narrow mapInPandas over spark.range (no driver bottleneck
+    at 10^12-image scale; ids are the only thing shipped)."""
+    from tilegrid import codec, fixtures
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                image_id = f"img{i:010d}"
+                sizes = (64, 128, 256)
+                w, h = sizes[i % 3], sizes[(i // 3) % 3]
+                arr = fixtures.make_pattern(i, h, w)
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                lon, lat = fixtures.image_lonlat(image_id)
+                rows.append(
+                    (
+                        image_id,
+                        codec.encode_tile(arr, fmt),
+                        np.int32(w),
+                        np.int32(h),
+                        fmt,
+                        f"caption-{i}",
+                        np.int64(fixtures.phash64(arr)),
+                        lon,
+                        lat,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "tile", "w", "h", "fmt", "caption", "phash",
+                    "lon", "lat",
+                ],
+            )
+
+    schema = (
+        "image_id string, tile binary, w int, h int, fmt string, "
+        "caption string, phash long, lon double, lat double"
+    )
+    return spark.range(n).repartition(CPUS * 2).mapInPandas(gen, schema)
+
+
+def flagship_pipeline(spark) -> dict:
+    """BASELINE.json metric: tiles+join-rows/sec for tiler + pyramid + PIP
+    join over the image corpus."""
+    from tilegrid import fixtures
+    from tilegrid.grid import LATLNG_WORLD, LayoutDefinition, TileLayout
+    from tilegrid.operators.join import pip_join
+    from tilegrid.operators.pyramid import build_pyramid
+    from tilegrid.operators.tiler import tile_to_layout, with_extent_from_center
+
+    n = 1 << FLAGSHIP_ZOOM
+    layout = LayoutDefinition(LATLNG_WORLD, TileLayout(n, n, 256, 256))
+
+    t0 = time.time()
+    imgs = images_df(spark, N_IMAGES)
+    placed = with_extent_from_center(imgs, layout, "lon", "lat")
+    layer = tile_to_layout(placed, layout, FLAGSHIP_ZOOM).persist()
+    n_tiles = layer.count()
+
+    levels = build_pyramid(layer, FLAGSHIP_ZOOM, FLAGSHIP_ZOOM - 4)
+    n_pyr = sum(df.count() for z, df in levels.items() if z < FLAGSHIP_ZOOM)
+
+    polys = fixtures.polygons_table(200)[["polygon_id", "wkb"]]
+    join = pip_join(
+        imgs.select("image_id", "lon", "lat", "caption"),
+        polys,
+        layout,
+        FLAGSHIP_ZOOM,
+        x="lon",
+        y="lat",
+        point_cols=("image_id", "caption"),
+    )
+    n_join = join.count()
+    elapsed = time.time() - t0
+
+    for df in levels.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    total = n_tiles + n_pyr + n_join
+    return {
+        "images": N_IMAGES,
+        "tiles_z6": n_tiles,
+        "pyramid_tiles": n_pyr,
+        "join_rows": n_join,
+        "total_rows": total,
+        "sec": round(elapsed, 3),
+        "rows_per_sec": round(total / elapsed, 1),
+    }
+
+
+def run_queries(spark) -> dict:
+    from tilegrid import queries as Q
+
+    if QUERIES_ENV == "":
+        return {}
+    names = HEADLINE if QUERIES_ENV == "all" else QUERIES_ENV.split(",")
+    out = {}
+    for name in names:
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench alive; report the failure
+            log(f"query {name} failed: {e}")
+            out[name] = None
+    return out
+
+
+def main() -> None:
+    from tilegrid.session import get_spark
+
+    spark = get_spark("tilegrid-bench", cores=CPUS)
+    log(f"bench: cores={CPUS} sf_dir={SF_DIR} images={N_IMAGES}")
+
+    flag = flagship_pipeline(spark)
+    log(f"flagship: {flag}")
+    queries = run_queries(spark)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "tiles+join-rows/sec",
+        "value": flag["rows_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": CPUS,
+        "flagship": flag,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Training-data-pipeline operators vs pure-Python oracles: text stats,
+dedup (exact / MinHash / SimHash / Jaccard), ANN, multimodal plumbing."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilegrid.operators import ann as A
+from tilegrid.operators import dedup as D
+from tilegrid.operators import multimodal as M
+from tilegrid.operators import text as T
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog and runs away fast",
+    "the quick brown fox jumps over the lazy dog and runs away fast",  # dup of 0
+    "a completely different document about spark and distributed systems",
+    "the quick brown fox jumps over the lazy cat and runs away fast",  # near-dup
+    "le chat noir et le chien blanc sont dans la maison",
+    "Punct!uation, and CAPS should normalize; 123 numbers too.",
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS,
+                      "source": ["s0"] * len(DOCS)})
+    )
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split(" ") if t]
+
+
+def py_shingles(toks, n=3):
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def py_minhash(sh, j):
+    if not sh:
+        return hashlib.md5(f"{j}|".encode()).hexdigest()
+    return min(hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh)
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        out = (
+            T.with_token_stats(_docs_df(spark))
+            .select("doc_id", "token_count", "avg_token_len", "distinct_ratio")
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i, text in enumerate(DOCS):
+            toks = py_tokens(text)
+            assert out.loc[i, "token_count"] == len(toks)
+            assert out.loc[i, "avg_token_len"] == pytest.approx(
+                sum(map(len, toks)) / len(toks)
+            )
+            assert out.loc[i, "distinct_ratio"] == pytest.approx(
+                len(set(toks)) / len(toks)
+            )
+
+    def test_lang_id(self, spark):
+        from tilegrid.operators.text import lang_id_expr, tokens_expr
+        from pyspark.sql import functions as F
+
+        out = (
+            _docs_df(spark)
+            .select(
+                "doc_id",
+                F.expr(lang_id_expr(f"({tokens_expr('text')})")).alias("pred"),
+            )
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "pred"] == "en"
+        assert out.loc[4, "pred"] == "fr"
+
+    def test_fingerprint_normalization_invariance(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1],
+                    "text": ["Hello,  World! 42", "hello world 42"],
+                }
+            )
+        )
+        out = T.fingerprint(df).toPandas()
+        assert out.fp_full.nunique() == 1
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        out = D.exact_dedup(_docs_df(spark)).toPandas()
+        dup = out[out.n_docs == 2]
+        assert len(dup) == 1
+        assert dup.iloc[0].canonical_id == 0
+
+    def test_minhash_matches_python(self, spark):
+        out = (
+            D.with_minhash(_docs_df(spark))
+            .select("doc_id", *[f"sig_{j}" for j in range(D.N_MINHASH)])
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i, text in enumerate(DOCS):
+            sh = py_shingles(py_tokens(text))
+            for j in range(D.N_MINHASH):
+                assert out.loc[i, f"sig_{j}"] == py_minhash(sh, j), (i, j)
+
+    def test_lsh_finds_dup_and_neardup(self, spark):
+        pairs = D.minhash_lsh_pairs(_docs_df(spark)).toPandas()
+        got = set(zip(pairs.doc_a, pairs.doc_b))
+        assert (0, 1) in got  # exact dup: all bands agree
+        row = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].iloc[0]
+        assert row.n_shared_bands == D.N_MINHASH // D.BAND_ROWS
+
+    def test_simhash_matches_python(self, spark):
+        out = (
+            D.with_simhash(_docs_df(spark))
+            .select("doc_id", "simhash")
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i, text in enumerate(DOCS):
+            hs = [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for t in py_tokens(text)
+            ]
+            want = 0
+            for j in range(60):
+                vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
+                if vote >= 0:
+                    want |= 1 << j
+            assert int(out.loc[i, "simhash"]) == want, i
+        # identical docs -> identical simhash; near-dup -> small hamming dist
+        assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+        ham = bin(int(out.loc[0, "simhash"]) ^ int(out.loc[3, "simhash"])).count("1")
+        assert ham <= 15
+
+    def test_ngram_jaccard(self, spark):
+        pairs = D.ngram_jaccard_pairs(
+            _docs_df(spark), threshold=0.05
+        ).toPandas()
+        row = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].iloc[0]
+        assert row.jaccard == 1.0
+        a = set(py_shingles(py_tokens(DOCS[0])))
+        b = set(py_shingles(py_tokens(DOCS[3])))
+        want = round(len(a & b) / len(a | b), 6)
+        row = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 3)].iloc[0]
+        assert row.jaccard == pytest.approx(want)
+
+
+def _emb_df(spark, n=40, dim=8):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[1] = vecs[0] + 1e-4  # near-dup pair
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    ), vecs
+
+
+class TestAnn:
+    def test_cosine_topk_matches_numpy(self, spark):
+        df, vecs = _emb_df(spark)
+        q = df.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+        out = A.cosine_topk(df, q, k=5).toPandas()
+        norms = np.linalg.norm(vecs.astype(np.float64), axis=1)
+        sims = (vecs.astype(np.float64) @ vecs.astype(np.float64).T) / np.outer(
+            norms, norms
+        )
+        for qid in (0, 1):
+            want = np.argsort(-sims[qid], kind="stable")[:5]
+            got = out[out.query_id == qid].sort_values("rank").vec_id.values
+            assert list(got) == list(want), qid
+
+    def test_lsh_bucket_deterministic_and_selfmatch(self, spark):
+        df, _ = _emb_df(spark, dim=8)
+        b1 = A.with_lsh_bucket(df, n_planes=4, dim=8).select("vec_id", "bucket").toPandas()
+        b2 = A.with_lsh_bucket(df, n_planes=4, dim=8).select("vec_id", "bucket").toPandas()
+        pd.testing.assert_frame_equal(
+            b1.sort_values("vec_id").reset_index(drop=True),
+            b2.sort_values("vec_id").reset_index(drop=True),
+        )
+        q = df.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        out = A.lsh_bucket_topk(df, q, k=1, n_planes=4, dim=8).toPandas()
+        top1 = out[out["rank"] == 1].set_index("query_id").vec_id
+        for qid in (0, 1, 2):
+            assert top1.loc[qid] == qid  # a query always finds itself
+
+    def test_cosine_dup_pairs(self, spark):
+        df, _ = _emb_df(spark, dim=8)
+        pairs = A.cosine_dup_pairs(df, threshold=0.999, dim=8).toPandas()
+        assert (0, 1) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+class TestMultimodal:
+    def test_image_features_match_fixtures(self, spark):
+        from tilegrid import fixtures
+
+        pdf = fixtures.images_table(12).rename(columns={"bytes": "tile"})
+        df = spark.createDataFrame(pdf[["image_id", "tile", "fmt"]])
+        out = M.image_features(df).toPandas().set_index("image_id").sort_index()
+        for t in pdf.itertuples(index=False):
+            got = out.loc[t.image_id]
+            assert got.w == t.w and got.h == t.h
+            if t.fmt == "png":  # lossless: phash must match exactly
+                assert got.phash == t.phash
+
+    def test_jpeg_psnr_invariant(self, spark):
+        from tilegrid import codec, fixtures
+
+        arr = fixtures.make_pattern(3, 64, 64)
+        rt = codec.decode_tile(codec.encode_tile(arr, "jpeg"), "jpeg")
+        assert M.psnr(arr, rt) >= 40.0
+
+    def test_resize(self, spark):
+        from tilegrid import codec, fixtures
+
+        pdf = fixtures.images_table(6).rename(columns={"bytes": "tile"})
+        df = spark.createDataFrame(pdf[["image_id", "tile", "fmt", "w", "h"]])
+        out = M.resize_images(df, 32, 32).toPandas()
+        assert (out.w == 32).all() and (out.h == 32).all()
+        for t in out.itertuples(index=False):
+            arr = codec.decode_tile(bytes(t.tile), t.fmt)
+            assert arr.shape == (32, 32)
+
+    def test_audio_stub(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"clip_id": ["a", "b"], "audio": [b"\x01" * 64, b"\x02" * 100]})
+        )
+        out = M.decode_audio(df, fake=True).toPandas().set_index("clip_id")
+        assert out.loc["a", "sample_rate"] == 16000
+        assert out.loc["a", "rms"] > 0
+        # deterministic: same input -> same features
+        out2 = M.decode_audio(df, fake=True).toPandas().set_index("clip_id")
+        pd.testing.assert_frame_equal(out.sort_index(), out2.sort_index())
+        with pytest.raises(Exception, match="NotImplementedError|audio codecs"):
+            M.decode_audio(df, fake=False).toPandas()
+
+    def test_frame_sampling_stub(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"video_id": ["v0"], "video": [b"\x03" * 997]})
+        )
+        out = M.sample_frames(df, every_n=5, fake=True).toPandas()
+        assert list(out.frame_idx) == [0, 5, 10, 15]
+        from tilegrid import codec
+
+        arr = codec.decode_tile(bytes(out.iloc[0].frame), "png")
+        assert arr.shape == (16, 16)
