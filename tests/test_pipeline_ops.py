@@ -38,10 +38,17 @@ def py_shingles(toks, n=3):
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+MASK56 = (1 << 56) - 1
+
+
 def py_minhash(sh, j):
     if not sh:
-        return hashlib.md5(f"{j}|".encode()).hexdigest()
-    return min(hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh)
+        sh = [""]
+    vals = []
+    for s in sh:
+        m = hashlib.md5(s.encode()).hexdigest()
+        vals.append((int(m[:14], 16) + j * int(m[14:28], 16)) & MASK56)
+    return min(vals)
 
 
 class TestText:

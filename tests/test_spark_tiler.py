@@ -69,12 +69,21 @@ class TestTileAssignments:
         np.testing.assert_array_equal(got.cell.values, z2_encode(oc, orw))
 
 
+def merge_order_key(image_id: str) -> tuple[int, str]:
+    """Canonical merge order (tiler.merge_order_expr): (md5-prefix hash, id)."""
+    import hashlib
+
+    return (int(hashlib.md5(image_id.encode()).hexdigest()[:15], 16), image_id)
+
+
 def oracle_tile_to_layout(pdf):
-    """Sequential tiler: same merge semantics, id-sorted order."""
+    """Sequential tiler: same merge semantics, canonical (hash, id) order."""
     mt = LAYOUT.map_transform
     xmin, ymin, xmax, ymax = oracle_extents(pdf)
     keysets = oracle.tile_assignments(LAYOUT, xmin, ymin, xmax, ymax)
-    order = np.argsort(pdf.image_id.values)
+    order = sorted(
+        range(len(pdf)), key=lambda i: merge_order_key(pdf.image_id.values[i])
+    )
     tiles: dict[tuple[int, int], np.ndarray] = {}
     ts = LAYOUT.tile_layout.tile_cols
     for i in order:
@@ -108,6 +117,37 @@ class TestTileToLayout:
             )
             m = ~np.isnan(exp)
             np.testing.assert_allclose(got[m], exp[m], err_msg=f"key {(t.col, t.row)}")
+
+    def test_salted_merge_bit_identical(self, spark):
+        """Hot-cell skew split (two-phase salted merge) must be bit-identical
+        to the unsalted fold — north-rule requirement: salting may never
+        change join/tile output. Corpus: many overlapping images on one tile
+        (forced hot key) + background images."""
+        pdf = images_with_xy(60)
+        # pile 40 of them onto the same spot -> one hot tile
+        pdf.loc[:39, "x"] = pdf.loc[40, "x"]
+        pdf.loc[:39, "y"] = pdf.loc[40, "y"]
+        df = spark.createDataFrame(
+            pdf[["image_id", "bytes", "fmt", "x", "y", "w", "h"]].rename(
+                columns={"bytes": "tile"}
+            )
+        )
+        placed = T.with_extent_from_center(df, LAYOUT, "x", "y")
+        plain = T.tile_to_layout(placed, LAYOUT, ZOOM, hot_threshold=None).toPandas()
+        salted = T.tile_to_layout(
+            placed, LAYOUT, ZOOM, hot_threshold=8, n_salt=4
+        ).toPandas()
+        pk = {(t.col, t.row): bytes(t.tile) for t in plain.itertuples(index=False)}
+        sk = {(t.col, t.row): bytes(t.tile) for t in salted.itertuples(index=False)}
+        assert pk.keys() == sk.keys()
+        for k in pk:
+            a = codec.decode_tile(pk[k], "raw")
+            b = codec.decode_tile(sk[k], "raw")
+            np.testing.assert_array_equal(
+                np.isnan(a), np.isnan(b), err_msg=f"key {k}"
+            )
+            m = ~np.isnan(a)
+            np.testing.assert_array_equal(a[m], b[m], err_msg=f"key {k}")
 
 
 def layer_df(spark, variant, tile_size=16):

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from .. import codec
 from ..cell import z2_sql
 from ..grid import Extent, LayoutDefinition
-from ..tiles import nn_paste, nodata_mask_nan
+from ..tiles import nn_paste, nn_patch, nodata_mask_nan, paste_patch
 from . import LAYER_SCHEMA
 
 
@@ -132,16 +132,39 @@ def cut_tiles(
     (CutTiles.scala:45-57). Input needs tile/fmt/xmin/ymin/xmax/ymax columns.
     Output: layer rows + id column, float64 raw tiles (NaN NoData) unless
     out_fmt='png' (uint8). One mapInPandas, no shuffle."""
-    exploded = explode_covering_keys(df, layout, zoom)
+    return _paste_tiles(
+        explode_covering_keys(df, layout, zoom), layout, id_col, out_fmt
+    )
+
+
+def _paste_tiles(
+    exploded: DataFrame,
+    layout: LayoutDefinition,
+    id_col: str = "image_id",
+    out_fmt: str = "raw",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The decode+paste half of CutTiles, over pre-exploded (row x key)
+    rows — split out so skew routing can filter BEFORE the expensive
+    decode pass. Passes id_col, _ord (when present), and extra_cols
+    through."""
     tsz_c, tsz_r = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
     mt = layout.map_transform
-    out_schema = LAYER_SCHEMA + f", {id_col} string"
+    passthrough = [id_col]
+    if "merge_ord" in exploded.columns:
+        passthrough.append("merge_ord")
+    passthrough += [c for c in extra_cols if c not in passthrough]
+    types = dict(zip(exploded.schema.fieldNames(), exploded.schema.fields))
+    out_schema = LAYER_SCHEMA + "".join(
+        f", {c} {types[c].dataType.simpleString()}" for c in passthrough
+    )
 
     def paste_batches(it):
         for pdf in it:
             out = {
-                "zoom": [], "col": [], "row": [], "cell": [], "tile": [],
-                "h": [], "w": [], "fmt": [], id_col: [],
+                k: []
+                for k in ["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]
+                + passthrough
             }
             for t in pdf.itertuples(index=False):
                 src = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
@@ -168,20 +191,142 @@ def cut_tiles(
                 out["h"].append(tsz_r)
                 out["w"].append(tsz_c)
                 out["fmt"].append(out_fmt)
-                out[id_col].append(getattr(t, id_col))
+                for c in passthrough:
+                    out[c].append(getattr(t, c))
             yield pd.DataFrame(out)
 
-    cols = ["zoom", "col", "row", "cell", "tile", "fmt", "xmin", "ymin", "xmax", "ymax", id_col]
+    cols = (
+        ["zoom", "col", "row", "cell", "tile", "fmt", "xmin", "ymin", "xmax", "ymax"]
+        + passthrough
+    )
     return exploded.select(cols).mapInPandas(paste_batches, out_schema)
 
 
-def merge_tiles_udf(id_col: str):
-    """applyInPandas kernel merging all part-tiles of one key: sort by id for
-    determinism, start from the first, fill NoData from the rest
-    (TileRDDMerge.scala:44-55 + Tile.merge paste-where-NoData)."""
+def merge_order_expr(id_col: str) -> str:
+    """Canonical merge order key: 60-bit md5-prefix hash of the id.
+
+    The merge fold sorts by (merge_ord, id) — HASH order, not raw id order —
+    so that skew salting (salt = top bits of merge_ord) splits the fold into
+    contiguous segments: fold(seg0) then fold(seg1)... is bit-identical to
+    the global fold, because paste-where-NoData is an associative left fold
+    ("first defined wins")."""
+    return f"CAST(conv(substr(md5({id_col}), 1, 15), 16, 10) AS BIGINT)"
+
+
+_PARTS_BASE = (
+    "zoom int, col int, row int, cell long, part binary, py0 int, px0 int"
+)
+
+
+def _cut_parts_direct(
+    df: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    id_col: str,
+    hot_set: frozenset[tuple[int, int]],
+    salt_shift: int,
+) -> DataFrame:
+    """Shuffle-compact CutTiles: ONE decode per source image (not per
+    covering tile); covering keys enumerated in-UDF with the same
+    vectorized gridbounds math the JVM explode uses. Emits only the
+    NN-resampled sub-rectangle (part, py0, px0) per covering tile —
+    ~tile_px/img_px less shuffle volume than full NoData-padded tiles.
+    merge_salt = top hash bits for keys in hot_set, else 0."""
+    import hashlib
+
+    mt = layout.map_transform
+    tl = layout.tile_layout
+    tsz = (tl.tile_rows, tl.tile_cols)
+    out_schema = _PARTS_BASE + f", {id_col} string, merge_ord long, merge_salt int"
+    cols_out = [
+        "zoom", "col", "row", "cell", "part", "py0", "px0",
+        id_col, "merge_ord", "merge_salt",
+    ]
+
+    def run(it):
+        from ..cell import z2_encode
+
+        for pdf in it:
+            c0, r0, c1, r1 = mt.gridbounds_for_extents(
+                pdf["xmin"].values, pdf["ymin"].values,
+                pdf["xmax"].values, pdf["ymax"].values,
+            )
+            c0 = np.maximum(c0, 0)
+            r0 = np.maximum(r0, 0)
+            c1 = np.minimum(c1, tl.layout_cols - 1)
+            r1 = np.minimum(r1, tl.layout_rows - 1)
+            out = {k: [] for k in cols_out}
+            for i, t in enumerate(pdf.itertuples(index=False)):
+                if c1[i] < c0[i] or r1[i] < r0[i]:
+                    continue
+                src = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                if src.ndim == 3:
+                    src = codec.to_gray_f64(src)
+                src_ext = Extent(t.xmin, t.ymin, t.xmax, t.ymax)
+                rid = getattr(t, id_col)
+                ordv = int(hashlib.md5(str(rid).encode()).hexdigest()[:15], 16)
+                for col in range(int(c0[i]), int(c1[i]) + 1):
+                    for row in range(int(r0[i]), int(r1[i]) + 1):
+                        got = nn_patch(tsz, mt.extent_for_key(col, row), src, src_ext)
+                        if got is None:
+                            continue
+                        y0, x0, patch = got
+                        out["zoom"].append(zoom)
+                        out["col"].append(col)
+                        out["row"].append(row)
+                        out["cell"].append(int(z2_encode(col, row)))
+                        out["part"].append(
+                            codec.raw_encode(np.ascontiguousarray(patch))
+                        )
+                        out["py0"].append(y0)
+                        out["px0"].append(x0)
+                        out[id_col].append(rid)
+                        out["merge_ord"].append(ordv)
+                        out["merge_salt"].append(
+                            (ordv >> salt_shift) if (col, row) in hot_set else 0
+                        )
+            yield pd.DataFrame(out)
+
+    cols_in = ["tile", "fmt", "xmin", "ymin", "xmax", "ymax", id_col]
+    return df.select(cols_in).mapInPandas(run, out_schema)
+
+
+def _assemble_udf(layout: LayoutDefinition, id_col: str):
+    """applyInPandas kernel assembling one (key, salt) partial tile from its
+    parts: fold in canonical (merge_ord, id) order, first-defined-wins per
+    pixel (TileRDDMerge.scala:44-55 + Tile.merge paste-where-NoData)."""
+    tr, tc = layout.tile_layout.tile_rows, layout.tile_layout.tile_cols
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        pdf = pdf.sort_values(["merge_ord", id_col])
+        acc = np.full((tr, tc), np.nan)
+        for t in pdf.itertuples(index=False):
+            patch = codec.decode_tile(bytes(t.part), "raw")
+            paste_patch(acc, int(t.py0), int(t.px0), patch, nodata_mask_nan)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [first["zoom"]], "col": [first["col"]], "row": [first["row"]],
+                "cell": [first["cell"]], "tile": [codec.raw_encode(acc)],
+                "h": [tr], "w": [tc], "fmt": ["raw"],
+                "merge_salt": [first["merge_salt"]],
+            }
+        )
+
+    return merge
+
+
+def _merge_salted_udf():
+    """Final pass: fold the per-salt partial tiles in ascending salt order
+    (== ascending canonical order, since salt is the hash top bits — see
+    merge_order_expr). Single-partial groups (all cold keys) pass through
+    without a decode/encode round trip."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]
+        if len(pdf) == 1:
+            return pdf[out_cols]
+        pdf = pdf.sort_values("merge_salt")
         acc = None
         for t, f in zip(pdf["tile"], pdf["fmt"]):
             arr = codec.decode_tile(bytes(t), f).astype(np.float64)
@@ -208,11 +353,43 @@ def tile_to_layout(
     zoom: int,
     id_col: str = "image_id",
     repartition: int | None = None,
+    hot_threshold: int | None = 512,
+    n_salt: int = 16,
 ) -> DataFrame:
-    """CutTiles + merge: the reference tiler (one shuffle on the key)."""
-    parts = cut_tiles(df, layout, zoom, id_col=id_col, out_fmt="raw")
+    """CutTiles + merge: the reference tiler with explicit hot-cell skew
+    splitting, which the reference lacks (SpacePartitioner degrades to
+    modulo on overflow, partition/SpacePartitioner.scala:47-52; the north
+    rule requires explicit splitting).
+
+    Shape: census (pure-Catalyst count over the key explode, no decode) ->
+    one decode pass emitting compact sub-rect parts with merge_salt (top
+    log2(n_salt) bits of the canonical merge-order hash for hot keys, 0
+    otherwise) -> partial merge per (key, salt) -> final fold per key in
+    salt order. Because salt buckets are contiguous in the canonical
+    (merge_ord, id) fold order, the two-phase result is bit-identical to a
+    single global fold. Cold keys have exactly one partial and pass through
+    the final stage untouched. hot_threshold=None skips the census (every
+    key cold)."""
+    if hot_threshold is None:
+        hot_set: frozenset = frozenset()
+    else:
+        exploded = explode_covering_keys(df, layout, zoom)
+        counts = exploded.groupBy("col", "row").count()
+        hot_rows = counts.where(F.col("count") > hot_threshold).collect()
+        hot_set = frozenset((int(r["col"]), int(r["row"])) for r in hot_rows)
+        if hot_rows:
+            # adapt salt width to the hottest cell: ~hot_threshold parts per
+            # partial, power of two, capped at 256 buckets
+            worst = max(int(r["count"]) for r in hot_rows)
+            need = max(n_salt, -(-worst // hot_threshold))
+            n_salt = min(256, 1 << (need - 1).bit_length())
+    shift = 60 - max(1, n_salt.bit_length() - 1)
+    parts = _cut_parts_direct(df, layout, zoom, id_col, hot_set, shift)
     if repartition:
         parts = parts.repartition(repartition, "cell")
-    return parts.groupBy("zoom", "col", "row").applyInPandas(
-        merge_tiles_udf(id_col), LAYER_SCHEMA
+    partials = parts.groupBy("zoom", "col", "row", "merge_salt").applyInPandas(
+        _assemble_udf(layout, id_col), LAYER_SCHEMA + ", merge_salt int"
+    )
+    return partials.groupBy("zoom", "col", "row").applyInPandas(
+        _merge_salted_udf(), LAYER_SCHEMA
     )

@@ -540,7 +540,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o_minhash_lsh_pairs() -> str:
     band_sel = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || sig_{2*b+1}) AS bucket FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR))"
+        f" AS bucket FROM sig"
         for b in range(D.N_MINHASH // 2)
     )
     return f"""

@@ -26,6 +26,48 @@ def encode_batch(arrs: list[np.ndarray], fmt: str) -> list[bytes]:
     return [codec.encode_tile(a, fmt) for a in arrs]
 
 
+def nn_patch(
+    target_shape: tuple[int, int],
+    target_ext: Extent,
+    src: np.ndarray,
+    src_ext: Extent,
+) -> tuple[int, int, np.ndarray] | None:
+    """NN-resample src onto the target grid, clipped: returns (y0, x0,
+    patch) — the covered target pixel window and its values — or None if
+    disjoint. This is the shuffle-compact form of a CutTiles part: only the
+    defined sub-rectangle travels, not a full mostly-NoData tile."""
+    th, tw = target_shape
+    sh, sw = src.shape
+    inter = target_ext.intersection(src_ext)
+    if inter is None or inter.width <= 0 or inter.height <= 0:
+        return None
+    tcw = target_ext.width / tw
+    tch = target_ext.height / th
+    # target pixel index range covered by the intersection (center-in rule)
+    x0 = max(0, int(np.ceil((inter.xmin - target_ext.xmin) / tcw - 0.5)))
+    x1 = min(tw - 1, int(np.floor((inter.xmax - target_ext.xmin) / tcw - 0.5)))
+    y0 = max(0, int(np.ceil((target_ext.ymax - inter.ymax) / tch - 0.5)))
+    y1 = min(th - 1, int(np.floor((target_ext.ymax - inter.ymin) / tch - 0.5)))
+    if x1 < x0 or y1 < y0:
+        return None
+    # centers of those target pixels in map coords
+    cx = target_ext.xmin + (np.arange(x0, x1 + 1) + 0.5) * tcw
+    cy = target_ext.ymax - (np.arange(y0, y1 + 1) + 0.5) * tch
+    # nearest source pixel
+    scw = src_ext.width / sw
+    sch = src_ext.height / sh
+    sx = np.clip(((cx - src_ext.xmin) / scw).astype(np.int64), 0, sw - 1)
+    sy = np.clip(((src_ext.ymax - cy) / sch).astype(np.int64), 0, sh - 1)
+    return y0, x0, src[np.ix_(sy, sx)]
+
+
+def paste_patch(target: np.ndarray, y0: int, x0: int, patch: np.ndarray, nodata_mask_fn) -> None:
+    """First-wins paste of a patch window into target (in place)."""
+    block = target[y0 : y0 + patch.shape[0], x0 : x0 + patch.shape[1]]
+    mask = nodata_mask_fn(block)
+    block[mask] = patch[mask]
+
+
 def nn_paste(
     target: np.ndarray,
     target_ext: Extent,
@@ -35,32 +77,11 @@ def nn_paste(
 ) -> None:
     """Nearest-neighbor paste of src into target where target is NoData
     (in place). Both arrays are single-band (h, w); grids need not align."""
-    th, tw = target.shape
-    sh, sw = src.shape
-    inter = target_ext.intersection(src_ext)
-    if inter is None or inter.width <= 0 or inter.height <= 0:
+    got = nn_patch(target.shape, target_ext, src, src_ext)
+    if got is None:
         return
-    tcw = target_ext.width / tw
-    tch = target_ext.height / th
-    # target pixel index range covered by the intersection (center-in rule)
-    x0 = max(0, int(np.ceil((inter.xmin - target_ext.xmin) / tcw - 0.5)))
-    x1 = min(tw - 1, int(np.floor((inter.xmax - target_ext.xmin) / tcw - 0.5)))
-    y0 = max(0, int(np.ceil((target_ext.ymax - inter.ymax) / tch - 0.5)))
-    y1 = min(th - 1, int(np.floor((target_ext.ymax - inter.ymin) / tch - 0.5)))
-    if x1 < x0 or y1 < y0:
-        return
-    # centers of those target pixels in map coords
-    cx = target_ext.xmin + (np.arange(x0, x1 + 1) + 0.5) * tcw
-    cy = target_ext.ymax - (np.arange(y0, y1 + 1) + 0.5) * tch
-    # nearest source pixel
-    scw = src_ext.width / sw
-    sch = src_ext.height / sh
-    sx = np.clip(((cx - src_ext.xmin) / scw).astype(np.int64), 0, sw - 1)
-    sy = np.clip(((src_ext.ymax - cy) / sch).astype(np.int64), 0, sh - 1)
-    patch = src[np.ix_(sy, sx)]
-    block = target[y0 : y1 + 1, x0 : x1 + 1]
-    mask = nodata_mask_fn(block)
-    block[mask] = patch[mask]
+    y0, x0, patch = got
+    paste_patch(target, y0, x0, patch, nodata_mask_fn)
 
 
 def nodata_mask_uint8(a: np.ndarray) -> np.ndarray:
