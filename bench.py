@@ -52,7 +52,7 @@ HEADLINE = [
     "pricing_summary",
 ]
 
-FLAGSHIP_ZOOM = 6
+FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))
 
 
 def log(msg: str) -> None:
@@ -101,7 +101,9 @@ def images_df(spark, n: int):
         "image_id string, tile binary, w int, h int, fmt string, "
         "caption string, phash long, lon double, lat double"
     )
-    return spark.range(n).repartition(CPUS * 2).mapInPandas(gen, schema)
+    # fixed 64-way layout so the stored corpus parallelizes the same at any
+    # reader core count (16 files would cap a 32-core decode stage)
+    return spark.range(n).repartition(64).mapInPandas(gen, schema)
 
 
 def corpus_path(n: int) -> str:
@@ -141,7 +143,10 @@ def flagship_pipeline(spark) -> dict:
     spark.read.parquet(path).count()
 
     t0 = time.time()
-    imgs = spark.read.parquet(path).persist()
+    # spread the scan across all cores before the decode-heavy UDF stages:
+    # mapInPandas chains narrowly on scan splits, so file-count must not cap
+    # parallelism (one cheap shuffle of compressed bytes buys full width)
+    imgs = spark.read.parquet(path).repartition(CPUS * 2, "image_id").persist()
     placed = with_extent_from_center(imgs, layout, "lon", "lat")
     layer = tile_to_layout(placed, layout, FLAGSHIP_ZOOM).persist()
     n_tiles = layer.count()
@@ -212,6 +217,7 @@ def run_queries(spark) -> dict:
 
 
 def main() -> None:
+    os.environ.setdefault("TILEGRID_DRIVER_MEM", "12g")
     from tilegrid.session import get_spark
 
     spark = get_spark("tilegrid-bench", cores=CPUS)

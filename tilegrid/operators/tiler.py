@@ -214,7 +214,8 @@ def merge_order_expr(id_col: str) -> str:
 
 
 _PARTS_BASE = (
-    "zoom int, col int, row int, cell long, part binary, py0 int, px0 int"
+    "zoom int, col int, row int, cell long, part binary, "
+    "py0 int, px0 int, ph int, pw int"
 )
 
 
@@ -223,15 +224,15 @@ def _cut_parts_direct(
     layout: LayoutDefinition,
     zoom: int,
     id_col: str,
-    hot_set: frozenset[tuple[int, int]],
-    salt_shift: int,
+    hot_bits: dict[tuple[int, int], int],
 ) -> DataFrame:
     """Shuffle-compact CutTiles: ONE decode per source image (not per
     covering tile); covering keys enumerated in-UDF with the same
     vectorized gridbounds math the JVM explode uses. Emits only the
     NN-resampled sub-rectangle (part, py0, px0) per covering tile —
     ~tile_px/img_px less shuffle volume than full NoData-padded tiles.
-    merge_salt = top hash bits for keys in hot_set, else 0."""
+    merge_salt = the top hot_bits[key] bits of the merge-order hash for hot
+    keys (per-key salt width, sized to that key's part count), else 0."""
     import hashlib
 
     mt = layout.map_transform
@@ -239,7 +240,7 @@ def _cut_parts_direct(
     tsz = (tl.tile_rows, tl.tile_cols)
     out_schema = _PARTS_BASE + f", {id_col} string, merge_ord long, merge_salt int"
     cols_out = [
-        "zoom", "col", "row", "cell", "part", "py0", "px0",
+        "zoom", "col", "row", "cell", "part", "py0", "px0", "ph", "pw",
         id_col, "merge_ord", "merge_salt",
     ]
 
@@ -259,7 +260,10 @@ def _cut_parts_direct(
             for i, t in enumerate(pdf.itertuples(index=False)):
                 if c1[i] < c0[i] or r1[i] < r0[i]:
                     continue
-                src = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                # keep the source's native dtype: uint8 patches are 8x
+                # smaller to encode/shuffle than f64 and paste upcasts
+                # losslessly into the f64 NaN-NoData accumulator
+                src = codec.decode_tile(bytes(t.tile), t.fmt)
                 if src.ndim == 3:
                     src = codec.to_gray_f64(src)
                 src_ext = Extent(t.xmin, t.ymin, t.xmax, t.ymax)
@@ -280,10 +284,13 @@ def _cut_parts_direct(
                         )
                         out["py0"].append(y0)
                         out["px0"].append(x0)
+                        out["ph"].append(patch.shape[0])
+                        out["pw"].append(patch.shape[1])
                         out[id_col].append(rid)
                         out["merge_ord"].append(ordv)
+                        bits = hot_bits.get((col, row), 0)
                         out["merge_salt"].append(
-                            (ordv >> salt_shift) if (col, row) in hot_set else 0
+                            (ordv >> (60 - bits)) if bits else 0
                         )
             yield pd.DataFrame(out)
 
@@ -301,8 +308,16 @@ def _assemble_udf(layout: LayoutDefinition, id_col: str):
         pdf = pdf.sort_values(["merge_ord", id_col])
         acc = np.full((tr, tc), np.nan)
         for t in pdf.itertuples(index=False):
+            y0, x0 = int(t.py0), int(t.px0)
+            # first-defined-wins fold: a part whose window is already fully
+            # defined is a no-op — skip its DECODE entirely (exact; this is
+            # what bounds hot-cell folds where thousands of images stack on
+            # the same window)
+            win = acc[y0 : y0 + int(t.ph), x0 : x0 + int(t.pw)]
+            if not np.isnan(win).any():
+                continue
             patch = codec.decode_tile(bytes(t.part), "raw")
-            paste_patch(acc, int(t.py0), int(t.px0), patch, nodata_mask_nan)
+            paste_patch(acc, y0, x0, patch, nodata_mask_nan)
         first = pdf.iloc[0]
         return pd.DataFrame(
             {
@@ -335,6 +350,8 @@ def _merge_salted_udf():
             else:
                 m = np.isnan(acc)
                 acc[m] = arr[m]
+            if not np.isnan(acc).any():
+                break  # exact: first-wins fold is saturated
         first = pdf.iloc[0]
         return pd.DataFrame(
             {
@@ -370,21 +387,22 @@ def tile_to_layout(
     single global fold. Cold keys have exactly one partial and pass through
     the final stage untouched. hot_threshold=None skips the census (every
     key cold)."""
-    if hot_threshold is None:
-        hot_set: frozenset = frozenset()
-    else:
+    hot_bits: dict[tuple[int, int], int] = {}
+    if hot_threshold is not None:
         exploded = explode_covering_keys(df, layout, zoom)
         counts = exploded.groupBy("col", "row").count()
         hot_rows = counts.where(F.col("count") > hot_threshold).collect()
-        hot_set = frozenset((int(r["col"]), int(r["row"])) for r in hot_rows)
-        if hot_rows:
-            # adapt salt width to the hottest cell: ~hot_threshold parts per
-            # partial, power of two, capped at 256 buckets
-            worst = max(int(r["count"]) for r in hot_rows)
-            need = max(n_salt, -(-worst // hot_threshold))
-            n_salt = min(256, 1 << (need - 1).bit_length())
-    shift = 60 - max(1, n_salt.bit_length() - 1)
-    parts = _cut_parts_direct(df, layout, zoom, id_col, hot_set, shift)
+        # per-key salt width: ~hot_threshold parts per partial, power of
+        # two, capped at 2^8 buckets — a single global width sized to the
+        # worst cell would shatter every mildly-hot key into hundreds of
+        # near-empty partials (full-tile encodes each: measured 100x output
+        # amplification at 1.6M images)
+        for r in hot_rows:
+            need = -(-int(r["count"]) // hot_threshold)
+            hot_bits[(int(r["col"]), int(r["row"]))] = min(
+                8, max(1, (need - 1).bit_length())
+            )
+    parts = _cut_parts_direct(df, layout, zoom, id_col, hot_bits)
     if repartition:
         parts = parts.repartition(repartition, "cell")
     partials = parts.groupBy("zoom", "col", "row", "merge_salt").applyInPandas(

@@ -33,7 +33,8 @@ def run_flagship(cores: int, n_images: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=None,  # phase logs stream through
         text=True,
         check=True,
     )
