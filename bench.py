@@ -220,7 +220,17 @@ def main() -> None:
     os.environ.setdefault("TILEGRID_DRIVER_MEM", "12g")
     from tilegrid.session import get_spark
 
-    spark = get_spark("tilegrid-bench", cores=CPUS)
+    # >= 64 reduce partitions regardless of core count: keeps reduce
+    # partitions small (large applyInPandas partitions at high data volume
+    # risk multi-GB Arrow streams per task and straggler skew)
+    # RAM-backed shuffle dirs: the sandbox has ONE disk shared by all cores,
+    # so at high volume shuffle I/O (not CPU) caps scaling — a cluster has
+    # per-executor local disks; tmpfs models that aggregate bandwidth
+    os.makedirs("/dev/shm/tilegrid-shuffle", exist_ok=True)
+    spark = get_spark(
+        "tilegrid-bench", cores=CPUS, shuffle_partitions=max(64, CPUS * 2),
+        **{"spark.local.dir": "/dev/shm/tilegrid-shuffle"},
+    )
     log(f"bench: cores={CPUS} sf_dir={SF_DIR} images={N_IMAGES}")
 
     flag = flagship_pipeline(spark)

@@ -502,6 +502,72 @@ GROUP BY 1, 2
 """
 
 
+
+
+def q_local_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local unary map algebra (Tile.mapDouble, Tile.scala:215 /
+    local dispatch): per-pixel sqrt of the count raster."""
+    from .operators.local import local_unary
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(local_unary(dense, "sqrt"))
+
+
+def _o_local_sqrt() -> str:
+    return f"""
+WITH {_o_pixel_counts()}
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py, sqrt(cnt) AS val FROM pc
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer histogram (StatsTileRDDMethods.histogram -> per-tile partials
+    + merge): fixed breaks [0,16], 16 buckets, over the dense count raster."""
+    from .operators.summary import histogram
+
+    dense = _count_raster(spark, sf_dir)
+    return histogram(dense, num_buckets=16, lo=0.0, hi=16.0).withColumnRenamed(
+        "count", "n_px"
+    )
+
+
+def _o_histogram() -> str:
+    # numpy.histogram semantics: bins [e_i, e_{i+1}) except the last, which
+    # is closed; values outside [lo, hi] are dropped
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(CASE WHEN cnt = 16.0 THEN 15 ELSE floor(cnt) END AS INT) AS bucket,
+       CAST(CASE WHEN cnt = 16.0 THEN 15 ELSE floor(cnt) END AS INT) * 1.0 AS lo,
+       (CAST(CASE WHEN cnt = 16.0 THEN 15 ELSE floor(cnt) END AS INT) + 1) * 1.0 AS hi,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM dense
+WHERE cnt <= 16.0
+GROUP BY 1, 2, 3
+"""
+
+
+def q_raster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector points (RasterToPoints.scala): every data pixel of
+    the dense count raster as an (x, y, value) row with map coordinates."""
+    from .operators.vectorize import raster_to_points
+
+    dense = _count_raster(spark, sf_dir)
+    return raster_to_points(dense, LR)
+
+
+def _o_raster_points() -> str:
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       (-180.0 + (gx // 32) * {tw}) + ((gx % 32) + 0.5) * {cw} AS x,
+       (90.0 - (gy // 32) * {th}) - ((gy % 32) + 0.5) * {ch} AS y,
+       cnt AS value
+FROM dense
+"""
+
+
 # ================================================== documents: dedup + text
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +931,9 @@ QUERIES = {
     "focal_sum": q_focal_sum,
     "pyramid_sum": q_pyramid_sum,
     "zonal_hist": q_zonal_hist,
+    "local_sqrt": q_local_sqrt,
+    "histogram": q_histogram,
+    "raster_points": q_raster_points,
     "dedup_exact": q_dedup_exact,
     "minhash_sig": q_minhash_sig,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -893,6 +962,9 @@ ORACLES = {
     "focal_sum": _o_focal_sum(),
     "pyramid_sum": _o_pyramid_sum(),
     "zonal_hist": _o_zonal_hist(),
+    "local_sqrt": _o_local_sqrt(),
+    "histogram": _o_histogram(),
+    "raster_points": _o_raster_points(),
     "dedup_exact": _o_dedup_exact(),
     "minhash_sig": _o_minhash_sig(),
     "minhash_lsh_pairs": _o_minhash_lsh_pairs(),
