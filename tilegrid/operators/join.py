@@ -138,11 +138,21 @@ def pip_join(
 
 # ------------------------------------------------------------------- kNN
 
-def k_nearest(df: DataFrame, x: float, y: float, k: int, x_col: str = "x", y_col: str = "y") -> DataFrame:
+def k_nearest(
+    df: DataFrame,
+    x: float,
+    y: float,
+    k: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str | None = None,
+) -> DataFrame:
     """Global top-k by distance to one point (KNearestRDD.kNearest
-    :69-91 -> orderBy().limit(k): Spark plans a distributed TakeOrdered)."""
+    :69-91 -> orderBy().limit(k): Spark plans a distributed TakeOrdered).
+    id_col breaks distance ties deterministically."""
     d2 = (F.col(x_col) - F.lit(x)) ** 2 + (F.col(y_col) - F.lit(y)) ** 2
-    return df.withColumn("_d2", d2).orderBy("_d2").limit(k).drop("_d2")
+    order = ["_d2"] + ([id_col] if id_col else [])
+    return df.withColumn("_d2", d2).orderBy(*order).limit(k).drop("_d2")
 
 
 def knn_join(

@@ -568,6 +568,170 @@ FROM dense
 """
 
 
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3x3 mean (focalMean, FocalTileLayerRDDMethods.scala:24-51):
+    mean over in-bounds neighbors — sums of integer counts are exact, so
+    the float division is deterministic on both engines."""
+    from .operators.focal import focal_mean
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(focal_mean(dense, size=1))
+
+
+def _o_focal_mean() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(a.gx // 32 AS INT) AS col, CAST(a.gy // 32 AS INT) AS row,
+       CAST(a.gx % 32 AS INT) AS px, CAST(a.gy % 32 AS INT) AS py,
+       sum(b.cnt) / count(*) AS val
+FROM dense a JOIN dense b
+  ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+GROUP BY a.gx, a.gy
+HAVING sum(b.cnt) > 0
+"""
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone min/max/sum/count/mean (Zonal.scala summaries): integer
+    pixel counts make every aggregate order-independent."""
+    from .operators.zonal import zonal_stats
+
+    dense = _count_raster(spark, sf_dir)
+    zones = _const_layer(spark, lambda c, r: (c // 2) * 4 + (r // 2))
+    return zonal_stats(dense, zones)
+
+
+def _o_zonal_stats() -> str:
+    return f"""
+WITH {_o_dense_grid()},
+z AS (
+  SELECT CAST(((gx // 32) // 2) * 4 + ((gy // 32) // 2) AS BIGINT) AS zone, cnt
+  FROM dense
+)
+SELECT zone, min(cnt) AS zmin, max(cnt) AS zmax,
+       CAST(sum(cnt) AS DOUBLE) AS zsum,
+       CAST(count(*) AS BIGINT) AS zcount,
+       sum(cnt) / count(*) AS zmean
+FROM z GROUP BY zone
+"""
+
+
+_KNN_G = (-37.19, 11.83, 100)
+
+
+def q_knn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k nearest to one point (KNearestRDD.takeOrdered ->
+    distributed TakeOrdered via orderBy/limit)."""
+    from .operators.join import k_nearest
+
+    pts = _events_points(spark, sf_dir)
+    qx, qy, k = _KNN_G
+    return k_nearest(
+        pts, qx, qy, k, x_col="lon", y_col="lat", id_col="event_id"
+    ).select("event_id")
+
+
+def _o_knn_global() -> str:
+    qx, qy, k = _KNN_G
+    return f"""
+WITH p AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events)
+SELECT event_id FROM p
+ORDER BY (lon - {qx!r}) * (lon - {qx!r}) + (lat - {qy!r}) * (lat - {qy!r}),
+         event_id
+LIMIT {k}
+"""
+
+
+def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: hyperplane-LSH bucket self-join +
+    exact cosine refine (threshold tuned to the synthetic corpus's
+    similarity range so the candidate path is exercised)."""
+    return A.cosine_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
+    )
+
+
+def _o_embed_dups() -> str:
+    def bucket(e: str) -> str:
+        bits = []
+        for p in range(4):
+            t = (
+                f"list_reduce(list_transform(range(1, 65), i -> CAST({e}[i] AS DOUBLE)"
+                f" * (CAST(((i - 1) * 2654435761 + {p} * 40503) % 1021 AS DOUBLE)"
+                f" - 510.0)), (acc, v) -> acc + v)"
+            )
+            bits.append(f"(CASE WHEN {t} >= 0 THEN 1 ELSE 0 END) * {1 << p}")
+        return "CAST(" + " + ".join(bits) + " AS INT)"
+
+    dot = _o_dot("a.embedding", "c.embedding")
+    na = _o_dot("a.embedding", "a.embedding")
+    nc = _o_dot("c.embedding", "c.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round({dot} / (sqrt({na}) * sqrt({nc})), 4) AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket
+WHERE a.vec_id < c.vec_id
+  AND {dot} / (sqrt({na}) * sqrt({nc})) >= 0.35
+"""
+
+
+
+
+def q_polygonal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonal summary (PolygonalSummaryTileLayerRDDMethods.scala:35-75):
+    cell-cover prefilter -> full-tile fold / rasterize-and-mask boundary
+    tiles -> global aggregate, over the dense count raster and a triangle."""
+    from .operators.summary import polygonal_summary
+
+    dense = _count_raster(spark, sf_dir)
+    x0, y0 = _tri_origin(7)
+    ring = np.array([(x0 + dx, y0 + dy) for dx, dy in _TRI])
+    out = polygonal_summary(dense, [ring], LR)
+    return out.select(
+        F.col("sum").alias("psum"),
+        F.col("count").alias("pcount"),
+        F.col("min").alias("pmin"),
+        F.col("max").alias("pmax"),
+        F.col("mean").alias("pmean"),
+    )
+
+
+def _o_polygonal_summary() -> str:
+    x0, y0 = _tri_origin(7)
+    (x1, y1), (x2, y2) = _TRI[1], _TRI[2]
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+
+    def d(v: float) -> str:  # force DOUBLE (bare literals parse as DECIMAL)
+        return f"CAST({v!r} AS DOUBLE)"
+
+    return f"""
+WITH {_o_dense_grid()},
+pcen AS (
+  SELECT cnt,
+         (-180.0 + (gx // 32) * {tw}) + ((gx % 32) + 0.5) * {cw} AS x,
+         (90.0 - (gy // 32) * {th}) - ((gy % 32) + 0.5) * {ch} AS y
+  FROM dense
+),
+sel AS (
+  SELECT cnt FROM pcen
+  WHERE ({d(x1)} * (y - {d(y0)}) - {d(y1)} * (x - {d(x0)})) > 0
+    AND (({d(x2)} - {d(x1)}) * (y - ({d(y0)} + {d(y1)}))
+         - ({d(y2)} - {d(y1)}) * (x - ({d(x0)} + {d(x1)}))) > 0
+    AND ((0.0 - {d(x2)}) * (y - ({d(y0)} + {d(y2)}))
+         - (0.0 - {d(y2)}) * (x - ({d(x0)} + {d(x2)}))) > 0
+)
+SELECT CAST(sum(cnt) AS DOUBLE) AS psum,
+       CAST(count(*) AS BIGINT) AS pcount,
+       min(cnt) AS pmin, max(cnt) AS pmax,
+       sum(cnt) / count(*) AS pmean
+FROM sel
+"""
+
 # ================================================== documents: dedup + text
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -934,6 +1098,11 @@ QUERIES = {
     "local_sqrt": q_local_sqrt,
     "histogram": q_histogram,
     "raster_points": q_raster_points,
+    "focal_mean": q_focal_mean,
+    "zonal_stats": q_zonal_stats,
+    "knn_global": q_knn_global,
+    "embed_dups": q_embed_dups,
+    "polygonal_summary": q_polygonal_summary,
     "dedup_exact": q_dedup_exact,
     "minhash_sig": q_minhash_sig,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -965,6 +1134,11 @@ ORACLES = {
     "local_sqrt": _o_local_sqrt(),
     "histogram": _o_histogram(),
     "raster_points": _o_raster_points(),
+    "focal_mean": _o_focal_mean(),
+    "zonal_stats": _o_zonal_stats(),
+    "knn_global": _o_knn_global(),
+    "embed_dups": _o_embed_dups(),
+    "polygonal_summary": _o_polygonal_summary(),
     "dedup_exact": _o_dedup_exact(),
     "minhash_sig": _o_minhash_sig(),
     "minhash_lsh_pairs": _o_minhash_lsh_pairs(),
