@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("BENCH_IMAGES", "4000"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "100000"))
 QUERIES_ENV = os.environ.get("BENCH_QUERIES", "all")
 
 HEADLINE = [
