@@ -732,6 +732,124 @@ SELECT CAST(sum(cnt) AS DOUBLE) AS psum,
 FROM sel
 """
 
+
+
+CROP_EXTENT = Extent(-100.37, -20.61, 40.93, 50.17)
+
+
+def q_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop(extent) (Crop.scala:30-70): drop tiles outside, NoData-out
+    pixels whose centers fall outside on boundary tiles."""
+    from .operators.reshape import crop
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(crop(dense, CROP_EXTENT, LR))
+
+
+def _o_crop() -> str:
+    gb = LR.map_transform.gridbounds_for_extent(CROP_EXTENT)
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    e = CROP_EXTENT
+    return f"""
+WITH {_o_pixel_counts()}
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py, cnt AS val FROM pc
+WHERE col BETWEEN {gb.col_min} AND {gb.col_max}
+  AND row BETWEEN {gb.row_min} AND {gb.row_max}
+  AND ((-180.0 + col * {tw}) + (px + 0.5) * {cw}) >= CAST({e.xmin!r} AS DOUBLE)
+  AND ((-180.0 + col * {tw}) + (px + 0.5) * {cw}) <= CAST({e.xmax!r} AS DOUBLE)
+  AND ((90.0 - row * {th}) - (py + 0.5) * {ch}) >= CAST({e.ymin!r} AS DOUBLE)
+  AND ((90.0 - row * {th}) - (py + 0.5) * {ch}) <= CAST({e.ymax!r} AS DOUBLE)
+"""
+
+
+def q_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask(polygon) (Mask.scala:70-139): cell-cover prefilter + scanline
+    rasterize-and-NoData outside the polygon."""
+    from .operators.reshape import mask
+
+    dense = _count_raster(spark, sf_dir)
+    x0, y0 = _tri_origin(13)
+    ring = np.array([(x0 + dx, y0 + dy) for dx, dy in _TRI])
+    return _layer_pixels(mask(dense, [ring], LR))
+
+
+def _o_mask() -> str:
+    x0, y0 = _tri_origin(13)
+    (x1, y1), (x2, y2) = _TRI[1], _TRI[2]
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    return f"""
+WITH {_o_pixel_counts()},
+pcen AS (
+  SELECT col, row, px, py, cnt,
+         (-180.0 + col * {tw}) + (px + 0.5) * {cw} AS x,
+         (90.0 - row * {th}) - (py + 0.5) * {ch} AS y
+  FROM pc
+)
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py, cnt AS val FROM pcen
+WHERE ({d(x1)} * (y - {d(y0)}) - {d(y1)} * (x - {d(x0)})) > 0
+  AND (({d(x2)} - {d(x1)}) * (y - ({d(y0)} + {d(y1)}))
+       - ({d(y2)} - {d(y1)}) * (x - ({d(x0)} + {d(x1)}))) > 0
+  AND ((0.0 - {d(x2)}) * (y - ({d(y0)} + {d(y2)}))
+       - (0.0 - {d(y2)}) * (x - ({d(x0)} + {d(x2)}))) > 0
+"""
+
+
+def q_zoom_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZoomResample (ZoomResample.scala:28-120): zoom 3 -> 4 by key
+    arithmetic + per-tile NN upsample (each tile -> 4 children)."""
+    from .operators.reshape import zoom_resample
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(zoom_resample(dense, 3, 4))
+
+
+def _o_zoom_resample() -> str:
+    return f"""
+WITH {_o_pixel_counts()},
+g4 AS (
+  SELECT (col * 32 + px) * 2 + dx.range AS gx4,
+         (row * 32 + py) * 2 + dy.range AS gy4, cnt
+  FROM pc, range(0, 2) dx, range(0, 2) dy
+)
+SELECT CAST(4 AS INT) AS zoom,
+       CAST(gx4 // 32 AS INT) AS col, CAST(gy4 // 32 AS INT) AS row,
+       CAST(gx4 % 32 AS INT) AS px, CAST(gy4 % 32 AS INT) AS py,
+       cnt AS val
+FROM g4
+"""
+
+
+
+
+def q_merge_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer mosaic (TileRDDMerge.scala:28-43): a = count raster masked to a
+    triangle (NoData outside), b = full count raster; b fills a's NoData —
+    result is a inside the triangle, b outside."""
+    from .operators.reshape import mask, merge_layers
+
+    dense = _count_raster(spark, sf_dir)
+    x0, y0 = _tri_origin(13)
+    ring = np.array([(x0 + dx, y0 + dy) for dx, dy in _TRI])
+    a = mask(dense, [ring], LR)
+    return _layer_pixels(merge_layers(a, dense))
+
+
+def _o_merge_layers() -> str:
+    # mask() only KEEPS tiles the polygon covers -> a is sparse; the merge
+    # takes a's tiles (triangle pixels + b-filled outside) and b's tiles for
+    # every other key -> numerically identical to b wherever cnt > 0
+    return f"""
+WITH {_o_pixel_counts()}
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py, cnt AS val FROM pc
+"""
+
+
 # ================================================== documents: dedup + text
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,6 +1221,10 @@ QUERIES = {
     "knn_global": q_knn_global,
     "embed_dups": q_embed_dups,
     "polygonal_summary": q_polygonal_summary,
+    "crop": q_crop,
+    "mask": q_mask,
+    "zoom_resample": q_zoom_resample,
+    "merge_layers": q_merge_layers,
     "dedup_exact": q_dedup_exact,
     "minhash_sig": q_minhash_sig,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1139,6 +1261,10 @@ ORACLES = {
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
     "polygonal_summary": _o_polygonal_summary(),
+    "crop": _o_crop(),
+    "mask": _o_mask(),
+    "zoom_resample": _o_zoom_resample(),
+    "merge_layers": _o_merge_layers(),
     "dedup_exact": _o_dedup_exact(),
     "minhash_sig": _o_minhash_sig(),
     "minhash_lsh_pairs": _o_minhash_lsh_pairs(),
