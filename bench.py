@@ -49,6 +49,10 @@ HEADLINE = [
     "simhash",
     "quality",
     "ann_topk",
+    "focal_mean",
+    "polygonal_summary",
+    "crop",
+    "zoom_resample",
     "pricing_summary",
 ]
 

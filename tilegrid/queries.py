@@ -289,14 +289,15 @@ def q_temporal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     LocalTemporalStatistics.scala:34-60 reduced to the relational form)."""
     ev = with_key_columns(_events_points(spark, sf_dir), L5, "lon", "lat", 5)
     return ev.groupBy(
-        "col", "row", F.date_trunc("day", F.col("ts")).alias("day")
+        "col", "row",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
     ).agg(F.count("*").cast("long").alias("n_events"))
 
 
 def _o_temporal_daily() -> str:
     cx, rx = _keyed_sql(LON_E, LAT_E, L5)
     return f"""
-WITH k AS (SELECT {cx} AS col, {rx} AS row, date_trunc('day', ts) AS day FROM events)
+WITH k AS (SELECT {cx} AS col, {rx} AS row, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events)
 SELECT col, row, day, CAST(count(*) AS BIGINT) AS n_events
 FROM k GROUP BY col, row, day
 """
