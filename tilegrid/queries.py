@@ -1020,7 +1020,7 @@ FROM t
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.1
+        _read(spark, sf_dir, "documents"), threshold=0.02
     )
 
 
@@ -1043,7 +1043,7 @@ SELECT doc_a, doc_b, n_inter,
 FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.02
 """
 
 
