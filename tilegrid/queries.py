@@ -1199,6 +1199,61 @@ QUALIFY rank <= 3
 """
 
 
+
+
+# -------- rows-only queries (no SQL oracle; driver records weaker check) --
+
+def q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope (Slope.scala:46-58 + SurfacePointCalculation): 3x3 surface
+    stencil over the count raster. arctan outputs are not bit-stable across
+    SQL engines, so this op carries no SQL oracle (pytest checks it against
+    the NumPy Horn oracle instead)."""
+    from .operators.focal import slope
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(
+        slope(dense, cell_size=(LR.cell_width, LR.cell_height))
+    )
+
+
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorize (Vectorize.scala:30-148): region-group connected components
+    + boundary trace per tile over the 16-zone layer; WKB rings are not
+    SQL-expressible, so rows-only (pytest covers the tracer)."""
+    from .operators.vectorize import vectorize
+
+    zones = _const_layer(spark, lambda c, r: (c // 2) * 4 + (r // 2))
+    out = vectorize(zones, LR)
+    return out.select(
+        "zoom", "col", "row", "region_id", "value", "n_pixels",
+        F.length("wkb").alias("wkb_bytes"),
+    )
+
+
+def q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """renderPng (Render.scala:35-90): encode each count-raster tile to PNG
+    via the from-scratch codec; binary output -> rows-only."""
+    from .sources.render import ColorMap, render_png
+
+    dense = _count_raster(spark, sf_dir)
+    cm = ColorMap.ramp(0.0, 16.0, 8)
+    out = render_png(dense, cm)
+    return out.select(
+        "zoom", "col", "row", "cell", "fmt",
+        F.length("tile").alias("png_bytes"),
+    )
+
+
+def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization (RDDHistogramEqualization.scala:44-120):
+    global histogram -> broadcast CDF -> per-pixel transfer; the transfer's
+    float path is engine-specific -> rows-only."""
+    from .operators.reshape import histogram_equalization
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(histogram_equalization(dense))
+
+
 # ================================================== registry
 
 QUERIES = {
@@ -1226,6 +1281,10 @@ QUERIES = {
     "mask": q_mask,
     "zoom_resample": q_zoom_resample,
     "merge_layers": q_merge_layers,
+    "slope": q_slope,
+    "vectorize": q_vectorize,
+    "render_png": q_render_png,
+    "hist_equalization": q_hist_equalization,
     "dedup_exact": q_dedup_exact,
     "minhash_sig": q_minhash_sig,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,

@@ -65,6 +65,9 @@ def main() -> int:
             print(f"[FAIL] {name}: spark error: {e}")
             failures.append(name)
             continue
+        if name not in Q.ORACLES:
+            print(f"[ ok ] {name}: {len(sdf)} rows (rows-only, no oracle)")
+            continue
         try:
             odf = con.execute(Q.ORACLES[name]).fetchdf()
         except Exception as e:
