@@ -384,3 +384,50 @@ class TestFixtures:
         assert (cmin, rmin, cmax, rmax) == fixtures.TEST_BOUNDS
         w = arr.shape[1]
         np.testing.assert_allclose(arr.ravel(), np.arange(arr.size, dtype=float))
+
+
+class TestHullSimplify:
+    def test_convex_hull_square_with_interior(self):
+        from tilegrid.geometry import convex_hull
+
+        rng = np.random.default_rng(7)
+        inner = rng.uniform(0.1, 0.9, size=(200, 2))
+        corners = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+        hull = convex_hull(np.vstack([inner, corners]))
+        assert {tuple(p) for p in hull} == {tuple(p) for p in corners}
+        # CCW orientation: positive shoelace area
+        x, y = hull[:, 0], hull[:, 1]
+        area = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        assert area > 0
+
+    def test_convex_hull_contains_all_points(self):
+        from tilegrid.geometry import convex_hull, points_in_ring
+
+        rng = np.random.default_rng(11)
+        pts = rng.standard_normal((300, 2))
+        hull = convex_hull(pts)
+        eps = 1e-9
+        grown = hull + (hull - hull.mean(axis=0)) * eps
+        assert points_in_ring(pts[:, 0], pts[:, 1], grown).all()
+
+    def test_simplify_line(self):
+        from tilegrid.geometry import simplify_dp
+
+        x = np.linspace(0, 10, 101)
+        wiggly = np.column_stack([x, 0.001 * np.sin(x * 50)])
+        out = simplify_dp(wiggly, tolerance=0.01)
+        assert len(out) == 2  # collapses to the chord
+        big = np.array([[0, 0], [5, 3], [10, 0]], dtype=float)
+        out = simplify_dp(big, tolerance=0.5)
+        assert len(out) == 3  # the 3-unit deviation survives
+
+    def test_simplify_preserves_endpoints_and_order(self):
+        from tilegrid.geometry import simplify_dp
+
+        rng = np.random.default_rng(3)
+        line = np.cumsum(rng.standard_normal((50, 2)), axis=0)
+        out = simplify_dp(line, tolerance=0.2)
+        assert (out[0] == line[0]).all() and (out[-1] == line[-1]).all()
+        # kept points appear in original order
+        idx = [np.where((line == p).all(axis=1))[0][0] for p in out]
+        assert idx == sorted(idx)

@@ -260,3 +260,30 @@ class TestMultimodal:
 
         arr = codec.decode_tile(bytes(out.iloc[0].frame), "png")
         assert arr.shape == (16, 16)
+
+
+class TestVectorOps:
+    def test_distributed_hull_equals_local(self, spark):
+        from tilegrid.geometry import convex_hull
+        from tilegrid.operators.vector import convex_hull_points
+
+        rng = np.random.default_rng(5)
+        pts = rng.standard_normal((2000, 2)) * 30
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1]})
+        ).repartition(8)
+        got = convex_hull_points(df)[["x", "y"]].values
+        want = convex_hull(pts)
+        assert {tuple(p) for p in got} == {tuple(p) for p in want}
+
+    def test_simplify_rings_roundtrip(self, spark):
+        from tilegrid.geometry import regular_ngon, wkb_decode, wkb_encode_polygon
+        from tilegrid.operators.vector import simplify_rings
+
+        ring = regular_ngon(0.0, 0.0, 64, 10.0)
+        df = spark.createDataFrame(
+            pd.DataFrame({"pid": [1], "wkb": [wkb_encode_polygon([ring])]})
+        )
+        out = simplify_rings(df, tolerance=0.5).toPandas()
+        rings = wkb_decode(bytes(out.iloc[0].wkb))
+        assert 3 <= len(rings[0]) < 64  # simplified but still a polygon

@@ -233,3 +233,65 @@ def polygon_area(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
     return float(abs(np.sum(x * y2 - x2 * y)) / 2.0)
+
+
+# ----------------------------------------------------- hull / simplify
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Convex hull via Andrew's monotone chain (vector/convexhull/ in the
+    reference delegates to JTS; rebuilt from the published algorithm).
+    Input (n,2); output CCW hull vertices (m,2), no closing repeat."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort (x, then y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def simplify_dp(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (reference: vector/simplify/
+    via JTS; rebuilt from the published algorithm, iterative stack form).
+    Keeps endpoints; drops vertices closer than `tolerance` to the chord."""
+    pts = np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        L = np.hypot(seg[0], seg[1])
+        mid = pts[i + 1 : j]
+        if L == 0.0:
+            d = np.hypot(mid[:, 0] - pts[i, 0], mid[:, 1] - pts[i, 1])
+        else:
+            d = np.abs(
+                seg[0] * (mid[:, 1] - pts[i, 1]) - seg[1] * (mid[:, 0] - pts[i, 0])
+            ) / L
+        k = int(np.argmax(d))
+        if d[k] > tolerance:
+            ki = i + 1 + k
+            keep[ki] = True
+            stack.append((i, ki))
+            stack.append((ki, j))
+    return pts[keep]

@@ -1254,6 +1254,19 @@ def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _layer_pixels(histogram_equalization(dense))
 
 
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact convex hull of the event points (per-partition
+    hulls -> driver finish; §2.9). Hull geometry is not SQL-expressible ->
+    rows-only."""
+    from .operators.vector import convex_hull_points
+
+    pts = _events_points(spark, sf_dir)
+    hull = convex_hull_points(pts, x="lon", y="lat")
+    return spark.createDataFrame(hull)
+
+
 # ================================================== registry
 
 QUERIES = {
@@ -1285,6 +1298,7 @@ QUERIES = {
     "vectorize": q_vectorize,
     "render_png": q_render_png,
     "hist_equalization": q_hist_equalization,
+    "convex_hull": q_convex_hull,
     "dedup_exact": q_dedup_exact,
     "minhash_sig": q_minhash_sig,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
