@@ -85,8 +85,12 @@ def main() -> int:
 
     # resume: find the deepest already-checkpointed level
 
+    from tilegrid import fsutil
+
     def done(z: int) -> bool:
-        return args.resume and os.path.exists(
+        # resolved via Hadoop FileSystem so --resume works with hdfs://
+        # or s3a:// --out paths, not only driver-local directories
+        return args.resume and fsutil.exists(
             os.path.join(args.out, "_checkpoints", args.name, f"zoom={z}.done")
         )
 

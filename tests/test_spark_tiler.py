@@ -70,7 +70,7 @@ class TestTileAssignments:
 
 
 def merge_order_key(image_id: str) -> tuple[int, str]:
-    """Canonical merge order (tiler.merge_order_expr): (md5-prefix hash, id)."""
+    """Canonical merge order (tiler._cut_parts_direct): (md5-prefix hash, id)."""
     import hashlib
 
     return (int(hashlib.md5(image_id.encode()).hexdigest()[:15], 16), image_id)

@@ -188,8 +188,12 @@ class MapKeyTransform:
     """(x, y) <-> (col, row) and Extent <-> GridBounds.
 
     Exact reference semantics (MapKeyTransform.scala:48-112):
-      * point->key: trunc(((x - xmin) / width) * layoutCols) — Scala `.toInt`
-        truncates toward zero, mirrored here with np.trunc.
+      * point->key: floor(((x - xmin) / width) * layoutCols). For points
+        inside the layout this equals the reference's Scala `.toInt`; we use
+        floor (not trunc) everywhere so the NumPy path and the SQL census
+        path (tiler.key_exprs / gridbounds_exprs, which use SQL `floor`)
+        agree bit-for-bit even for out-of-layout extents, where trunc(-0.5)=0
+        but floor(-0.5)=-1 would otherwise enumerate different covering keys.
       * extent->GridBounds: N/W edges inclusive, S/E edges exclusive, with the
         `d == floor(d) && d != min` backoff so an extent whose max edge lands
         exactly on a tile boundary does not claim the next tile.
@@ -208,7 +212,7 @@ class MapKeyTransform:
         y = np.asarray(y, dtype=np.float64)
         tcol = ((x - self.extent.xmin) / self.extent.width) * self.layout_cols
         trow = ((self.extent.ymax - y) / self.extent.height) * self.layout_rows
-        return np.trunc(tcol).astype(np.int64), np.trunc(trow).astype(np.int64)
+        return np.floor(tcol).astype(np.int64), np.floor(trow).astype(np.int64)
 
     def key_for_point(self, x: float, y: float) -> tuple[int, int]:
         c, r = self.keys_for_points(np.array([x]), np.array([y]))
@@ -242,15 +246,15 @@ class MapKeyTransform:
 
         d = (other.xmax - self.extent.xmin) / (self.extent.width / self.layout_cols)
         if d == math.floor(d) and d != col_min:
-            col_max = int(d) - 1
+            col_max = int(math.floor(d)) - 1
         else:
-            col_max = int(d)
+            col_max = int(math.floor(d))
 
         d = (self.extent.ymax - other.ymin) / (self.extent.height / self.layout_rows)
         if d == math.floor(d) and d != row_min:
-            row_max = int(d) - 1
+            row_max = int(math.floor(d)) - 1
         else:
-            row_max = int(d)
+            row_max = int(math.floor(d))
 
         return GridBounds(col_min, row_min, col_max, row_max)
 
@@ -267,14 +271,14 @@ class MapKeyTransform:
         col_min, row_min = self.keys_for_points(xmin, ymax)
 
         d = (xmax - self.extent.xmin) / (self.extent.width / self.layout_cols)
-        col_max = np.trunc(d).astype(np.int64)
+        col_max = np.floor(d).astype(np.int64)
         back = (d == np.floor(d)) & (d != col_min)
-        col_max = np.where(back, d.astype(np.int64) - 1, col_max)
+        col_max = np.where(back, col_max - 1, col_max)
 
         d = (self.extent.ymax - ymin) / (self.extent.height / self.layout_rows)
-        row_max = np.trunc(d).astype(np.int64)
+        row_max = np.floor(d).astype(np.int64)
         back = (d == np.floor(d)) & (d != row_min)
-        row_max = np.where(back, d.astype(np.int64) - 1, row_max)
+        row_max = np.where(back, row_max - 1, row_max)
 
         return col_min, row_min, col_max, row_max
 

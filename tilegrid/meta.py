@@ -16,6 +16,7 @@ import json
 import os
 from dataclasses import dataclass
 
+from . import fsutil
 from .celltype import CellType
 from .grid import Extent, GridBounds, LayoutDefinition, TileLayout
 
@@ -72,32 +73,24 @@ class AttributeStore:
         return os.path.join(self.root, "_layers", name, f"{zoom}.{attr}.json")
 
     def write_meta(self, name: str, meta: LayerMeta) -> None:
-        p = self._path(name, meta.zoom)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "w") as f:
-            json.dump(meta.to_json(), f, indent=1)
+        fsutil.write_text(self._path(name, meta.zoom), json.dumps(meta.to_json(), indent=1))
 
     def read_meta(self, name: str, zoom: int) -> LayerMeta:
-        with open(self._path(name, zoom)) as f:
-            return LayerMeta.from_json(json.load(f))
+        return LayerMeta.from_json(json.loads(fsutil.read_text(self._path(name, zoom))))
 
     def write_attr(self, name: str, zoom: int, attr: str, value) -> None:
-        p = self._path(name, zoom, attr)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "w") as f:
-            json.dump(value, f)
+        fsutil.write_text(self._path(name, zoom, attr), json.dumps(value))
 
     def read_attr(self, name: str, zoom: int, attr: str):
-        with open(self._path(name, zoom, attr)) as f:
-            return json.load(f)
+        return json.loads(fsutil.read_text(self._path(name, zoom, attr)))
 
     def layer_exists(self, name: str, zoom: int) -> bool:
-        return os.path.exists(self._path(name, zoom))
+        return fsutil.exists(self._path(name, zoom))
 
     def zooms(self, name: str) -> list[int]:
         d = os.path.join(self.root, "_layers", name)
-        if not os.path.isdir(d):
-            return []
         return sorted(
-            int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".metadata.json")
+            int(f.split(".")[0])
+            for f in fsutil.listdir(d)
+            if f.endswith(".metadata.json")
         )

@@ -31,6 +31,24 @@ def norm_expr(a: str) -> str:
     return f"sqrt({dot_expr(a, a)})"
 
 
+def _batch_topk(k: int, query_id: str, cand_id: str):
+    """Arrow-batch-local top-k per query: exact pre-aggregation (the global
+    top-k is a subset of the union of per-batch top-ks), so the window
+    shuffle carries <= n_batches*Q*k rows instead of all N*Q scored rows."""
+    import pandas as pd  # noqa: F401  (pandas ships with the worker)
+
+    def run(it):
+        for pdf in it:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["sim", cand_id], ascending=[False, True])
+                    .groupby(query_id, sort=False)
+                    .head(k)
+                )
+
+    return run
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -39,9 +57,11 @@ def cosine_topk(
     query_id: str = "query_id",
     emb: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k per query. Queries broadcast; the
-    candidate side is never shuffled (the window's partition key is
-    query_id — Q partitions, each a distributed top-k)."""
+    """Exact brute-force cosine top-k per query. Queries broadcast; scoring
+    is a narrow codegen pass. The scored rows are reduced map-side by an
+    exact per-batch top-k (selection only — sim values stay the JVM fold
+    results), so the row_number window's shuffle is bounded by
+    n_batches*Q*k, not the N*Q cross-product."""
     q = queries.select(
         F.col(query_id), F.col(emb).alias("_qemb")
     )
@@ -55,6 +75,7 @@ def cosine_topk(
         )
         .select(query_id, F.col(cand_id), "sim")
     )
+    sim = sim.mapInPandas(_batch_topk(k, query_id, cand_id), sim.schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
     return (
         sim.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -108,6 +129,7 @@ def lsh_bucket_topk(
         )
         .select(query_id, F.col(cand_id), "sim")
     )
+    sim = sim.mapInPandas(_batch_topk(k, query_id, cand_id), sim.schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
     return (
         sim.withColumn("rank", F.row_number().over(w).cast("long"))

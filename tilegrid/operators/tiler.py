@@ -17,7 +17,7 @@ Scale notes: the explode amplifies rows by the tiles-per-image cover (1-4 for
 point-placed images); the single shuffle hashes on (zoom,col,row). Hot cells
 (skew knob in fixtures) are handled by AQE skew splitting at the groupBy and,
 for extreme skew, by two-level merge (partial merge on salted keys, then
-final merge) — see `tile_to_layout(salt_partials=...)`.
+final merge) — see `tile_to_layout(hot_threshold=..., n_salt=...)`.
 """
 
 from __future__ import annotations
@@ -151,8 +151,6 @@ def _paste_tiles(
     tsz_c, tsz_r = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
     mt = layout.map_transform
     passthrough = [id_col]
-    if "merge_ord" in exploded.columns:
-        passthrough.append("merge_ord")
     passthrough += [c for c in extra_cols if c not in passthrough]
     types = dict(zip(exploded.schema.fieldNames(), exploded.schema.fields))
     out_schema = LAYER_SCHEMA + "".join(
@@ -200,17 +198,6 @@ def _paste_tiles(
         + passthrough
     )
     return exploded.select(cols).mapInPandas(paste_batches, out_schema)
-
-
-def merge_order_expr(id_col: str) -> str:
-    """Canonical merge order key: 60-bit md5-prefix hash of the id.
-
-    The merge fold sorts by (merge_ord, id) — HASH order, not raw id order —
-    so that skew salting (salt = top bits of merge_ord) splits the fold into
-    contiguous segments: fold(seg0) then fold(seg1)... is bit-identical to
-    the global fold, because paste-where-NoData is an associative left fold
-    ("first defined wins")."""
-    return f"CAST(conv(substr(md5({id_col}), 1, 15), 16, 10) AS BIGINT)"
 
 
 _PARTS_BASE = (
@@ -268,6 +255,11 @@ def _cut_parts_direct(
                     src = codec.to_gray_f64(src)
                 src_ext = Extent(t.xmin, t.ymin, t.xmax, t.ymax)
                 rid = getattr(t, id_col)
+                # THE canonical merge-order key (single definition): 60-bit
+                # md5-prefix hash of the id. The fold sorts by (merge_ord, id)
+                # — hash order, not raw id order — so salt buckets (top bits
+                # of merge_ord) are contiguous fold segments and the salted
+                # two-phase fold is bit-identical to the global fold.
                 ordv = int(hashlib.md5(str(rid).encode()).hexdigest()[:15], 16)
                 for col in range(int(c0[i]), int(c1[i]) + 1):
                     for row in range(int(r0[i]), int(r1[i]) + 1):
@@ -334,7 +326,8 @@ def _assemble_udf(layout: LayoutDefinition, id_col: str):
 def _merge_salted_udf():
     """Final pass: fold the per-salt partial tiles in ascending salt order
     (== ascending canonical order, since salt is the hash top bits — see
-    merge_order_expr). Single-partial groups (all cold keys) pass through
+    the canonical order key in _cut_parts_direct). Single-partial groups
+    (all cold keys) pass through
     without a decode/encode round trip."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -371,7 +364,7 @@ def tile_to_layout(
     id_col: str = "image_id",
     repartition: int | None = None,
     hot_threshold: int | None = 512,
-    n_salt: int = 16,
+    n_salt: int = 256,
 ) -> DataFrame:
     """CutTiles + merge: the reference tiler with explicit hot-cell skew
     splitting, which the reference lacks (SpacePartitioner degrades to
@@ -380,27 +373,28 @@ def tile_to_layout(
 
     Shape: census (pure-Catalyst count over the key explode, no decode) ->
     one decode pass emitting compact sub-rect parts with merge_salt (top
-    log2(n_salt) bits of the canonical merge-order hash for hot keys, 0
+    per-key-sized bits of the canonical merge-order hash for hot keys, 0
     otherwise) -> partial merge per (key, salt) -> final fold per key in
     salt order. Because salt buckets are contiguous in the canonical
     (merge_ord, id) fold order, the two-phase result is bit-identical to a
     single global fold. Cold keys have exactly one partial and pass through
     the final stage untouched. hot_threshold=None skips the census (every
-    key cold)."""
+    key cold). n_salt caps the per-key bucket count (power of two)."""
     hot_bits: dict[tuple[int, int], int] = {}
+    cap_bits = max(1, int(n_salt - 1).bit_length()) if n_salt > 1 else 1
     if hot_threshold is not None:
         exploded = explode_covering_keys(df, layout, zoom)
         counts = exploded.groupBy("col", "row").count()
         hot_rows = counts.where(F.col("count") > hot_threshold).collect()
         # per-key salt width: ~hot_threshold parts per partial, power of
-        # two, capped at 2^8 buckets — a single global width sized to the
+        # two, capped at n_salt buckets — a single global width sized to the
         # worst cell would shatter every mildly-hot key into hundreds of
         # near-empty partials (full-tile encodes each: measured 100x output
         # amplification at 1.6M images)
         for r in hot_rows:
             need = -(-int(r["count"]) // hot_threshold)
             hot_bits[(int(r["col"]), int(r["row"]))] = min(
-                8, max(1, (need - 1).bit_length())
+                cap_bits, max(1, (need - 1).bit_length())
             )
     parts = _cut_parts_direct(df, layout, zoom, id_col, hot_bits)
     if repartition:

@@ -29,6 +29,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import fsutil
 from ..cell import zranges_for_extent
 from ..grid import Extent
 from ..meta import AttributeStore, LayerMeta
@@ -114,7 +115,9 @@ def write_layer(
     checkpoint marker. Returns False when skipped via resume."""
     store = AttributeStore(root)
     ckpt = os.path.join(root, "_checkpoints", name, f"zoom={zoom}.done")
-    if resume and os.path.exists(ckpt):
+    # markers resolve through Hadoop FileSystem (fsutil) so --resume works
+    # when root is hdfs://... or s3a://..., not only a driver-local path
+    if resume and fsutil.exists(ckpt):
         return False
     path = _layer_path(root, name, zoom)
     n = target_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 4)
@@ -159,9 +162,7 @@ def write_layer(
     )
     if meta is not None:
         store.write_meta(name, meta)
-    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
-    with open(ckpt, "w") as fh:
-        json.dump({"zoom": zoom, "ts": time.time()}, fh)
+    fsutil.write_text(ckpt, json.dumps({"zoom": zoom, "ts": time.time()}))
     return True
 
 
