@@ -276,6 +276,58 @@ class TestVectorOps:
         want = convex_hull(pts)
         assert {tuple(p) for p in got} == {tuple(p) for p in want}
 
+    def test_envelope_hull_equals_monotone_chain(self, spark):
+        from tilegrid.geometry import convex_hull
+        from tilegrid.operators.vector import convex_hull_envelope
+
+        rng = np.random.default_rng(11)
+        # lattice points: plenty of exactly-collinear degenerate triples
+        pts = rng.integers(-20, 21, (1500, 2)).astype(np.float64)
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1]})
+        ).repartition(8)
+        got = convex_hull_envelope(df).toPandas()
+        want = convex_hull(np.unique(pts, axis=0))
+        # hull vertex SET must match (envelope emits x-extremes on both
+        # sides, so corners may appear twice across U/L)
+        assert {(r.x, r.y) for r in got.itertuples()} == {tuple(p) for p in want}
+
+    def test_cross_tile_vectorize_merges_snake(self, spark):
+        from tilegrid.operators.vectorize import vectorize, vectorize_merged
+        from tilegrid.queries import LR, ZR, _const_layer  # 8x8 of 32x32
+
+        # one region of value 7 snaking across a 2x2 tile block on a
+        # background of value 0: per-tile vectorize sees 4 fragments,
+        # merged vectorize must return ONE region
+        import tilegrid.codec as codec
+        from tilegrid.cell import z2_encode
+
+        rows = []
+        for col in range(2):
+            for row in range(2):
+                arr = np.zeros((32, 32))
+                if row == 0:
+                    arr[0, :] = 7.0       # top strip spans both top tiles
+                if col == 0:
+                    arr[:, 0] = 7.0       # left strip connects downward
+                rows.append((ZR, col, row, int(z2_encode(col, row)),
+                             codec.raw_encode(arr), 32, 32, "raw"))
+        pdf = pd.DataFrame(
+            rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]
+        )
+        from tilegrid.operators import LAYER_SCHEMA
+
+        layer = spark.createDataFrame(pdf, schema=LAYER_SCHEMA)
+        per_tile = vectorize(layer, LR).toPandas()
+        assert (per_tile.value == 7.0).sum() == 3  # split without merge
+        merged = vectorize_merged(layer, LR).toPandas()
+        m7 = merged[merged.value == 7.0]
+        assert len(m7) == 1
+        assert int(m7.iloc[0].n_fragments) == 3
+        assert int(m7.iloc[0].n_pixels) == 64 + 64 - 1  # L strips, corner once
+        m0 = merged[merged.value == 0.0]
+        assert len(m0) == 1 and int(m0.iloc[0].n_pixels) == 4 * 1024 - 127
+
     def test_simplify_rings_roundtrip(self, spark):
         from tilegrid.geometry import regular_ngon, wkb_decode, wkb_encode_polygon
         from tilegrid.operators.vector import simplify_rings

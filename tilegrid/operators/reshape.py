@@ -178,18 +178,43 @@ def zoom_resample(layer: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
 
 def histogram_equalization(layer: DataFrame, num_buckets: int = 256) -> DataFrame:
     """Global-stat-then-map (RDDHistogramEqualization.scala:44-120): pass 1
-    layer histogram -> broadcast CDF -> pass 2 per-pixel transfer."""
-    from .summary import histogram, min_max
+    bucket counts -> broadcast CDF -> pass 2 per-pixel transfer
+    out = lo + cdf[bucket(v)] * (hi - lo).
+
+    Bucketing uses the floor rule bucket(v) = clip(floor((v-lo)/(hi-lo)*nb),
+    0, nb-1) in BOTH passes (count and transfer). Every step is +,-,*,/ of
+    exact integer counts — no transcendentals — so the transfer is
+    bit-identical to the SQL oracle twin."""
+
+    def bucket_of(arr: np.ndarray, lo: float, hi: float, nb: int) -> np.ndarray:
+        return np.floor((arr - lo) / (hi - lo) * nb).clip(0, nb - 1).astype(np.int64)
+
+    from .summary import min_max
 
     mm = min_max(layer).collect()[0]
     lo, hi = float(mm["vmin"]), float(mm["vmax"])
     if hi <= lo:
         hi = lo + 1.0
-    hist = histogram(layer, num_buckets, lo, hi).orderBy("bucket").collect()
-    counts = np.zeros(num_buckets)
-    for r in hist:
-        counts[r["bucket"]] = r["count"]
-    cdf = np.cumsum(counts)
+
+    def count_buckets(it):
+        for pdf in it:
+            acc = np.zeros(num_buckets, dtype=np.int64)
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                v = arr[~np.isnan(arr)]
+                if v.size:
+                    acc += np.bincount(bucket_of(v, lo, hi, num_buckets),
+                                       minlength=num_buckets)
+            yield pd.DataFrame({"bucket": np.arange(num_buckets), "n": acc})
+
+    bucket_rows = (
+        layer.mapInPandas(count_buckets, "bucket int, n long")
+        .groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    for r in bucket_rows:
+        counts[int(r["bucket"])] = int(r["n"])
+    cdf = np.cumsum(counts).astype(np.float64)
     cdf = cdf / cdf[-1] if cdf[-1] > 0 else cdf
     spark = layer.sparkSession
     bc = spark.sparkContext.broadcast((lo, hi, cdf.tolist()))
@@ -202,10 +227,9 @@ def histogram_equalization(layer: DataFrame, num_buckets: int = 256) -> DataFram
             tiles = []
             for t in pdf.itertuples(index=False):
                 arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
-                b = ((arr - lo_) / (hi_ - lo_) * nb).clip(0, nb - 1)
                 out = np.where(np.isnan(arr), np.nan, 0.0)
                 ok = ~np.isnan(arr)
-                out[ok] = lo_ + cdf_a[b[ok].astype(np.int64)] * (hi_ - lo_)
+                out[ok] = lo_ + cdf_a[bucket_of(arr[ok], lo_, hi_, nb)] * (hi_ - lo_)
                 tiles.append(codec.raw_encode(out))
             pdf = pdf.copy()
             pdf["tile"] = tiles

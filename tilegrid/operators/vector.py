@@ -1,17 +1,25 @@
 """Distributed vector-geometry operators (§2.9): convex hull, simplify.
 
-Distributed hull uses the classic exact decomposition: hull(S) =
-hull(union of per-partition hulls) — each partition reduces its points to
-<= its hull vertices (tiny), the driver finishes on the union. One narrow
-Arrow pass, no shuffle (reference: vector/convexhull delegates to JTS;
-algorithm here is Andrew's monotone chain from the published literature).
+Two hull strategies, both exact:
+  * convex_hull_points — classic decomposition hull(S) = hull(union of
+    per-partition hulls): each partition reduces to <= its hull vertices
+    (tiny), the driver finishes on the union. One narrow Arrow pass.
+  * convex_hull_envelope — fully relational (zero driver compute): per-x
+    extremal candidates, pairwise slope aggregates, and the envelope vertex
+    test p-on-upper-hull <=> min over left candidates of slope(a,p) >
+    max over right candidates of slope(p,b) (strict: collinear mid-points
+    are dropped, matching monotone chain with strict turns). Everything is
+    +-*/ and min/max in Catalyst, so the same SQL text is an exact oracle.
+
+(Reference: vector/convexhull delegates to JTS; monotone chain per the
+published literature.)
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..geometry import convex_hull, simplify_dp
 
@@ -32,6 +40,46 @@ def convex_hull_points(df: DataFrame, x: str = "x", y: str = "y") -> pd.DataFram
         return pd.DataFrame({x: [], y: []})
     h = convex_hull(parts[[x, y]].values)
     return pd.DataFrame({x: h[:, 0], y: h[:, 1]})
+
+
+def convex_hull_envelope(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Exact convex hull as a DataFrame op: rows (hull_side 'U'|'L', x, y).
+
+    Stage 1 (distributed, one shuffle): per distinct x keep max-y (upper
+    candidates) and min-y (lower candidates) — every hull vertex must be
+    extremal for its x, so candidates shrink to <= #distinct x. Stage 2
+    (tiny): pairwise slopes among candidates with min/max aggregates; p is
+    an upper-hull vertex iff min_left(p) > max_right(p) (endpoints always
+    in). No collect, no UDF, no transcendentals."""
+
+    def side(cand: DataFrame, is_upper: bool) -> DataFrame:
+        a = cand.select(F.col(x).alias("ax"), F.col(y).alias("ay"))
+        b = cand.select(F.col(x).alias("bx"), F.col(y).alias("by"))
+        pairs = a.join(b, F.col("ax") < F.col("bx")).withColumn(
+            "s", (F.col("by") - F.col("ay")) / (F.col("bx") - F.col("ax"))
+        )
+        lagg = F.min("s") if is_upper else F.max("s")
+        ragg = F.max("s") if is_upper else F.min("s")
+        left = pairs.groupBy(F.col("bx").alias(x)).agg(lagg.alias("_l"))
+        right = pairs.groupBy(F.col("ax").alias(x)).agg(ragg.alias("_r"))
+        test = (
+            F.col("_l").isNull() | F.col("_r").isNull()
+            | ((F.col("_l") > F.col("_r")) if is_upper else (F.col("_l") < F.col("_r")))
+        )
+        return (
+            cand.join(left, x, "left")
+            .join(right, x, "left")
+            .where(test)
+            .select(
+                F.lit("U" if is_upper else "L").alias("hull_side"),
+                F.col(x), F.col(y),
+            )
+        )
+
+    pts = df.select(x, y).distinct()
+    upper = pts.groupBy(x).agg(F.max(y).alias(y))
+    lower = pts.groupBy(x).agg(F.min(y).alias(y))
+    return side(upper, True).unionByName(side(lower, False))
 
 
 def simplify_rings(

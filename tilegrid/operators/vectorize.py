@@ -1,19 +1,21 @@
-"""Raster -> vector: per-tile region grouping + boundary tracing, and
-raster-to-points explode.
+"""Raster -> vector: per-tile region grouping + boundary tracing, cross-tile
+region merge, and raster-to-points explode.
 
 Reference: Vectorize (raster/.../vectorize/Vectorize.scala:30-148) =
 RegionGroup connected-components labelling + Polygonizer boundary tracing.
 We implement two-pass union-find labelling and a pixel-edge boundary walk in
-NumPy per tile. Cross-tile regions are per-tile first (the documented
-limitation in SURVEY.md §2.10); stitch-level vectorize is available through
-reshape.stitch for bounded extents.
+NumPy per tile (`vectorize`), plus a distributed cross-tile merge
+(`vectorize_merged`): per-tile fragments + border-pixel adjacency edges ->
+hash-min label propagation (O(region diameter in tiles) rounds) -> global
+region aggregates. The reference gets whole-raster regions by running on one
+collected raster; ours stays distributed.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .. import codec
 from ..geometry import wkb_encode_polygon
@@ -150,6 +152,174 @@ def vectorize(layer: DataFrame, layout: LayoutDefinition) -> DataFrame:
         run,
         "zoom int, col int, row int, region_id int, value double, wkb binary, n_pixels long",
     )
+
+
+_FRAG_SCHEMA = (
+    "rkey long, value double, n_pixels long, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+_BORDER_SCHEMA = "bkey string, bside int, rkey long, value double"
+
+
+def _fragments_and_borders(layout: LayoutDefinition):
+    """Per tile: region_group labels -> fragment rows (region key, value,
+    pixel count, pixel-center bbox) + border-pixel rows carrying a boundary
+    key shared with the neighbor tile. rkey = (z2 cell << 20) | label
+    (valid for zooms <= 21 with <= 2^20 fragments/tile)."""
+    from ..cell import z2_encode
+
+    mt = layout.map_transform
+
+    def run(it):
+        for pdf in it:
+            frags = {k: [] for k in
+                     ("rkey", "value", "n_pixels", "xmin", "ymin", "xmax", "ymax")}
+            borders = {k: [] for k in ("bkey", "bside", "rkey", "value")}
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                labels = region_group(arr)
+                h, w = arr.shape
+                col, row = int(t.col), int(t.row)
+                ext = mt.extent_for_key(col, row)
+                cw, ch = ext.width / w, ext.height / h
+                base = int(z2_encode(col, row)) << 20
+                n_regions = int(labels.max()) + 1 if labels.size else 0
+                for rid in range(n_regions):
+                    ii, jj = np.nonzero(labels == rid)
+                    if len(ii) == 0:
+                        continue
+                    frags["rkey"].append(base | rid)
+                    frags["value"].append(float(arr[ii[0], jj[0]]))
+                    frags["n_pixels"].append(int(len(ii)))
+                    frags["xmin"].append(float(ext.xmin + (jj.min() + 0.5) * cw))
+                    frags["xmax"].append(float(ext.xmin + (jj.max() + 0.5) * cw))
+                    frags["ymin"].append(float(ext.ymax - (ii.max() + 0.5) * ch))
+                    frags["ymax"].append(float(ext.ymax - (ii.min() + 0.5) * ch))
+                # border pixels: boundary key = (axis, boundary index, global
+                # pixel index along the boundary); side 0 = west/north tile
+                # of the boundary, 1 = east/south tile
+                for edge, side in (("E", 0), ("W", 1)):
+                    j = w - 1 if edge == "E" else 0
+                    bc = col if edge == "E" else col - 1
+                    lab = labels[:, j]
+                    ok = np.nonzero(lab >= 0)[0]
+                    for i in ok:
+                        borders["bkey"].append(f"V|{bc}|{row * h + int(i)}")
+                        borders["bside"].append(side)
+                        borders["rkey"].append(base | int(lab[i]))
+                        borders["value"].append(float(arr[i, j]))
+                for edge, side in (("S", 0), ("N", 1)):
+                    i = h - 1 if edge == "S" else 0
+                    br = row if edge == "S" else row - 1
+                    lab = labels[i, :]
+                    ok = np.nonzero(lab >= 0)[0]
+                    for j in ok:
+                        borders["bkey"].append(f"H|{br}|{col * w + int(j)}")
+                        borders["bside"].append(side)
+                        borders["rkey"].append(base | int(lab[j]))
+                        borders["value"].append(float(arr[i, j]))
+            yield (pd.DataFrame(frags), pd.DataFrame(borders))
+
+    return run
+
+
+def vectorize_merged(
+    layer: DataFrame, layout: LayoutDefinition, max_rounds: int = 32
+) -> DataFrame:
+    """Cross-tile vectorize: global connected regions of equal value
+    (Vectorize.scala:30-148 whole-raster semantics, distributed).
+
+    Plan: one decode pass emits per-tile fragments + border-pixel rows; a
+    self-join on the boundary key (equal values) yields the fragment
+    adjacency graph; hash-min label propagation converges in O(max region
+    diameter in tiles) rounds (each a bounded equi-join on the tiny fragment
+    graph, not the pixel data); final groupBy aggregates pixels/bbox per
+    global region. Output: (value, n_pixels, n_fragments, xmin, ymin,
+    xmax, ymax)."""
+    fn = _fragments_and_borders(layout)
+
+    # run the decode pass once, emitting both row kinds through a tagged
+    # union (fragment rows with bkey NULL, border rows with n_pixels NULL)
+    union_schema = (
+        "kind int, rkey long, value double, n_pixels long, xmin double, "
+        "ymin double, xmax double, ymax double, bkey string, bside int"
+    )
+
+    def emit(it):
+        cols = ["kind", "rkey", "value", "n_pixels", "xmin", "ymin",
+                "xmax", "ymax", "bkey", "bside"]
+        for frags, borders in fn(it):
+            f = frags.copy()
+            f["kind"] = 0
+            f["bkey"] = None
+            f["bside"] = None
+            b = borders.copy()
+            b["kind"] = 1
+            for c in ("n_pixels", "xmin", "ymin", "xmax", "ymax"):
+                b[c] = None
+            if len(f):
+                yield f[cols]
+            if len(b):
+                yield b[cols]
+
+    rows = layer.mapInPandas(emit, union_schema).persist()
+    frags = rows.where("kind = 0").select(
+        "rkey", "value", "n_pixels", "xmin", "ymin", "xmax", "ymax"
+    )
+    borders = rows.where("kind = 1").select("bkey", "bside", "rkey", "value")
+
+    a = borders.where("bside = 0").select(
+        F.col("bkey"), F.col("value"), F.col("rkey").alias("ka")
+    )
+    b = borders.where("bside = 1").select(
+        F.col("bkey"), F.col("value"), F.col("rkey").alias("kb")
+    )
+    edges = (
+        a.join(b, ["bkey", "value"])
+        .select("ka", "kb")
+        .where("ka <> kb")
+        .distinct()
+    )
+    # undirected
+    edges = edges.unionByName(
+        edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
+    ).distinct().persist()
+
+    labels = frags.select("rkey", F.col("rkey").alias("lbl")).persist()
+    for _ in range(max_rounds):
+        prop = edges.join(
+            labels.select(F.col("rkey").alias("kb"), "lbl"), "kb"
+        ).select(F.col("ka").alias("rkey"), "lbl")
+        new_labels = (
+            labels.unionByName(prop).groupBy("rkey").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "rkey")
+            .where("lbl <> old")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = (
+        frags.join(labels, "rkey")
+        .groupBy("lbl")
+        .agg(
+            F.min("value").alias("value"),
+            F.sum("n_pixels").cast("long").alias("n_pixels"),
+            F.count("*").cast("long").alias("n_fragments"),
+            F.min("xmin").alias("xmin"),
+            F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"),
+            F.max("ymax").alias("ymax"),
+        )
+        .drop("lbl")
+    )
+    rows.unpersist()
+    return out
 
 
 def raster_to_points(layer: DataFrame, layout: LayoutDefinition) -> DataFrame:

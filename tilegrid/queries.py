@@ -1201,70 +1201,242 @@ QUALIFY rank <= 3
 
 
 
-# -------- rows-only queries (no SQL oracle; driver records weaker check) --
-
 def q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn slope (Slope.scala:46-58 + SurfacePointCalculation): 3x3 surface
-    stencil over the count raster. arctan outputs are not bit-stable across
-    SQL engines, so this op carries no SQL oracle (pytest checks it against
-    the NumPy Horn oracle instead)."""
+    stencil over the count raster. The derivative math is exact integer
+    arithmetic (identical IEEE ops on both engines); only atan is
+    transcendental, so both engines round the final degrees to 4 decimals."""
     from .operators.focal import slope
 
     dense = _count_raster(spark, sf_dir)
     return _layer_pixels(
         slope(dense, cell_size=(LR.cell_width, LR.cell_height))
-    )
+    ).withColumn("val", F.round("val", 4))
+
+
+def _o_slope() -> str:
+    import math
+
+    d8x = repr(8.0 * LR.cell_width)
+    d8y = repr(8.0 * LR.cell_height)
+    deg = repr(math.degrees(1.0))
+    return f"""
+WITH {_o_dense_grid()},
+nbr AS (
+  SELECT a.gx, a.gy, a.cnt,
+         max(CASE WHEN b.gx = a.gx-1 AND b.gy = a.gy-1 THEN b.cnt END) AS nw_,
+         max(CASE WHEN b.gx = a.gx   AND b.gy = a.gy-1 THEN b.cnt END) AS n_,
+         max(CASE WHEN b.gx = a.gx+1 AND b.gy = a.gy-1 THEN b.cnt END) AS ne_,
+         max(CASE WHEN b.gx = a.gx-1 AND b.gy = a.gy   THEN b.cnt END) AS w_,
+         max(CASE WHEN b.gx = a.gx+1 AND b.gy = a.gy   THEN b.cnt END) AS e_,
+         max(CASE WHEN b.gx = a.gx-1 AND b.gy = a.gy+1 THEN b.cnt END) AS sw_,
+         max(CASE WHEN b.gx = a.gx   AND b.gy = a.gy+1 THEN b.cnt END) AS s_,
+         max(CASE WHEN b.gx = a.gx+1 AND b.gy = a.gy+1 THEN b.cnt END) AS se_
+  FROM dense a JOIN dense b
+    ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+  GROUP BY a.gx, a.gy, a.cnt
+),
+d AS (
+  SELECT gx, gy,
+    (COALESCE(ne_, cnt) + 2 * COALESCE(e_, cnt) + COALESCE(se_, cnt)
+     - COALESCE(nw_, cnt) - 2 * COALESCE(w_, cnt) - COALESCE(sw_, cnt))
+      / CAST({d8x} AS DOUBLE) AS dzdx,
+    (COALESCE(sw_, cnt) + 2 * COALESCE(s_, cnt) + COALESCE(se_, cnt)
+     - COALESCE(nw_, cnt) - 2 * COALESCE(n_, cnt) - COALESCE(ne_, cnt))
+      / CAST({d8y} AS DOUBLE) AS dzdy
+  FROM nbr
+)
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       round(atan(sqrt(dzdx * dzdx + dzdy * dzdy)) * CAST({deg} AS DOUBLE), 4) AS val
+FROM d WHERE NOT (dzdx = 0.0 AND dzdy = 0.0)
+"""
 
 
 def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorize (Vectorize.scala:30-148): region-group connected components
-    + boundary trace per tile over the 16-zone layer; WKB rings are not
-    SQL-expressible, so rows-only (pytest covers the tracer)."""
-    from .operators.vectorize import vectorize
+    """Cross-tile vectorize (Vectorize.scala:30-148 whole-raster region
+    semantics, distributed): per-tile region group + border adjacency +
+    label propagation over the 16-zone layer. Each zone spans a 2x2 tile
+    block, so without the cross-tile merge this would return 64 fragments —
+    the oracle checks the merged 16-region result (pixel counts, fragment
+    counts, exact pixel-center bboxes)."""
+    from .operators.vectorize import vectorize_merged
 
     zones = _const_layer(spark, lambda c, r: (c // 2) * 4 + (r // 2))
-    out = vectorize(zones, LR)
-    return out.select(
-        "zoom", "col", "row", "region_id", "value", "n_pixels",
-        F.length("wkb").alias("wkb_bytes"),
-    )
+    return vectorize_merged(zones, LR)
+
+
+def _o_vectorize() -> str:
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH g AS (
+  SELECT CAST(gx.range AS INT) AS gx, CAST(gy.range AS INT) AS gy
+  FROM range(0, 256) gx, range(0, 256) gy
+),
+z AS (
+  SELECT gx, gy,
+         CAST(((gx // 32) // 2) * 4 + ((gy // 32) // 2) AS DOUBLE) AS value,
+         (-180.0 + (gx // 32) * CAST({tw} AS DOUBLE))
+           + ((gx % 32) + 0.5) * CAST({cw} AS DOUBLE) AS x,
+         (90.0 - (gy // 32) * CAST({th} AS DOUBLE))
+           - ((gy % 32) + 0.5) * CAST({ch} AS DOUBLE) AS y
+  FROM g
+)
+SELECT value,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(count(DISTINCT (gx // 32) * 8 + (gy // 32)) AS BIGINT) AS n_fragments,
+       min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
+FROM z GROUP BY value
+"""
 
 
 def q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """renderPng (Render.scala:35-90): encode each count-raster tile to PNG
-    via the from-scratch codec; binary output -> rows-only."""
+    """renderPng (Render.scala:35-90): colormap each count-raster tile and
+    encode it to PNG via the from-scratch codec, then DECODE the bytes back
+    and aggregate per-tile channel sums — an end-to-end encode/decode
+    round-trip check whose output the SQL oracle reproduces by applying the
+    same colormap to the pixel counts directly."""
     from .sources.render import ColorMap, render_png
 
     dense = _count_raster(spark, sf_dir)
     cm = ColorMap.ramp(0.0, 16.0, 8)
     out = render_png(dense, cm)
-    return out.select(
-        "zoom", "col", "row", "cell", "fmt",
-        F.length("tile").alias("png_bytes"),
+
+    def decode_stats(it):
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("zoom", "col", "row", "n_px", "n_opaque", "sum_r", "sum_g", "sum_b")}
+            for t in pdf.itertuples(index=False):
+                img = codec.png_decode(bytes(t.tile))  # (h, w, 4) RGBA
+                rows["zoom"].append(int(t.zoom))
+                rows["col"].append(int(t.col))
+                rows["row"].append(int(t.row))
+                rows["n_px"].append(img.shape[0] * img.shape[1])
+                rows["n_opaque"].append(int((img[:, :, 3] == 255).sum()))
+                rows["sum_r"].append(int(img[:, :, 0].astype(np.int64).sum()))
+                rows["sum_g"].append(int(img[:, :, 1].astype(np.int64).sum()))
+                rows["sum_b"].append(int(img[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        decode_stats,
+        "zoom int, col int, row int, n_px long, n_opaque long, "
+        "sum_r long, sum_g long, sum_b long",
     )
+
+
+def _o_render_png() -> str:
+    # the exact ColorMap.ramp(0, 16, 8) tables (searchsorted side='left':
+    # index = count of breaks strictly below the value, clipped to n-1)
+    breaks = np.linspace(0.0, 16.0, 8)
+    colors = [int(v) for v in np.linspace(0, 255, 8)]
+    idx = " + ".join(
+        f"(CASE WHEN cnt > CAST({b!r} AS DOUBLE) THEN 1 ELSE 0 END)" for b in breaks
+    )
+    cv = "CASE least(" + idx + ", 7) " + " ".join(
+        f"WHEN {i} THEN {c}" for i, c in enumerate(colors)
+    ) + " END"
+    return f"""
+WITH {_o_dense_grid()},
+px AS (SELECT gx, gy, {cv} AS cv FROM dense)
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(count(*) AS BIGINT) AS n_opaque,
+       CAST(sum(cv) AS BIGINT) AS sum_r,
+       CAST(sum(cv) AS BIGINT) AS sum_g,
+       CAST(sum(cv) AS BIGINT) AS sum_b
+FROM px GROUP BY 2, 3
+"""
 
 
 def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram equalization (RDDHistogramEqualization.scala:44-120):
-    global histogram -> broadcast CDF -> per-pixel transfer; the transfer's
-    float path is engine-specific -> rows-only."""
+    global bucket counts -> broadcast CDF -> per-pixel transfer
+    out = lo + cdf[bucket] * (hi - lo). Pure rational arithmetic over
+    integer counts -> bit-identical to the SQL oracle, no rounding."""
     from .operators.reshape import histogram_equalization
 
     dense = _count_raster(spark, sf_dir)
     return _layer_pixels(histogram_equalization(dense))
 
 
+def _o_hist_equalization() -> str:
+    return f"""
+WITH {_o_dense_grid()},
+mm AS (SELECT min(cnt) AS lo, max(cnt) AS hi FROM dense),
+bk AS (
+  SELECT gx, gy,
+         CAST(least(greatest(floor((cnt - lo) / (hi - lo) * 256), 0.0), 255.0)
+              AS BIGINT) AS bkt
+  FROM dense, mm
+),
+bc AS (SELECT bkt, count(*) AS c FROM bk GROUP BY bkt),
+cd AS (
+  SELECT bkt,
+         CAST(sum(c) OVER (ORDER BY bkt) AS DOUBLE)
+           / CAST((SELECT count(*) FROM dense) AS DOUBLE) AS cdfv
+  FROM bc
+)
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       lo + cdfv * (hi - lo) AS val
+FROM bk JOIN cd USING (bkt), mm
+"""
 
 
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed exact convex hull of the event points (per-partition
-    hulls -> driver finish; §2.9). Hull geometry is not SQL-expressible ->
-    rows-only."""
-    from .operators.vector import convex_hull_points
+    """Distributed exact convex hull of the event points via the slope
+    envelope formulation (vector.convex_hull_envelope): per-x extremal
+    candidates, pairwise slope aggregates, vertex test min_left > max_right.
+    Identical +-*/ and min/max on both engines -> hash-exact, including on
+    degenerate (collinear lattice) inputs."""
+    from .operators.vector import convex_hull_envelope
 
     pts = _events_points(spark, sf_dir)
-    hull = convex_hull_points(pts, x="lon", y="lat")
-    return spark.createDataFrame(hull)
+    return convex_hull_envelope(pts, x="lon", y="lat")
+
+
+def _o_convex_hull() -> str:
+    return f"""
+WITH p AS (SELECT DISTINCT {LON_E} AS lon, {LAT_E} AS lat FROM events),
+uc AS (SELECT lon, max(lat) AS lat FROM p GROUP BY lon),
+lc AS (SELECT lon, min(lat) AS lat FROM p GROUP BY lon),
+upairs AS (
+  SELECT a.lon AS ax, a.lat AS ay, b.lon AS bx, b.lat AS by,
+         (b.lat - a.lat) / (b.lon - a.lon) AS s
+  FROM uc a JOIN uc b ON a.lon < b.lon
+),
+uagg AS (
+  SELECT c.lon, c.lat, l.min_left, r.max_right
+  FROM uc c
+  LEFT JOIN (SELECT bx AS lon, min(s) AS min_left FROM upairs GROUP BY bx) l
+    ON l.lon = c.lon
+  LEFT JOIN (SELECT ax AS lon, max(s) AS max_right FROM upairs GROUP BY ax) r
+    ON r.lon = c.lon
+),
+lpairs AS (
+  SELECT a.lon AS ax, a.lat AS ay, b.lon AS bx, b.lat AS by,
+         (b.lat - a.lat) / (b.lon - a.lon) AS s
+  FROM lc a JOIN lc b ON a.lon < b.lon
+),
+lagg AS (
+  SELECT c.lon, c.lat, l.max_left, r.min_right
+  FROM lc c
+  LEFT JOIN (SELECT bx AS lon, max(s) AS max_left FROM lpairs GROUP BY bx) l
+    ON l.lon = c.lon
+  LEFT JOIN (SELECT ax AS lon, min(s) AS min_right FROM lpairs GROUP BY ax) r
+    ON r.lon = c.lon
+)
+SELECT 'U' AS hull_side, lon, lat FROM uagg
+WHERE min_left IS NULL OR max_right IS NULL OR min_left > max_right
+UNION ALL
+SELECT 'L' AS hull_side, lon, lat FROM lagg
+WHERE max_left IS NULL OR min_right IS NULL OR max_left < min_right
+"""
 
 
 # ================================================== registry
@@ -1339,6 +1511,11 @@ ORACLES = {
     "mask": _o_mask(),
     "zoom_resample": _o_zoom_resample(),
     "merge_layers": _o_merge_layers(),
+    "slope": _o_slope(),
+    "vectorize": _o_vectorize(),
+    "render_png": _o_render_png(),
+    "hist_equalization": _o_hist_equalization(),
+    "convex_hull": _o_convex_hull(),
     "dedup_exact": _o_dedup_exact(),
     "minhash_sig": _o_minhash_sig(),
     "minhash_lsh_pairs": _o_minhash_lsh_pairs(),
