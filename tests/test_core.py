@@ -364,7 +364,8 @@ class TestFixtures:
         # decode round-trip invariants: png exact, jpeg PSNR >= 40
         for _, r in a.iterrows():
             dec = codec.decode_tile(r["bytes"], r["fmt"])
-            pat = fixtures.make_pattern(int(r["image_id"][3:]), r["h"], r["w"])
+            pat = fixtures.make_pattern_rgb(int(r["image_id"][3:]), r["h"], r["w"])
+            assert dec.shape == (r["h"], r["w"], 3)  # RGB corpus
             if r["fmt"] == "png":
                 assert np.array_equal(dec, pat)
             else:

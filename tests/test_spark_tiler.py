@@ -76,7 +76,7 @@ def merge_order_key(image_id: str) -> tuple[int, str]:
     return (int(hashlib.md5(image_id.encode()).hexdigest()[:15], 16), image_id)
 
 
-def oracle_tile_to_layout(pdf):
+def oracle_tile_to_layout(pdf, multiband=False):
     """Sequential tiler: same merge semantics, canonical (hash, id) order."""
     mt = LAYOUT.map_transform
     xmin, ymin, xmax, ymax = oracle_extents(pdf)
@@ -86,12 +86,15 @@ def oracle_tile_to_layout(pdf):
     )
     tiles: dict[tuple[int, int], np.ndarray] = {}
     ts = LAYOUT.tile_layout.tile_cols
+    shape = (ts, ts, 3) if multiband else (ts, ts)
     for i in order:
         r = pdf.iloc[i]
         src = codec.decode_tile(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+        if src.ndim == 3 and not multiband:
+            src = codec.to_gray_f64(src)
         src_ext = Extent(xmin[i], ymin[i], xmax[i], ymax[i])
         for c, rw in keysets[i]:
-            tgt = tiles.setdefault((c, rw), np.full((ts, ts), np.nan))
+            tgt = tiles.setdefault((c, rw), np.full(shape, np.nan))
             nn_paste(tgt, mt.extent_for_key(c, rw), src, src_ext, nodata_mask_nan)
     return tiles
 
@@ -117,6 +120,71 @@ class TestTileToLayout:
             )
             m = ~np.isnan(exp)
             np.testing.assert_allclose(got[m], exp[m], err_msg=f"key {(t.col, t.row)}")
+
+    def test_multiband_pixels_match_oracle(self, spark):
+        """RGB corpus through the tiler with multiband=True: per-band parity
+        vs the sequential (h, w, 3) oracle (MultibandTile semantics)."""
+        pdf = images_with_xy(30)
+        df = spark.createDataFrame(
+            pdf[["image_id", "bytes", "fmt", "x", "y", "w", "h"]].rename(
+                columns={"bytes": "tile"}
+            )
+        )
+        layer = T.tile_to_layout(
+            T.with_extent_from_center(df, LAYOUT, "x", "y"), LAYOUT, ZOOM,
+            multiband=True,
+        ).toPandas()
+        want = oracle_tile_to_layout(pdf, multiband=True)
+        assert set(zip(layer.col, layer.row)) == set(want)
+        for t in layer.itertuples(index=False):
+            got = codec.decode_tile(bytes(t.tile), t.fmt)
+            exp = want[(t.col, t.row)]
+            assert got.shape == exp.shape and got.shape[2] == 3
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+            m = ~np.isnan(exp)
+            np.testing.assert_allclose(got[m], exp[m], err_msg=f"key {(t.col, t.row)}")
+
+    def test_band_select_and_combine(self, spark):
+        """band_select(i) of the multiband layer == grayscale of channel i;
+        normalized_difference is exact per pixel."""
+        from tilegrid.operators.bands import band_select, band_stack, normalized_difference
+
+        pdf = images_with_xy(20)
+        df = spark.createDataFrame(
+            pdf[["image_id", "bytes", "fmt", "x", "y", "w", "h"]].rename(
+                columns={"bytes": "tile"}
+            )
+        )
+        placed = T.with_extent_from_center(df, LAYOUT, "x", "y")
+        mb = T.tile_to_layout(placed, LAYOUT, ZOOM, multiband=True).persist()
+        want = oracle_tile_to_layout(pdf, multiband=True)
+        b1 = band_select(mb, 1).toPandas()
+        for t in b1.itertuples(index=False):
+            got = codec.decode_tile(bytes(t.tile), t.fmt)
+            exp = want[(t.col, t.row)][:, :, 1]
+            m = ~np.isnan(exp)
+            np.testing.assert_allclose(got[m], exp[m])
+        nd = normalized_difference(mb, 0, 2).toPandas()
+        for t in nd.itertuples(index=False):
+            got = codec.decode_tile(bytes(t.tile), t.fmt)
+            w3 = want[(t.col, t.row)]
+            den = w3[:, :, 0] + w3[:, :, 2]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                exp = (w3[:, :, 0] - w3[:, :, 2]) / den
+            exp[den == 0] = np.nan
+            m = ~np.isnan(exp)
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+            np.testing.assert_allclose(got[m], exp[m])
+        # restack the selected bands -> identical multiband tiles
+        restack = band_stack(
+            [band_select(mb, i) for i in range(3)]
+        ).toPandas()
+        for t in restack.itertuples(index=False):
+            got = codec.decode_tile(bytes(t.tile), t.fmt)
+            exp = want[(t.col, t.row)]
+            m = ~np.isnan(exp)
+            np.testing.assert_allclose(got[m], exp[m])
+        mb.unpersist()
 
     def test_salted_merge_bit_identical(self, spark):
         """Hot-cell skew split (two-phase salted merge) must be bit-identical

@@ -57,10 +57,22 @@ def make_pattern(i: int, h: int, w: int) -> np.ndarray:
     return ((xx * yy + i) % 97).astype(np.uint8)
 
 
+def make_pattern_rgb(i: int, h: int, w: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 RGB tile: three phase-shifted patterns
+    (MultibandTile-shaped corpus, MultibandTile.scala:54)."""
+    return np.stack(
+        [make_pattern(i, h, w), make_pattern(i + 1, h, w), make_pattern(i + 2, h, w)],
+        axis=-1,
+    )
+
+
 def phash64(arr: np.ndarray) -> int:
     """Deterministic 64-bit perceptual-ish hash: xor-fold of 8x8 mean-block
-    sign bits vs global mean (consistent between oracle and engine)."""
-    a = arr.astype(np.float64)
+    sign bits vs global mean (consistent between oracle and engine).
+    RGB inputs hash their luma plane."""
+    from .codec import to_gray_f64
+
+    a = to_gray_f64(arr) if arr.ndim == 3 else arr.astype(np.float64)
     h, w = a.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = a[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
@@ -87,14 +99,16 @@ def image_lonlat(image_id: str) -> tuple[float, float]:
 
 def images_table(n: int) -> pd.DataFrame:
     """The authoritative input table (BASELINE.json input_hint):
-    (image_id, bytes, w, h, fmt, caption, phash) + derived lon/lat columns."""
+    (image_id, bytes, w, h, fmt, caption, phash) + derived lon/lat columns.
+    Images are RGB (h, w, 3); pipelines choose luma or multiband at the
+    tiler (tile_to_layout(multiband=...))."""
     sizes = (64, 128, 256)
     rows = []
     for i in range(n):
         image_id = f"img{i:010d}"
         w = sizes[i % 3]
         h = sizes[(i // 3) % 3]
-        arr = make_pattern(i, h, w)
+        arr = make_pattern_rgb(i, h, w)
         fmt = "png" if i % 2 == 0 else "jpeg"
         data = codec.encode_tile(arr, fmt)
         cap = f"caption-{i}-" + " ".join(

@@ -127,13 +127,17 @@ def cut_tiles(
     zoom: int,
     id_col: str = "image_id",
     out_fmt: str = "raw",
+    multiband: bool = False,
 ) -> DataFrame:
     """Paste each (input raster x covering key) into a fresh layout tile
     (CutTiles.scala:45-57). Input needs tile/fmt/xmin/ymin/xmax/ymax columns.
     Output: layer rows + id column, float64 raw tiles (NaN NoData) unless
-    out_fmt='png' (uint8). One mapInPandas, no shuffle."""
+    out_fmt='png' (uint8). multiband=True keeps (h, w, bands) arrays intact
+    (MultibandTile.scala:54) instead of collapsing to luma. One mapInPandas,
+    no shuffle."""
     return _paste_tiles(
-        explode_covering_keys(df, layout, zoom), layout, id_col, out_fmt
+        explode_covering_keys(df, layout, zoom), layout, id_col, out_fmt,
+        multiband=multiband,
     )
 
 
@@ -143,6 +147,7 @@ def _paste_tiles(
     id_col: str = "image_id",
     out_fmt: str = "raw",
     extra_cols: tuple[str, ...] = (),
+    multiband: bool = False,
 ) -> DataFrame:
     """The decode+paste half of CutTiles, over pre-exploded (row x key)
     rows — split out so skew routing can filter BEFORE the expensive
@@ -166,9 +171,9 @@ def _paste_tiles(
             }
             for t in pdf.itertuples(index=False):
                 src = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
-                if src.ndim == 3:
+                if src.ndim == 3 and not multiband:
                     src = codec.to_gray_f64(src)
-                target = np.full((tsz_r, tsz_c), np.nan)
+                target = np.full((tsz_r, tsz_c) + src.shape[2:], np.nan)
                 text = mt.extent_for_key(int(t.col), int(t.row))
                 nn_paste(
                     target, text, src,
@@ -212,6 +217,7 @@ def _cut_parts_direct(
     zoom: int,
     id_col: str,
     hot_bits: dict[tuple[int, int], int],
+    multiband: bool = False,
 ) -> DataFrame:
     """Shuffle-compact CutTiles: ONE decode per source image (not per
     covering tile); covering keys enumerated in-UDF with the same
@@ -251,7 +257,7 @@ def _cut_parts_direct(
                 # smaller to encode/shuffle than f64 and paste upcasts
                 # losslessly into the f64 NaN-NoData accumulator
                 src = codec.decode_tile(bytes(t.tile), t.fmt)
-                if src.ndim == 3:
+                if src.ndim == 3 and not multiband:
                     src = codec.to_gray_f64(src)
                 src_ext = Extent(t.xmin, t.ymin, t.xmax, t.ymax)
                 rid = getattr(t, id_col)
@@ -293,22 +299,27 @@ def _cut_parts_direct(
 def _assemble_udf(layout: LayoutDefinition, id_col: str):
     """applyInPandas kernel assembling one (key, salt) partial tile from its
     parts: fold in canonical (merge_ord, id) order, first-defined-wins per
-    pixel (TileRDDMerge.scala:44-55 + Tile.merge paste-where-NoData)."""
+    pixel (TileRDDMerge.scala:44-55 + Tile.merge paste-where-NoData).
+    Band count comes from the first decoded part (single- and multiband
+    parts share this kernel)."""
     tr, tc = layout.tile_layout.tile_rows, layout.tile_layout.tile_cols
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["merge_ord", id_col])
-        acc = np.full((tr, tc), np.nan)
+        acc = None
         for t in pdf.itertuples(index=False):
             y0, x0 = int(t.py0), int(t.px0)
             # first-defined-wins fold: a part whose window is already fully
             # defined is a no-op — skip its DECODE entirely (exact; this is
             # what bounds hot-cell folds where thousands of images stack on
             # the same window)
-            win = acc[y0 : y0 + int(t.ph), x0 : x0 + int(t.pw)]
-            if not np.isnan(win).any():
-                continue
+            if acc is not None:
+                win = acc[y0 : y0 + int(t.ph), x0 : x0 + int(t.pw)]
+                if not np.isnan(win).any():
+                    continue
             patch = codec.decode_tile(bytes(t.part), "raw")
+            if acc is None:
+                acc = np.full((tr, tc) + patch.shape[2:], np.nan)
             paste_patch(acc, y0, x0, patch, nodata_mask_nan)
         first = pdf.iloc[0]
         return pd.DataFrame(
@@ -365,6 +376,7 @@ def tile_to_layout(
     repartition: int | None = None,
     hot_threshold: int | None = 512,
     n_salt: int = 256,
+    multiband: bool = False,
 ) -> DataFrame:
     """CutTiles + merge: the reference tiler with explicit hot-cell skew
     splitting, which the reference lacks (SpacePartitioner degrades to
@@ -396,7 +408,7 @@ def tile_to_layout(
             hot_bits[(int(r["col"]), int(r["row"]))] = min(
                 cap_bits, max(1, (need - 1).bit_length())
             )
-    parts = _cut_parts_direct(df, layout, zoom, id_col, hot_bits)
+    parts = _cut_parts_direct(df, layout, zoom, id_col, hot_bits, multiband)
     if repartition:
         parts = parts.repartition(repartition, "cell")
     partials = parts.groupBy("zoom", "col", "row", "merge_salt").applyInPandas(

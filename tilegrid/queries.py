@@ -485,6 +485,86 @@ HAVING sum(cnt) > 0
 """
 
 
+# ---------------------------------------------------------- multiband (RGB)
+
+def _rgb_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 3-band layer: click/error/view count rasters stacked per key
+    (ArrayMultibandTile construction over aligned layers)."""
+    from .operators.bands import band_stack
+
+    r = _count_raster(spark, sf_dir, "event_type = 'click'")
+    g = _count_raster(spark, sf_dir, "event_type = 'error'")
+    b = _count_raster(spark, sf_dir, "event_type = 'view'")
+    return band_stack([r, g, b])
+
+
+def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band stats over a real (h, w, 3) multiband layer
+    (MultibandTile.scala:54 + StatsTileRDDMethods per band): exercises
+    band_stack + the multiband raw codec end-to-end."""
+    from .operators.bands import band_stats
+
+    return band_stats(_rgb_stack(spark, sf_dir)).select(
+        "band", "n_px", "vsum", "vmin", "vmax", "vmean"
+    )
+
+
+def _o_band_stats() -> str:
+    cr = _o_pixel_counts("event_type = 'click'", "_r")
+    cg = _o_pixel_counts("event_type = 'error'", "_g")
+    cb = _o_pixel_counts("event_type = 'view'", "_b")
+    dense = "\n".join(
+        f"d{s} AS (SELECT g.gx, g.gy, COALESCE(pc{s}.cnt, 0.0) AS cnt FROM g "
+        f"LEFT JOIN pc{s} ON pc{s}.col * 32 + pc{s}.px = g.gx "
+        f"AND pc{s}.row * 32 + pc{s}.py = g.gy),"
+        for s in ("_r", "_g", "_b")
+    ).rstrip(",")
+    stats = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS band, CAST(count(*) AS BIGINT) AS n_px, "
+        f"CAST(sum(cnt) AS DOUBLE) AS vsum, min(cnt) AS vmin, max(cnt) AS vmax, "
+        f"sum(cnt) / count(*) AS vmean FROM d{s}"
+        for i, s in enumerate(("_r", "_g", "_b"))
+    )
+    return f"""
+WITH {cr},
+{cg},
+{cb},
+g AS (
+  SELECT CAST(gx.range AS INT) AS gx, CAST(gy.range AS INT) AS gy
+  FROM range(0, 256) gx, range(0, 256) gy
+),
+{dense}
+{stats}
+"""
+
+
+def q_ndvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-difference band combine (MultibandTile.combine; the NDVI
+    shape) over bands 0/1 of the stacked layer: (r - g) / (r + g), NaN where
+    the sum is 0. Pure rational arithmetic -> hash-exact oracle."""
+    from .operators.bands import normalized_difference
+
+    return _layer_pixels(normalized_difference(_rgb_stack(spark, sf_dir), 0, 1))
+
+
+def _o_ndvi() -> str:
+    ca = _o_pixel_counts("event_type = 'click'", "_a")
+    cb = _o_pixel_counts("event_type = 'error'", "_b")
+    return f"""
+WITH {ca},
+{cb},
+j AS (
+  SELECT COALESCE(a.col, b.col) AS col, COALESCE(a.row, b.row) AS row,
+         COALESCE(a.px, b.px) AS px, COALESCE(a.py, b.py) AS py,
+         COALESCE(a.cnt, 0.0) AS ca, COALESCE(b.cnt, 0.0) AS cb
+  FROM pc_a a FULL OUTER JOIN pc_b b
+    ON a.col = b.col AND a.row = b.row AND a.px = b.px AND a.py = b.py
+)
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py, (ca - cb) / (ca + cb) AS val
+FROM j WHERE ca + cb > 0 AND ca <> cb
+"""
+
+
 def q_zonal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal histogram (Zonal.scala:45-55): value layer x zone layer ->
     (zone, value, n_px)."""
@@ -1453,6 +1533,8 @@ QUERIES = {
     "local_add": q_local_add,
     "focal_sum": q_focal_sum,
     "pyramid_sum": q_pyramid_sum,
+    "band_stats": q_band_stats,
+    "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
     "local_sqrt": q_local_sqrt,
     "histogram": q_histogram,
@@ -1498,6 +1580,8 @@ ORACLES = {
     "local_add": _o_local_add(),
     "focal_sum": _o_focal_sum(),
     "pyramid_sum": _o_pyramid_sum(),
+    "band_stats": _o_band_stats(),
+    "ndvi": _o_ndvi(),
     "zonal_hist": _o_zonal_hist(),
     "local_sqrt": _o_local_sqrt(),
     "histogram": _o_histogram(),

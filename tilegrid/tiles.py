@@ -35,9 +35,10 @@ def nn_patch(
     """NN-resample src onto the target grid, clipped: returns (y0, x0,
     patch) — the covered target pixel window and its values — or None if
     disjoint. This is the shuffle-compact form of a CutTiles part: only the
-    defined sub-rectangle travels, not a full mostly-NoData tile."""
-    th, tw = target_shape
-    sh, sw = src.shape
+    defined sub-rectangle travels, not a full mostly-NoData tile.
+    src may be (h, w) or (h, w, bands); bands ride along."""
+    th, tw = target_shape[:2]
+    sh, sw = src.shape[:2]
     inter = target_ext.intersection(src_ext)
     if inter is None or inter.width <= 0 or inter.height <= 0:
         return None
@@ -109,6 +110,8 @@ def resample_bilinear(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.clip(x0 + 1, 0, sw - 1)
     wy = np.clip(fy - y0, 0.0, 1.0)[:, None]
     wx = np.clip(fx - x0, 0.0, 1.0)[None, :]
+    if src.ndim == 3:  # bands ride along on the trailing axis
+        wy, wx = wy[..., None], wx[..., None]
     a = src.astype(np.float64)
     top = a[np.ix_(y0, x0)] * (1 - wx) + a[np.ix_(y0, x1)] * wx
     bot = a[np.ix_(y1, x0)] * (1 - wx) + a[np.ix_(y1, x1)] * wx
