@@ -205,6 +205,40 @@ class TestAnn:
         pairs = A.cosine_dup_pairs(df, threshold=0.999, dim=8).toPandas()
         assert (0, 1) in set(zip(pairs.vec_a, pairs.vec_b))
 
+    def test_mega_bucket_cap_bounds_pairs(self, spark, capfd):
+        """Adversarial mega-bucket: thousands of identical vectors would
+        produce O(n^2) pairs; the hot-bucket cap must drop the bucket,
+        bound the output, and log the drop."""
+        n = 3000
+        base = [1.0] * 8
+        pdf = pd.DataFrame(
+            {"vec_id": range(n), "embedding": [base] * n}
+        )
+        df = spark.createDataFrame(pdf)
+        out = A.cosine_dup_pairs(
+            df, threshold=0.5, dim=8, max_bucket=100
+        ).toPandas()
+        assert len(out) == 0  # every band bucket is hot -> dropped
+        err = capfd.readouterr().err
+        assert "dropped" in err and "hot buckets" in err
+        # uncapped control on a small slice still finds the dups
+        small = spark.createDataFrame(pdf.head(20))
+        got = A.cosine_dup_pairs(
+            small, threshold=0.5, dim=8, max_bucket=None
+        ).toPandas()
+        assert len(got) == 20 * 19 // 2
+
+    def test_minhash_mega_bucket_cap(self, spark, capfd):
+        n = 2000
+        pdf = pd.DataFrame(
+            {"doc_id": range(n), "text": ["the same boilerplate text here"] * n}
+        )
+        df = spark.createDataFrame(pdf)
+        out = D.minhash_lsh_pairs(df, max_bucket=50).toPandas()
+        assert len(out) == 0
+        err = capfd.readouterr().err
+        assert "dropped" in err and "minhash_lsh" in err
+
 
 class TestMultimodal:
     def test_image_features_match_fixtures(self, spark):

@@ -177,6 +177,48 @@ class TestKnn:
             grp = got[got.query_id == qid].sort_values("rank")
             assert grp.point_id.tolist() == want[qi], qid
 
+    def test_knn_join_df_matches_bruteforce(self, spark):
+        """DataFrame-native variant: same exact results, queries never
+        touch the driver."""
+        pts = to_xy(fixtures.points_table(500))
+        queries = to_xy(fixtures.points_table(12)).rename(
+            columns={"point_id": "query_id"}
+        )
+        df = spark.createDataFrame(pts[["point_id", "x", "y"]])
+        qdf = spark.createDataFrame(queries[["query_id", "x", "y"]])
+        k = 5
+        got = J.knn_join_df(df, qdf, LAYOUT, ZOOM, k=k).toPandas()
+        want = oracle.knn(
+            queries.x.values, queries.y.values,
+            pts.x.values, pts.y.values, pts.point_id.tolist(), k,
+        )
+        for qi, qid in enumerate(queries.query_id):
+            grp = got[got.query_id == qid].sort_values("rank")
+            assert grp.point_id.tolist() == want[qi], qid
+
+    def test_knn_join_df_many_queries_no_driver_blowup(self, spark):
+        """5k queries x 20k points: the ring loop must stay distributed
+        (per-round driver traffic is one tiny count) and return exactly k
+        rows per query; spot-check 25 queries against brute force."""
+        pts = to_xy(fixtures.points_table(20_000))
+        queries = to_xy(fixtures.points_table(5_000)).rename(
+            columns={"point_id": "query_id"}
+        )
+        df = spark.createDataFrame(pts[["point_id", "x", "y"]])
+        qdf = spark.createDataFrame(queries[["query_id", "x", "y"]])
+        k = 3
+        got = J.knn_join_df(df, qdf, LAYOUT, ZOOM, k=k).toPandas()
+        counts = got.groupby("query_id").size()
+        assert len(counts) == 5_000 and (counts == k).all()
+        sample = queries.iloc[::200]
+        want = oracle.knn(
+            sample.x.values, sample.y.values,
+            pts.x.values, pts.y.values, pts.point_id.tolist(), k,
+        )
+        for qi, qid in enumerate(sample.query_id):
+            grp = got[got.query_id == qid].sort_values("rank")
+            assert grp.point_id.tolist() == want[qi], qid
+
     def test_global_k_nearest(self, spark):
         pts = to_xy(fixtures.points_table(400))
         df = spark.createDataFrame(pts[["point_id", "x", "y"]])

@@ -218,6 +218,54 @@ class TestTileToLayout:
             np.testing.assert_array_equal(a[m], b[m], err_msg=f"key {k}")
 
 
+class TestReproject:
+    def test_warp_latlng_to_webmercator_matches_oracle(self, spark):
+        """NN warp vs a whole-array NumPy oracle: every dst pixel center
+        inverse-mapped to the stitched source (TileRDDReproject parity)."""
+        from tilegrid.grid import (
+            LATLNG_WORLD, WEBMERCATOR_WORLD, LayoutDefinition, TileLayout,
+            webmercator_to_lnglat,
+        )
+        from tilegrid.operators.reproject import reproject_layer
+
+        src_layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 16, 16))
+        dst_layout = LayoutDefinition(WEBMERCATOR_WORLD, TileLayout(4, 4, 16, 16))
+        # deterministic non-trivial source: value = global pixel index
+        rows = []
+        from tilegrid.cell import z2_encode
+
+        src_px = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
+        for c in range(4):
+            for r in range(4):
+                arr = src_px[r * 16 : (r + 1) * 16, c * 16 : (c + 1) * 16]
+                rows.append((2, c, r, int(z2_encode(c, r)),
+                             codec.raw_encode(np.ascontiguousarray(arr)),
+                             16, 16, "raw"))
+        from tilegrid.operators import LAYER_SCHEMA
+
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile",
+                                        "h", "w", "fmt"]),
+            schema=LAYER_SCHEMA,
+        )
+        out = reproject_layer(
+            layer, src_layout, dst_layout, 2, "latlng", "webmercator"
+        ).toPandas()
+        assert len(out) == 16  # full dst coverage
+        half = WEBMERCATOR_WORLD.xmax
+        cwm = 2 * half / 64
+        gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+        mx = -half + (gx + 0.5) * cwm
+        my = half - (gy + 0.5) * cwm
+        lon, lat = webmercator_to_lnglat(mx.ravel(), my.ravel())
+        sgx = np.floor((lon + 180.0) / src_layout.cell_width).astype(np.int64)
+        sgy = np.floor((90.0 - lat) / src_layout.cell_height).astype(np.int64)
+        want = src_px[sgy, sgx].reshape(64, 64)
+        got, (c0, r0, _, _) = fixtures.stitch_layer_df(out)
+        assert (c0, r0) == (0, 0)
+        np.testing.assert_array_equal(got, want)
+
+
 def layer_df(spark, variant, tile_size=16):
     return spark.createDataFrame(fixtures.tile_layer_table(variant, tile_size=tile_size))
 

@@ -94,12 +94,47 @@ def hyperplane_expr(emb: str, plane: int, dim: int) -> str:
     return f"CASE WHEN {s} >= 0 THEN 1 ELSE 0 END"
 
 
+def bucket_expr(emb: str, planes: list[int], dim: int) -> str:
+    """Pack the sign bits of the given planes into one int bucket id."""
+    bits = " + ".join(
+        f"({hyperplane_expr(emb, p, dim)}) * {1 << j}" for j, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS INT)"
+
+
 def with_lsh_bucket(df: DataFrame, emb: str = "embedding", n_planes: int = 8, dim: int = 64) -> DataFrame:
     """Pack n_planes sign bits into one int bucket id (2^n_planes buckets)."""
-    bits = " + ".join(
-        f"({hyperplane_expr(emb, p, dim)}) * {1 << p}" for p in range(n_planes)
+    return df.withColumn(
+        "bucket", F.expr(bucket_expr(emb, list(range(n_planes)), dim))
     )
-    return df.withColumn("bucket", F.expr(f"CAST({bits} AS INT)"))
+
+
+def with_banded_buckets(
+    df: DataFrame,
+    emb: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded multi-table LSH: n_bands independent tables, each hashing a
+    disjoint slice of n_planes/n_bands hyperplanes -> one (band, bucket)
+    row per input row per band. More planes per table shrink hot buckets;
+    multiple tables restore recall (candidate if ANY band matches) — the
+    same band trick the minhash pipeline uses. The bucket exprs are
+    computed once here (a single projection), not re-derived per join."""
+    rb = n_planes // n_bands
+    rows = []
+    for b in range(n_bands):
+        planes = list(range(b * rb, (b + 1) * rb))
+        rows.append(
+            df.withColumn("band", F.lit(b)).withColumn(
+                "bucket", F.expr(bucket_expr(emb, planes, dim))
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def lsh_bucket_topk(
@@ -109,18 +144,24 @@ def lsh_bucket_topk(
     cand_id: str = "vec_id",
     query_id: str = "query_id",
     emb: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int = 16,
+    n_bands: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. At scale both sides are hashed on `bucket` (one shuffle each,
-    or broadcast if queries are small); recall is tuned by n_planes."""
-    c = with_lsh_bucket(candidates, emb, n_planes, dim)
-    q = with_lsh_bucket(queries, emb, n_planes, dim).select(
-        query_id, "bucket", F.col(emb).alias("_qemb")
+    """Approximate top-k: only candidates sharing an LSH bucket with the
+    query (in ANY band — multi-table probing) are scored. At scale both
+    sides hash on (band, bucket) (one shuffle each, or broadcast for small
+    query sets); per-table selectivity is n_planes/n_bands sign bits and
+    recall is restored by the band union. n_bands=1 is the single-table
+    form."""
+    c = with_banded_buckets(candidates, emb, n_planes, n_bands, dim)
+    q = with_banded_buckets(queries, emb, n_planes, n_bands, dim).select(
+        query_id, "band", "bucket", F.col(emb).alias("_qemb")
     )
     sim = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .select(query_id, F.col(cand_id), emb, "_qemb")
+        .distinct()
         .withColumn(
             "sim",
             F.expr(
@@ -143,28 +184,47 @@ def cosine_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     emb: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int = 16,
+    n_bands: int = 4,
     dim: int = 64,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH bucket self-join + exact cosine
-    refine. (Near-identical vectors land in the same bucket with prob
-    ~(1 - theta/pi)^n_planes — high for dup-grade similarity.)"""
-    b = with_lsh_bucket(df, emb, n_planes, dim).select(id_col, "bucket", emb)
-    a, c = b.alias("a"), b.alias("c")
-    return (
-        a.join(c, "bucket")
+    """Embedding near-duplicate pairs: banded multi-table LSH candidates +
+    exact cosine refine. Defaults (16 planes / 4 bands of 4) keep per-table
+    buckets small at scale while any-band matching keeps recall: a pair at
+    angle theta is a candidate with prob 1-(1-(1-theta/pi)^4)^4. (The old
+    single-table n_planes=4 default degraded toward N^2/16 pairs — a
+    scale-killer.) max_bucket drops degenerate hot buckets (boilerplate/
+    zero vectors) before the self-join, bounding pair output; n_bands=1
+    reproduces the single-table behavior."""
+    from .dedup import _cap_buckets
+
+    banded = with_banded_buckets(df, emb, n_planes, n_bands, dim).select(
+        id_col, "band", "bucket"
+    )
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, ["band", "bucket"], max_bucket, "cosine_dup")
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(c, ["band", "bucket"])
         .where(F.expr(f"a.{id_col} < c.{id_col}"))
-        .withColumn(
-            "sim",
-            F.expr(
-                f"{dot_expr('a.' + emb, 'c.' + emb)} /"
-                f" ({norm_expr('a.' + emb)} * {norm_expr('c.' + emb)})"
-            ),
-        )
-        .where(F.col("sim") >= threshold)
         .select(
             F.expr(f"a.{id_col}").alias("vec_a"),
             F.expr(f"c.{id_col}").alias("vec_b"),
-            F.round("sim", 4).alias("sim"),
         )
+        .distinct()
+    )
+    e1 = df.select(F.col(id_col).alias("vec_a"), F.col(emb).alias("_ea"))
+    e2 = df.select(F.col(id_col).alias("vec_b"), F.col(emb).alias("_eb"))
+    return (
+        cand.join(e1, "vec_a")
+        .join(e2, "vec_b")
+        .withColumn(
+            "sim",
+            F.expr(
+                f"{dot_expr('_ea', '_eb')} / ({norm_expr('_ea')} * {norm_expr('_eb')})"
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
     )

@@ -140,12 +140,17 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band (BAND_ROWS
     consecutive sigs) -> same bucket -> pair. Output (doc_a, doc_b,
-    n_shared_bands). The only shuffle is groupBy/join on band buckets —
-    hot buckets (boilerplate docs) are the skew risk at scale; cap with
-    a per-bucket count filter before the self-join.
+    n_shared_bands). The only shuffle is groupBy/join on band buckets.
+
+    max_bucket caps hot buckets (boilerplate docs are the skew risk at
+    scale: one 10^6-doc bucket would emit 10^12 pairs): (band, bucket)
+    groups larger than max_bucket are DROPPED before the self-join — pair
+    output per bucket is bounded by max_bucket^2 — and the number of
+    dropped buckets is logged to stderr.
 
     materialize=True persists the signature stage so the band projections
     and both sides of the self-join read the computed signatures instead of
@@ -168,6 +173,8 @@ def minhash_lsh_pairs(
             F.expr(f"md5(concat({cols}))").alias("bucket"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        bands = _cap_buckets(bands, ["band", "bucket"], max_bucket, "minhash_lsh")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, ["band", "bucket"])
@@ -180,6 +187,29 @@ def minhash_lsh_pairs(
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
     return pairs
+
+
+def _cap_buckets(
+    bands: DataFrame, keys: list[str], max_bucket: int, tag: str
+) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket before a self-join (bounded
+    pair output), logging how many buckets/rows were dropped. The count
+    aggregation shuffles only (keys, count) partials — cheap next to the
+    self-join it protects."""
+    import sys
+
+    counts = bands.groupBy(*keys).agg(F.count("*").alias("_bc")).persist()
+    dropped = counts.where(F.col("_bc") > max_bucket)
+    n_dropped = dropped.count()
+    if n_dropped:
+        n_rows = dropped.agg(F.sum("_bc")).collect()[0][0]
+        print(
+            f"[{tag}] dropped {n_dropped} hot buckets (> {max_bucket} rows; "
+            f"{n_rows} rows total) before self-join",
+            file=sys.stderr,
+        )
+    ok = counts.where(F.col("_bc") <= max_bucket).select(*keys)
+    return bands.join(ok, keys)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -24,11 +24,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..cell import z2_encode
+from ..cell import z2_encode, z2_sql
 from ..geometry import points_in_polygon, polygon_bbox, wkb_decode
 from ..grid import LayoutDefinition
 from . import KEY_COLS
-from .tiler import with_key_columns
+from .tiler import key_exprs, with_key_columns
 
 
 # --------------------------------------------------------- layer-layer joins
@@ -153,6 +153,124 @@ def k_nearest(
     d2 = (F.col(x_col) - F.lit(x)) ** 2 + (F.col(y_col) - F.lit(y)) ** 2
     order = ["_d2"] + ([id_col] if id_col else [])
     return df.withColumn("_d2", d2).orderBy(*order).limit(k).drop("_d2")
+
+
+def knn_join_df(
+    points: DataFrame,
+    queries: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """DataFrame-native exact multi-center kNN: queries are a DataFrame, the
+    per-round candidate cells are a Catalyst sequence-explode, done-ness is
+    a per-round aggregate, and results accumulate as unioned DataFrames —
+    no driver-side pandas, no per-query Python, no per-round result
+    collection. The only driver traffic per round is one tiny count (the
+    pending-set emptiness check), so 10^6 queries scale like any other
+    join.
+
+    Exactness bound (same as knn_join): candidates within Chebyshev cell
+    ring r are complete for distances <= d_safe = r * min(tile_w, tile_h)
+    - max(tile_w, tile_h); a query finishes when its k-th candidate lies
+    within d_safe, else the ring doubles; stragglers get one exhaustive
+    broadcast round."""
+    spark = points.sparkSession
+    tl = layout.tile_layout
+    tile_w, tile_h = layout.tile_width, layout.tile_height
+    safe_unit = min(tile_w, tile_h)
+
+    keyed = with_key_columns(points, layout, x, y, zoom).select(
+        point_id, F.col(x).alias("_px"), F.col(y).alias("_py"), "cell"
+    ).persist()
+    cx, rx = key_exprs(layout, "_qx", "_qy")
+    pending = (
+        queries.select(
+            query_id, F.col(x).alias("_qx"), F.col(y).alias("_qy")
+        )
+        .withColumn("_qc", F.expr(cx).cast("int"))
+        .withColumn("_qr", F.expr(rx).cast("int"))
+        .persist()
+    )
+    out_cols = [query_id, point_id, "dist", "rank"]
+    results: list[DataFrame] = []
+    w = Window.partitionBy(query_id).orderBy("dist", point_id)
+    # smallest ring whose safety bound is positive (skip provably-unfinishable
+    # rounds: d_safe = r*min(tw,th) - max(tw,th) <= 0 can never complete)
+    r = int(max(tile_w, tile_h) / safe_unit) + 1
+    for _ in range(max_rounds):
+        cells = (
+            pending.withColumn(
+                "_cc",
+                F.explode(F.expr(
+                    f"sequence(greatest(_qc - {r}, 0),"
+                    f" least(_qc + {r}, {tl.layout_cols - 1}))"
+                )),
+            )
+            .withColumn(
+                "_cr",
+                F.explode(F.expr(
+                    f"sequence(greatest(_qr - {r}, 0),"
+                    f" least(_qr + {r}, {tl.layout_rows - 1}))"
+                )),
+            )
+            .select(
+                query_id, "_qx", "_qy",
+                F.expr(z2_sql("_cc", "_cr", "spark")).alias("cell"),
+            )
+        )
+        cand = keyed.join(cells, "cell").withColumn(
+            "dist",
+            F.sqrt((F.col("_px") - F.col("_qx")) ** 2
+                   + (F.col("_py") - F.col("_qy")) ** 2),
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(*out_cols)
+            .persist()
+        )
+        d_safe = r * safe_unit - max(tile_w, tile_h)
+        if d_safe > 0:
+            done = (
+                topk.groupBy(query_id)
+                .agg(F.count("*").alias("_n"), F.max("dist").alias("_dmax"))
+                .where((F.col("_n") >= k) & (F.col("_dmax") <= d_safe))
+                .select(query_id)
+                .persist()
+            )
+            results.append(topk.join(done, query_id))
+            pending = pending.join(done, query_id, "left_anti").persist()
+        if pending.limit(1).count() == 0:
+            break
+        r *= 2
+        if r >= max(tl.layout_cols, tl.layout_rows):
+            # exhaustive final round for stragglers: broadcast the (small)
+            # residual query set against all points
+            cand = keyed.crossJoin(
+                F.broadcast(pending.select(query_id, "_qx", "_qy"))
+            ).withColumn(
+                "dist",
+                F.sqrt((F.col("_px") - F.col("_qx")) ** 2
+                       + (F.col("_py") - F.col("_qy")) ** 2),
+            )
+            results.append(
+                cand.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select(*out_cols)
+            )
+            break
+    if not results:
+        return spark.createDataFrame([], f"{query_id} long, {point_id} string, dist double, rank long")
+    out = results[0]
+    for df in results[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def knn_join(

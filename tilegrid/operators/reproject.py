@@ -1,0 +1,162 @@
+"""Layer reproject / raster warp between LatLng and WebMercator layouts.
+
+Reference: TileRDDReproject.scala:39-260 (bufferTiles -> per-tile RasterizingReproject
+warp -> re-tile into the destination layout). Our shape is shuffle-compact
+instead of buffered: because nearest-neighbor assigns every destination pixel
+center to exactly ONE source pixel (and both CRS transforms here are
+per-axis monotone), each source tile can emit the destination sub-rect
+patches it alone is responsible for — one decode pass, then the same
+parts->paste merge the tiler uses. No 9x buffer explode, no overlap.
+
+Pixel lookup uses GLOBAL source pixel indices floor((lon - xmin)/cell_w)
+with the same expression text as the SQL oracle twin, so warped key
+assignment and pixel values are hash-exact across engines (the only
+transcendentals are the CRS formulas themselves, identical on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codec
+from ..cell import z2_encode
+from ..grid import (
+    Extent,
+    LayoutDefinition,
+    lnglat_to_webmercator,
+    webmercator_to_lnglat,
+)
+from . import LAYER_SCHEMA
+
+_PARTS = (
+    "zoom int, col int, row int, cell long, part binary, py0 int, px0 int, "
+    "ph int, pw int"
+)
+
+
+def _fwd(src_crs: str, dst_crs: str):
+    if (src_crs, dst_crs) == ("latlng", "webmercator"):
+        return lnglat_to_webmercator
+    if (src_crs, dst_crs) == ("webmercator", "latlng"):
+        return webmercator_to_lnglat
+    raise ValueError(f"unsupported reprojection {src_crs} -> {dst_crs}")
+
+
+def reproject_layer(
+    layer: DataFrame,
+    src_layout: LayoutDefinition,
+    dst_layout: LayoutDefinition,
+    dst_zoom: int,
+    src_crs: str,
+    dst_crs: str,
+    method: str = "nearest",
+) -> DataFrame:
+    """Warp a tiled layer into a different CRS + layout (nearest neighbor,
+    the reference default). Plan: decode pass emits per-(src tile, dst key)
+    patches of inverse-mapped pixels -> one groupBy(dst key) paste."""
+    if method != "nearest":
+        raise ValueError("only nearest-neighbor warp is implemented")
+    fwd = _fwd(src_crs, dst_crs)
+    inv = _fwd(dst_crs, src_crs)
+    smt = src_layout.map_transform
+    dmt = dst_layout.map_transform
+    dtl = dst_layout.tile_layout
+    th, tw = dtl.tile_rows, dtl.tile_cols
+    # global source grid constants (identical text to the oracle SQL)
+    sxmin, symax = src_layout.extent.xmin, src_layout.extent.ymax
+    scw, sch = src_layout.cell_width, src_layout.cell_height
+    stl = src_layout.tile_layout
+    dst_world = dst_layout.extent
+
+    def emit(it):
+        for pdf in it:
+            out = {k: [] for k in
+                   ("zoom", "col", "row", "cell", "part", "py0", "px0", "ph", "pw")}
+            for t in pdf.itertuples(index=False):
+                src = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                col, row = int(t.col), int(t.row)
+                sext = smt.extent_for_key(col, row)
+                # src tile footprint in dst coords (separable monotone
+                # transforms: corners give the exact bbox), clipped to the
+                # dst world extent (e.g. |lat| > 85.05 has no WM image;
+                # lat = +-90 maps to +-inf, which the clip handles)
+                with np.errstate(divide="ignore", over="ignore"):
+                    (x0, x1), (y0, y1) = fwd(
+                        np.array([sext.xmin, sext.xmax]),
+                        np.array([sext.ymin, sext.ymax]),
+                    )
+                box = Extent(
+                    max(min(x0, x1), dst_world.xmin),
+                    max(min(y0, y1), dst_world.ymin),
+                    min(max(x0, x1), dst_world.xmax),
+                    min(max(y0, y1), dst_world.ymax),
+                )
+                if box.width <= 0 or box.height <= 0:
+                    continue
+                gb = dmt.gridbounds_for_extent(box)
+                c0, c1 = max(gb.col_min, 0), min(gb.col_max, dtl.layout_cols - 1)
+                r0, r1 = max(gb.row_min, 0), min(gb.row_max, dtl.layout_rows - 1)
+                gx0, gy0 = col * stl.tile_cols, row * stl.tile_rows
+                for dc in range(int(c0), int(c1) + 1):
+                    for dr in range(int(r0), int(r1) + 1):
+                        dext = dmt.extent_for_key(dc, dr)
+                        dcw, dch = dext.width / tw, dext.height / th
+                        cx = dext.xmin + (np.arange(tw) + 0.5) * dcw
+                        cy = dext.ymax - (np.arange(th) + 0.5) * dch
+                        lon, lat = inv(
+                            np.broadcast_to(cx, (th, tw)).ravel(),
+                            np.repeat(cy, tw),
+                        )
+                        # GLOBAL src pixel index — same floor text as SQL
+                        sgx = np.floor((lon - sxmin) / scw).astype(np.int64)
+                        sgy = np.floor((symax - lat) / sch).astype(np.int64)
+                        sgx = sgx.reshape(th, tw)
+                        sgy = sgy.reshape(th, tw)
+                        mine = (
+                            (sgx >= gx0) & (sgx < gx0 + stl.tile_cols)
+                            & (sgy >= gy0) & (sgy < gy0 + stl.tile_rows)
+                        )
+                        if not mine.any():
+                            continue
+                        ys, xs = np.nonzero(mine)
+                        wy0, wy1 = int(ys.min()), int(ys.max())
+                        wx0, wx1 = int(xs.min()), int(xs.max())
+                        patch = np.full((wy1 - wy0 + 1, wx1 - wx0 + 1), np.nan)
+                        sub = mine[wy0 : wy1 + 1, wx0 : wx1 + 1]
+                        patch[sub] = src[
+                            (sgy[wy0 : wy1 + 1, wx0 : wx1 + 1] - gy0)[sub],
+                            (sgx[wy0 : wy1 + 1, wx0 : wx1 + 1] - gx0)[sub],
+                        ]
+                        out["zoom"].append(dst_zoom)
+                        out["col"].append(dc)
+                        out["row"].append(dr)
+                        out["cell"].append(int(z2_encode(dc, dr)))
+                        out["part"].append(codec.raw_encode(patch))
+                        out["py0"].append(wy0)
+                        out["px0"].append(wx0)
+                        out["ph"].append(patch.shape[0])
+                        out["pw"].append(patch.shape[1])
+            yield pd.DataFrame(out)
+
+    parts = layer.mapInPandas(emit, _PARTS)
+
+    def paste(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.full((th, tw), np.nan)
+        for t in pdf.itertuples(index=False):
+            patch = codec.decode_tile(bytes(t.part), "raw")
+            y0, x0 = int(t.py0), int(t.px0)
+            win = acc[y0 : y0 + patch.shape[0], x0 : x0 + patch.shape[1]]
+            m = np.isnan(win) & ~np.isnan(patch)
+            win[m] = patch[m]
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [first["zoom"]], "col": [first["col"]], "row": [first["row"]],
+                "cell": [first["cell"]], "tile": [codec.raw_encode(acc)],
+                "h": [th], "w": [tw], "fmt": ["raw"],
+            }
+        )
+
+    return parts.groupBy("zoom", "col", "row").applyInPandas(paste, LAYER_SCHEMA)

@@ -29,7 +29,7 @@ from .operators import ann as A
 from .operators import dedup as D
 from .operators import text as T
 from .operators.focal import focal_sum
-from .operators.join import knn_join, pip_join
+from .operators.join import knn_join_df, pip_join
 from .operators.pyramid import pyramid_up
 from .operators.rasterize import kernel_density
 from .operators.tiler import key_exprs, with_key_columns
@@ -240,23 +240,22 @@ WHERE (({x1!r}) * (p.lat - t.y0) - ({y1!r}) * (p.lon - t.x0)) > 0
 _KNN_K = 10
 
 
-def _knn_queries(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
-    rk = _read(spark, sf_dir, "region").select("r_regionkey").toPandas()
-    return pd.DataFrame(
-        {
-            "query_id": rk["r_regionkey"].astype("int32"),
-            "lon": rk["r_regionkey"] * 61.37 - 140.81,
-            "lat": rk["r_regionkey"] * 29.93 - 64.17,
-        }
+def _knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rk = _read(spark, sf_dir, "region")
+    return rk.select(
+        F.col("r_regionkey").cast("int").alias("query_id"),
+        (F.col("r_regionkey") * F.lit(61.37) - F.lit(140.81)).alias("lon"),
+        (F.col("r_regionkey") * F.lit(29.93) - F.lit(64.17)).alias("lat"),
     )
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-center kNN via cell-ring expansion + window top-k (replaces
-    KNearestRDD.scala:93-115's single-aggregate priority queues)."""
+    """Multi-center kNN via DataFrame-native cell-ring expansion + window
+    top-k (replaces KNearestRDD.scala:93-115's single-aggregate priority
+    queues; queries stay a DataFrame end-to-end — no driver pandas)."""
     pts = _events_points(spark, sf_dir).withColumn("point_id", F.col("event_id"))
     q = _knn_queries(spark, sf_dir)
-    out = knn_join(pts, q, L5, 5, _KNN_K, x="lon", y="lat")
+    out = knn_join_df(pts, q, L5, 5, _KNN_K, x="lon", y="lat")
     return out.select(
         F.col("query_id").cast("int"),
         F.col("point_id").alias("event_id"),
@@ -482,6 +481,64 @@ SELECT CAST(2 AS INT) AS zoom,
 FROM dense
 GROUP BY gx // 2, gy // 2
 HAVING sum(cnt) > 0
+"""
+
+
+def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
+    nearest neighbor): the zoom-3 count raster re-tiled into the WM world
+    grid. Dst pixel centers are exact dyadic WM coords; the inverse CRS
+    formulas and the global floor lookup use identical expression text on
+    both engines."""
+    from .grid import WEBMERCATOR_WORLD
+    from .operators.reproject import reproject_layer
+
+    dense = _count_raster(spark, sf_dir)
+    dst = LayoutDefinition(WEBMERCATOR_WORLD, TileLayout(8, 8, 32, 32))
+    return _layer_pixels(
+        reproject_layer(dense, LR, dst, 3, "latlng", "webmercator")
+    )
+
+
+def _o_reproject_wm() -> str:
+    import math
+
+    from .grid import EARTH_RADIUS, WEBMERCATOR_WORLD
+
+    half = WEBMERCATOR_WORLD.xmax
+    cwm = repr((2.0 * half) / 256.0)
+    r = repr(EARTH_RADIUS)
+    deg = repr(math.degrees(1.0))
+    pi = repr(math.pi)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH {_o_pixel_counts()},
+g AS (
+  SELECT CAST(gx.range AS INT) AS gx, CAST(gy.range AS INT) AS gy
+  FROM range(0, 256) gx, range(0, 256) gy
+),
+ll AS (
+  SELECT gx, gy,
+    (((CAST({-half!r} AS DOUBLE) + (gx + 0.5) * CAST({cwm} AS DOUBLE))
+      / CAST({r} AS DOUBLE)) * CAST({deg} AS DOUBLE)) AS lon,
+    ((2 * atan(exp((CAST({half!r} AS DOUBLE) - (gy + 0.5) * CAST({cwm} AS DOUBLE))
+      / CAST({r} AS DOUBLE))) - CAST({pi} AS DOUBLE) / 2)
+     * CAST({deg} AS DOUBLE)) AS lat
+  FROM g
+),
+s AS (
+  SELECT gx, gy,
+    CAST(floor((lon - (-180.0)) / CAST({cw} AS DOUBLE)) AS BIGINT) AS sgx,
+    CAST(floor((90.0 - lat) / CAST({ch} AS DOUBLE)) AS BIGINT) AS sgy
+  FROM ll
+)
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       pc.cnt AS val
+FROM s JOIN pc
+  ON pc.col = CAST(sgx // 32 AS INT) AND pc.px = CAST(sgx % 32 AS INT)
+ AND pc.row = CAST(sgy // 32 AS INT) AND pc.py = CAST(sgy % 32 AS INT)
 """
 
 
@@ -727,36 +784,51 @@ LIMIT {k}
 
 
 def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: hyperplane-LSH bucket self-join +
-    exact cosine refine (threshold tuned to the synthetic corpus's
-    similarity range so the candidate path is exercised)."""
+    """Embedding near-duplicate pairs: banded multi-table hyperplane LSH
+    (16 planes / 4 bands — the 100 TB-shaped default) + exact cosine refine
+    (threshold tuned to the synthetic corpus's similarity range so the
+    candidate path is exercised)."""
     return A.cosine_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
+        _read(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 
-def _o_embed_dups() -> str:
-    def bucket(e: str) -> str:
-        bits = []
-        for p in range(4):
-            t = (
-                f"list_reduce(list_transform(range(1, 65), i -> CAST({e}[i] AS DOUBLE)"
-                f" * (CAST(((i - 1) * 2654435761 + {p} * 40503) % 1021 AS DOUBLE)"
-                f" - 510.0)), (acc, v) -> acc + v)"
-            )
-            bits.append(f"(CASE WHEN {t} >= 0 THEN 1 ELSE 0 END) * {1 << p}")
-        return "CAST(" + " + ".join(bits) + " AS INT)"
+def _duck_band_bucket(e: str, planes: list[int]) -> str:
+    """DuckDB twin of ann.bucket_expr for one band's plane slice."""
+    bits = []
+    for j, p in enumerate(planes):
+        t = (
+            f"list_reduce(list_transform(range(1, 65), i -> CAST({e}[i] AS DOUBLE)"
+            f" * (CAST(((i - 1) * 2654435761 + {p} * 40503) % 1021 AS DOUBLE)"
+            f" - 510.0)), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {t} >= 0 THEN 1 ELSE 0 END) * {1 << j}")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
 
-    dot = _o_dot("a.embedding", "c.embedding")
-    na = _o_dot("a.embedding", "a.embedding")
-    nc = _o_dot("c.embedding", "c.embedding")
+
+def _o_embed_dups() -> str:
+    band_tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_duck_band_bucket('embedding', list(range(b * 4, b * 4 + 4)))} AS bucket"
+        f" FROM embeddings"
+        for b in range(4)
+    )
+    dot = _o_dot("e1.embedding", "e2.embedding")
+    na = _o_dot("e1.embedding", "e1.embedding")
+    nc = _o_dot("e2.embedding", "e2.embedding")
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+WITH bt AS ({band_tables}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM bt a JOIN bt c ON a.band = c.band AND a.bucket = c.bucket
+  WHERE a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b,
        round({dot} / (sqrt({na}) * sqrt({nc})), 4) AS sim
-FROM b a JOIN b c ON a.bucket = c.bucket
-WHERE a.vec_id < c.vec_id
-  AND {dot} / (sqrt({na}) * sqrt({nc})) >= 0.35
+FROM cand
+JOIN embeddings e1 ON e1.vec_id = vec_a
+JOIN embeddings e2 ON e2.vec_id = vec_b
+WHERE {dot} / (sqrt({na}) * sqrt({nc})) >= 0.35
 """
 
 
@@ -964,7 +1036,9 @@ SELECT doc_id, {sig_cols} FROM s
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+    # max_bucket exercises the hot-bucket cap path (no bucket at test scale
+    # exceeds it, so the oracle — which has no cap — still matches)
+    return D.minhash_lsh_pairs(_read(spark, sf_dir, "documents"), max_bucket=10_000)
 
 
 def _o_minhash_lsh_pairs() -> str:
@@ -1176,7 +1250,7 @@ FROM s QUALIFY rank <= 10
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = _read(spark, sf_dir, "embeddings")
     return A.lsh_bucket_topk(
-        cands, _emb_queries(spark, sf_dir), k=5, n_planes=4
+        cands, _emb_queries(spark, sf_dir), k=5, n_planes=4, n_bands=1
     ).select("query_id", "vec_id", "rank", "sim")
 
 
@@ -1533,6 +1607,7 @@ QUERIES = {
     "local_add": q_local_add,
     "focal_sum": q_focal_sum,
     "pyramid_sum": q_pyramid_sum,
+    "reproject_wm": q_reproject_wm,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -1580,6 +1655,7 @@ ORACLES = {
     "local_add": _o_local_add(),
     "focal_sum": _o_focal_sum(),
     "pyramid_sum": _o_pyramid_sum(),
+    "reproject_wm": _o_reproject_wm(),
     "band_stats": _o_band_stats(),
     "ndvi": _o_ndvi(),
     "zonal_hist": _o_zonal_hist(),
