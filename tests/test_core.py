@@ -355,6 +355,55 @@ class TestOracle:
         assert out == [["a", "b"]]
 
 
+class TestResampleKernels:
+    def test_identity_scaling_is_exact(self):
+        from tilegrid.tiles import resample_bilinear, resample_cubic, resample_lanczos
+
+        rng = np.random.default_rng(7)
+        src = rng.random((16, 16)) * 100
+        for fn in (resample_bilinear, resample_cubic, resample_lanczos):
+            np.testing.assert_allclose(fn(src, 16, 16), src, atol=1e-9, err_msg=fn.__name__)
+
+    def test_constant_preserved(self):
+        from tilegrid.tiles import resample_cubic, resample_lanczos
+
+        src = np.full((8, 8), 42.0)
+        np.testing.assert_allclose(resample_cubic(src, 32, 32), 42.0)
+        np.testing.assert_allclose(resample_lanczos(src, 32, 32), 42.0)
+
+    def test_cubic_reproduces_linear_ramp_interior(self):
+        """Cubic convolution interpolates degree-1 polynomials exactly in
+        the interior (Keys 1981) — the classic kernel correctness check."""
+        from tilegrid.tiles import resample_cubic
+
+        src = np.outer(np.arange(16, dtype=float), np.ones(16)) * 2.0 + 3.0
+        up = resample_cubic(src, 32, 32)
+        fy = (np.arange(32) + 0.5) * 16 / 32 - 0.5
+        want = fy * 2.0 + 3.0
+        # interior rows (edge-clamped taps differ at the borders)
+        np.testing.assert_allclose(up[4:-4, 8], want[4:-4], rtol=1e-12)
+
+    def test_block_reduce_median_and_mode(self):
+        from tilegrid.tiles import block_reduce
+
+        src = np.array(
+            [[1.0, 1.0, 5.0, 7.0],
+             [2.0, 9.0, 5.0, 5.0],
+             [0.0, 0.0, 3.0, 3.0],
+             [0.0, 4.0, 2.0, 2.0]]
+        )
+        med = block_reduce(src, 2, "median")
+        np.testing.assert_allclose(med, [[1.5, 5.0], [0.0, 2.5]])
+        mode = block_reduce(src, 2, "mode")
+        np.testing.assert_allclose(mode, [[1.0, 5.0], [0.0, 2.0]])
+        # NaN handling: all-NaN block -> NaN, partial -> skipped
+        src2 = src.copy()
+        src2[0:2, 0:2] = np.nan
+        src2[0, 2] = np.nan
+        m2 = block_reduce(src2, 2, "mode")
+        assert np.isnan(m2[0, 0]) and m2[0, 1] == 5.0
+
+
 class TestFixtures:
     def test_images_deterministic(self):
         a = fixtures.images_table(20)

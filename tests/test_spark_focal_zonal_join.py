@@ -64,6 +64,38 @@ class TestFocal:
         want_h = oracle.hillshade(stitched_src("increasing"), 1.0, 1.0, 315, 45)
         np.testing.assert_allclose(got_h, want_h, equal_nan=True)
 
+    def test_mode_matches_oracle(self, spark):
+        a = layer_df(spark, "every-other-undefined")
+        got = stitched(FO.focal_mode(a).toPandas())
+        want = oracle.focal_mode(stitched_src("every-other-undefined"), 3)
+        np.testing.assert_allclose(got, want, equal_nan=True)
+        b = layer_df(spark, "mod-10000")
+        got2 = stitched(FO.focal_mode(b).toPandas())
+        want2 = oracle.focal_mode(stitched_src("mod-10000"), 3)
+        np.testing.assert_allclose(got2, want2, equal_nan=True)
+
+    def test_mode_vectorized_kernel_speed(self):
+        """The mode kernel must stay within ~5x of the median kernel on a
+        256^2 tile (it was a 65k-iteration Python loop before)."""
+        import time
+
+        from tilegrid.operators.focal import _focal_mode_crop
+
+        rng = np.random.default_rng(3)
+        h = w = 256
+        buf = np.full((h + 2, w + 2), np.nan)
+        buf[1:-1, 1:-1] = rng.integers(0, 12, (h, w)).astype(float)
+        _focal_mode_crop(buf, 1, h, w)  # warm
+        t0 = time.time()
+        _focal_mode_crop(buf, 1, h, w)
+        mode_t = time.time() - t0
+        win = np.lib.stride_tricks.sliding_window_view(buf, (3, 3))
+        np.nanmedian(win, axis=(2, 3))  # warm
+        t0 = time.time()
+        np.nanmedian(win, axis=(2, 3))
+        med_t = time.time() - t0
+        assert mode_t <= 5 * med_t + 0.2, (mode_t, med_t)
+
     def test_convolve(self, spark):
         kern = np.array([[0.0, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 0.0]])
         a = layer_df(spark, "mod-10000")

@@ -254,6 +254,43 @@ class TestReshape:
         np.testing.assert_allclose(arr[0, 0], src[0, 0])
         np.testing.assert_allclose(arr[0, 1], src[0, 0])  # NN upsample repeats
 
+    def test_histogram_matching_hits_target_range(self, spark):
+        from tilegrid.operators import reshape as RS2
+
+        a = layer_df(spark, "mod-10000")
+        out = stitched(
+            RS2.histogram_matching(
+                a, [0.0, 10.0, 40.0, 100.0], [0.0, 0.5, 0.9, 1.0], 64
+            ).toPandas()
+        )
+        src = stitched(fixtures.tile_layer_table("mod-10000"))
+        assert out.min() >= 0.0 and out.max() <= 100.0
+        # monotone: order of source values is preserved
+        s, o = src.ravel(), out.ravel()
+        idx = np.argsort(s, kind="stable")
+        assert (np.diff(o[idx]) >= -1e-9).all()
+        # ~50% of pixels should land below 10 (target cdf(10) = 0.5)
+        frac = (out <= 10.0).mean()
+        assert 0.4 < frac < 0.6
+
+    def test_sigmoidal_contrast_endpoints_and_monotone(self, spark):
+        from tilegrid.operators import reshape as RS2
+
+        a = layer_df(spark, "mod-10000")
+        out = stitched(RS2.sigmoidal_contrast(a, 0.5, 6.0).toPandas())
+        src = stitched(fixtures.tile_layer_table("mod-10000"))
+        lo, hi = src.min(), src.max()
+        np.testing.assert_allclose(out[src == lo], lo, atol=1e-9)
+        np.testing.assert_allclose(out[src == hi], hi, atol=1e-9)
+        s, o = src.ravel(), out.ravel()
+        idx = np.argsort(s, kind="stable")
+        assert (np.diff(o[idx]) >= -1e-9).all()
+        # contrast: mid-range slope is steeper than the identity
+        mid = (s > lo + 0.4 * (hi - lo)) & (s < lo + 0.6 * (hi - lo))
+        span_out = o[mid].max() - o[mid].min()
+        span_in = s[mid].max() - s[mid].min()
+        assert span_out > 1.5 * span_in
+
     def test_histogram_equalization_monotone(self, spark):
         a = layer_df(spark, "mod-10000")
         out = stitched(RS.histogram_equalization(a, 64).toPandas())

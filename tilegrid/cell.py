@@ -76,6 +76,92 @@ def z2_decode(z) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+# ---- Z3: space-time Morton interleave (col, row, time-bin) ----
+# Reference: spark/.../io/index/zcurve/Z3.scala + ZSpaceTimeKeyIndex.scala,
+# rebuilt from the published split-by-3 magic-mask sequence. 21 bits per
+# dimension -> 63 bits (sign-safe int64).
+
+_MASKS3_SPLIT = (
+    (32, np.uint64(0x1F00000000FFFF)),
+    (16, np.uint64(0x1F0000FF0000FF)),
+    (8, np.uint64(0x100F00F00F00F00F)),
+    (4, np.uint64(0x10C30C30C30C30C3)),
+    (2, np.uint64(0x1249249249249249)),
+)
+
+
+def z3_split(v) -> np.ndarray:
+    """Insert two 0 bits between every bit of v (low 21 bits considered)."""
+    x = np.asarray(v).astype(np.uint64) & np.uint64((1 << 21) - 1)
+    for shift, mask in _MASKS3_SPLIT:
+        x = (x | (x << np.uint64(shift))) & mask
+    return x
+
+
+_MASKS3_COMBINE = (
+    (2, np.uint64(0x10C30C30C30C30C3)),
+    (4, np.uint64(0x100F00F00F00F00F)),
+    (8, np.uint64(0x1F0000FF0000FF)),
+    (16, np.uint64(0x1F00000000FFFF)),
+    (32, np.uint64((1 << 21) - 1)),
+)
+
+
+def z3_combine(z) -> np.ndarray:
+    """Inverse of z3_split: gather every third bit."""
+    x = np.asarray(z).astype(np.uint64) & np.uint64(0x1249249249249249)
+    for shift, mask in _MASKS3_COMBINE:
+        x = (x ^ (x >> np.uint64(shift))) & mask
+    return x
+
+
+def z3_encode(col, row, t) -> np.ndarray:
+    """3-D Morton code: col in bits 0,3,6.., row in 1,4,7.., t in 2,5,8..
+    (Z3.scala apply). `t` is a discretized time bin (e.g. day index)."""
+    return (
+        z3_split(col) | (z3_split(row) << np.uint64(1)) | (z3_split(t) << np.uint64(2))
+    ).astype(np.int64)
+
+
+def z3_decode(z) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    z = np.asarray(z).astype(np.uint64)
+    return (
+        z3_combine(z).astype(np.int64),
+        z3_combine(z >> np.uint64(1)).astype(np.int64),
+        z3_combine(z >> np.uint64(2)).astype(np.int64),
+    )
+
+
+def _interleave3_sql(v: str, dialect: str) -> str:
+    """Split-by-3 of the low 21 bits of expression `v` as SQL. Uses the
+    overflow-safe identity (x | (x<<n)) & M == (x & M) | ((x & (M>>n)) << n)
+    — DuckDB raises on int64 shift overflow, so only surviving bits shift."""
+    if dialect == "spark":
+        shl = "shiftleft({x}, {n})"
+    elif dialect == "duckdb":
+        shl = "({x} << {n})"
+    else:
+        raise ValueError(dialect)
+    x = f"({v} & {(1 << 21) - 1})"
+    for shift, mask in _MASKS3_SPLIT:
+        m = int(mask)
+        keep = f"({x} & {m})"
+        shifted = shl.format(x=f"({x} & {m >> shift})", n=shift)
+        x = f"({keep} | {shifted})"
+    return x
+
+
+def z3_sql(col_expr: str, row_expr: str, t_expr: str, dialect: str = "spark") -> str:
+    """SQL expression computing z3_encode — identical bit math in Spark SQL
+    and DuckDB for oracle parity."""
+    cx = _interleave3_sql(f"CAST({col_expr} AS BIGINT)", dialect)
+    rx = _interleave3_sql(f"CAST({row_expr} AS BIGINT)", dialect)
+    tx = _interleave3_sql(f"CAST({t_expr} AS BIGINT)", dialect)
+    if dialect == "spark":
+        return f"({cx} | shiftleft({rx}, 1) | shiftleft({tx}, 2))"
+    return f"({cx} | ({rx} << 1) | ({tx} << 2))"
+
+
 # ---- packed cell ids: (zoom, col, row) -> int64 ----
 
 _ZOOM_SHIFT = np.uint64(58)

@@ -194,17 +194,15 @@ def focal(
 
 
 def _focal_mode_crop(buf: np.ndarray, s: int, h: int, w: int) -> np.ndarray:
+    """Fully vectorized mode (tiles.rowwise_mode over the flattened
+    windows): same semantics as the per-pixel np.unique formulation —
+    NaN-skipping, ties to the smallest value, all-NaN stays NaN — without
+    the 65k-iteration Python loop."""
+    from ..tiles import rowwise_mode
+
     k = 2 * s + 1
     win = np.lib.stride_tricks.sliding_window_view(buf, (k, k))
-    out = np.full((h, w), np.nan)
-    for i in range(h):
-        for j in range(w):
-            v = win[i, j]
-            v = v[~np.isnan(v)]
-            if len(v):
-                vals, counts = np.unique(v, return_counts=True)
-                out[i, j] = vals[np.argmax(counts)]
-    return out
+    return rowwise_mode(win.reshape(h * w, k * k)).reshape(h, w)
 
 
 def _hillshade(dzdx, dzdy, azimuth, altitude):

@@ -110,11 +110,14 @@ def kernel_density(
     kernel: np.ndarray,
     x: str = "x",
     y: str = "y",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """RDDKernelDensity (density/RDDKernelDensity.scala:72-177): each point
     explodes to every tile its kernel footprint touches (computed in
     Catalyst from the kernel radius), tiles stamp+sum their points in one
-    groupBy — the canonical point->raster aggregation."""
+    groupBy — the canonical point->raster aggregation. group_cols adds
+    extra grouping dimensions (e.g. a day column -> one raster per
+    (key, day): the SpaceTimeKey batch layout)."""
     from .tiler import explode_covering_keys
 
     kr_y, kr_x = kernel.shape[0] // 2, kernel.shape[1] // 2
@@ -126,10 +129,15 @@ def kernel_density(
         .withColumn("ymin", F.col(y) - F.lit(ry))
         .withColumn("ymax", F.col(y) + F.lit(ry))
     )
-    exploded = explode_covering_keys(df, layout, zoom).select("zoom", "col", "row", "cell", x, y)
+    exploded = explode_covering_keys(df, layout, zoom).select(
+        "zoom", "col", "row", "cell", x, y, *group_cols
+    )
     mt = layout.map_transform
     tc, tr = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
-    kh, kw = kernel.shape
+    types = dict(zip(exploded.schema.fieldNames(), exploded.schema.fields))
+    out_schema = LAYER_SCHEMA + "".join(
+        f", {c} {types[c].dataType.simpleString()}" for c in group_cols
+    )
 
     def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]
@@ -150,12 +158,15 @@ def kernel_density(
             out[ty0:ty1, tx0:tx1] += kernel[
                 ky0 : ky0 + (ty1 - ty0), kx0 : kx0 + (tx1 - tx0)
             ]
-        return pd.DataFrame(
-            {
-                "zoom": [int(first["zoom"])], "col": [col], "row": [row],
-                "cell": [int(first["cell"])], "tile": [codec.raw_encode(out)],
-                "h": [tr], "w": [tc], "fmt": ["raw"],
-            }
-        )
+        row_out = {
+            "zoom": [int(first["zoom"])], "col": [col], "row": [row],
+            "cell": [int(first["cell"])], "tile": [codec.raw_encode(out)],
+            "h": [tr], "w": [tc], "fmt": ["raw"],
+        }
+        for c in group_cols:
+            row_out[c] = [first[c]]
+        return pd.DataFrame(row_out)
 
-    return exploded.groupBy("zoom", "col", "row").applyInPandas(stamp, LAYER_SCHEMA)
+    return exploded.groupBy("zoom", "col", "row", *group_cols).applyInPandas(
+        stamp, out_schema
+    )

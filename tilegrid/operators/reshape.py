@@ -140,14 +140,21 @@ def stitch(layer: DataFrame) -> tuple[np.ndarray, GridBounds]:
     return _st(tiles)
 
 
-def zoom_resample(layer: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
-    """Zoom z -> higher zoom z' by key arithmetic + per-tile NN upsample
+def zoom_resample(
+    layer: DataFrame, from_zoom: int, to_zoom: int, method: str = "nearest"
+) -> DataFrame:
+    """Zoom z -> higher zoom z' by key arithmetic + per-tile upsample
     (ZoomResample.scala:28-120): each source tile explodes into 4^(dz)
-    children."""
+    children. method selects the resample kernel (Resample.scala:25-36):
+    nearest (default), bilinear, cubic, lanczos — all edge-clamped within
+    the source tile, matching the reference's per-tile resample."""
+    from ..tiles import RESAMPLERS
+
     dz = to_zoom - from_zoom
     if dz <= 0:
         raise ValueError("to_zoom must be > from_zoom")
     n = 1 << dz
+    resample = RESAMPLERS[method]
 
     def run(it):
         for pdf in it:
@@ -161,7 +168,7 @@ def zoom_resample(layer: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
                         block = arr[
                             dy * sub_h : (dy + 1) * sub_h, dx * sub_w : (dx + 1) * sub_w
                         ]
-                        up = np.repeat(np.repeat(block, n, axis=0), n, axis=1)
+                        up = resample(block, h, w)
                         c, r = int(t.col) * n + dx, int(t.row) * n + dy
                         rows["zoom"].append(to_zoom)
                         rows["col"].append(c)
@@ -172,6 +179,123 @@ def zoom_resample(layer: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
                         rows["w"].append(w)
                         rows["fmt"].append("raw")
             yield pd.DataFrame(rows)
+
+    return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
+def _bucket_cdf(layer: DataFrame, lo: float, hi: float, num_buckets: int):
+    """Floor-rule bucket CDF of a layer: cdf[b] = P(bucket(v) <= b) with
+    bucket(v) = clip(floor((v-lo)/(hi-lo)*nb), 0, nb-1). Shared by the
+    equalization/matching transfer passes; exact rational arithmetic."""
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return (
+            np.floor((arr - lo) / (hi - lo) * num_buckets)
+            .clip(0, num_buckets - 1)
+            .astype(np.int64)
+        )
+
+    def count_buckets(it):
+        for pdf in it:
+            acc = np.zeros(num_buckets, dtype=np.int64)
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                v = arr[~np.isnan(arr)]
+                if v.size:
+                    acc += np.bincount(bucket_of(v), minlength=num_buckets)
+            yield pd.DataFrame({"bucket": np.arange(num_buckets), "n": acc})
+
+    rows = (
+        layer.mapInPandas(count_buckets, "bucket int, n long")
+        .groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    for r in rows:
+        counts[int(r["bucket"])] = int(r["n"])
+    cdf = np.cumsum(counts).astype(np.float64)
+    cdf = cdf / cdf[-1] if cdf[-1] > 0 else cdf
+    return bucket_of, cdf
+
+
+def histogram_matching(
+    layer: DataFrame,
+    target_values: list[float],
+    target_cdf: list[float],
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Histogram matching (RDDHistogramMatching.scala:30-120): map each
+    pixel to the target distribution's inverse CDF at the pixel's source
+    quantile. target_values/target_cdf describe the target's piecewise-
+    linear CDF (cdf[0] = 0 .. cdf[-1] = 1). The source quantile uses the
+    floor-rule bucket CDF; segment slopes are precomputed once so engine
+    and SQL oracle share identical literals — the whole transfer is exact
+    rational arithmetic."""
+    from .summary import min_max
+
+    tv = np.asarray(target_values, dtype=np.float64)
+    tc = np.asarray(target_cdf, dtype=np.float64)
+    slopes = (tv[1:] - tv[:-1]) / (tc[1:] - tc[:-1])
+    mm = min_max(layer).collect()[0]
+    lo, hi = float(mm["vmin"]), float(mm["vmax"])
+    if hi <= lo:
+        hi = lo + 1.0
+    bucket_of, cdf = _bucket_cdf(layer, lo, hi, num_buckets)
+    spark = layer.sparkSession
+    bc = spark.sparkContext.broadcast((cdf.tolist(), tv.tolist(), tc.tolist(), slopes.tolist()))
+
+    def run(it):
+        cdf_l, tv_l, tc_l, sl_l = bc.value
+        cdf_a, tv_a, tc_a, sl_a = (np.asarray(a) for a in (cdf_l, tv_l, tc_l, sl_l))
+        for pdf in it:
+            tiles = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                out = np.full_like(arr, np.nan)
+                ok = ~np.isnan(arr)
+                q = cdf_a[bucket_of(arr[ok])]
+                j = np.clip(
+                    np.searchsorted(tc_a, q, side="right") - 1, 0, len(sl_a) - 1
+                )
+                out[ok] = tv_a[j] + (q - tc_a[j]) * sl_a[j]
+                tiles.append(codec.raw_encode(out))
+            pdf = pdf.copy()
+            pdf["tile"] = tiles
+            pdf["fmt"] = "raw"
+            yield pdf[["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]]
+
+    return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
+def sigmoidal_contrast(
+    layer: DataFrame, alpha: float = 0.5, beta: float = 6.0
+) -> DataFrame:
+    """Sigmoidal contrast stretch (RDDSigmoidalContrast.scala:41-80 /
+    the GDAL formula): normalize to [0,1] over the layer min/max, apply
+    sig(x) = 1/(1+exp(beta*(alpha-x))) rescaled so sig(0)->0, sig(1)->1,
+    then map back to [min, max]. exp is transcendental -> pair with a
+    rounded oracle."""
+    from .summary import min_max
+
+    mm = min_max(layer).collect()[0]
+    lo, hi = float(mm["vmin"]), float(mm["vmax"])
+    if hi <= lo:
+        hi = lo + 1.0
+
+    def run(it):
+        y0 = 1.0 / (1.0 + np.exp(beta * alpha))
+        y1 = 1.0 / (1.0 + np.exp(beta * (alpha - 1.0)))
+        for pdf in it:
+            tiles = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                x = (arr - lo) / (hi - lo)
+                y = 1.0 / (1.0 + np.exp(beta * (alpha - x)))
+                out = lo + (y - y0) / (y1 - y0) * (hi - lo)
+                tiles.append(codec.raw_encode(out))
+            pdf = pdf.copy()
+            pdf["tile"] = tiles
+            pdf["fmt"] = "raw"
+            yield pdf[["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]]
 
     return layer.mapInPandas(run, LAYER_SCHEMA)
 

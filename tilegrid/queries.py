@@ -484,6 +484,87 @@ HAVING sum(cnt) > 0
 """
 
 
+def q_zorder3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3 space-time linearization (Z3.scala / ZSpaceTimeKeyIndex.scala):
+    first 100 events in (col, row, day-bin) Morton order — the storage sort
+    that gives combined spatial+temporal range pruning."""
+    from .cell import z3_sql
+
+    pts = _events_points(spark, sf_dir)
+    keyed = with_key_columns(pts, L5, "lon", "lat", 5).withColumn(
+        "tbin", F.expr("datediff(CAST(ts AS DATE), DATE'1992-01-01')")
+    )
+    return (
+        keyed.withColumn("cell3", F.expr(z3_sql("col", "row", "tbin", "spark")))
+        .select("event_id", "cell3")
+        .orderBy("cell3", "event_id")
+        .limit(100)
+    )
+
+
+def _o_zorder3_topk() -> str:
+    from .cell import z3_sql
+
+    cx, rx = _keyed_sql(LON_E, LAT_E, L5)
+    cell3 = z3_sql("col", "row", "tbin", "duckdb")
+    return f"""
+WITH k AS (
+  SELECT event_id, {cx} AS col, {rx} AS row,
+         date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS tbin
+  FROM events
+)
+SELECT event_id, {cell3} AS cell3 FROM k ORDER BY cell3, event_id LIMIT 100
+"""
+
+
+def q_temporal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-valued temporal reduce (LocalTemporalStatistics.scala:34-60):
+    per-(key, day) count rasters -> per-pixel mean across the days present
+    for that key (one covering window) -> pixel rows. Integer sums over an
+    integer day count -> the division is bit-identical to the oracle."""
+    from .operators.summary import temporal_stats
+
+    pts = _events_points(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    st = kernel_density(
+        pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
+    ).withColumn("ts", F.col("day"))
+    out = temporal_stats(st, window="36500 days", stat="mean")
+    return _layer_pixels(out)
+
+
+def _o_temporal_mean() -> str:
+    cx, rx = _keyed_sql("lon", "lat", LR)
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH pts AS (
+  SELECT {LON_E} AS lon, {LAT_E} AS lat, date_trunc('day', ts) AS day FROM events
+),
+k AS (SELECT lon, lat, day, {cx} AS col, {rx} AS row FROM pts),
+gpx AS (
+  SELECT col, row, day,
+         CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px,
+         CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py
+  FROM k
+),
+pcd AS (
+  SELECT col, row, day, px, py, CAST(count(*) AS BIGINT) AS cnt
+  FROM gpx WHERE px BETWEEN 0 AND 31 AND py BETWEEN 0 AND 31
+  GROUP BY col, row, day, px, py
+),
+nd AS (SELECT col, row, count(DISTINCT day) AS ndays FROM pcd GROUP BY col, row),
+s AS (
+  SELECT col, row, px, py, CAST(sum(cnt) AS DOUBLE) AS vsum
+  FROM pcd GROUP BY col, row, px, py
+)
+SELECT CAST(3 AS INT) AS zoom, s.col, s.row, s.px, s.py,
+       vsum / ndays AS val
+FROM s JOIN nd ON nd.col = s.col AND nd.row = s.row
+"""
+
+
 def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
     nearest neighbor): the zoom-3 count raster re-tiled into the WM world
@@ -978,6 +1059,61 @@ FROM g4
 """
 
 
+
+
+def q_zoom_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZoomResample with the Bilinear kernel (Resample.scala:25-36):
+    zoom 3 -> 4, per-tile block upsample with edge clamp. Weights are exact
+    dyadic rationals (0.25/0.75) over integer counts -> hash-exact oracle,
+    no rounding."""
+    from .operators.reshape import zoom_resample
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(zoom_resample(dense, 3, 4, method="bilinear"))
+
+
+def _o_zoom_resample_bilinear() -> str:
+    return f"""
+WITH {_o_dense_grid()},
+g4 AS (
+  SELECT CAST(x.range AS INT) AS gx4, CAST(y.range AS INT) AS gy4
+  FROM range(0, 512) x, range(0, 512) y
+),
+m AS (
+  SELECT gx4, gy4,
+    (gx4 // 64) * 32 + ((gx4 // 32) % 2) * 16 AS gxb,
+    (gy4 // 64) * 32 + ((gy4 // 32) % 2) * 16 AS gyb,
+    ((gx4 % 32) + CAST(0.5 AS DOUBLE)) * 16 / 32 - CAST(0.5 AS DOUBLE) AS fx,
+    ((gy4 % 32) + CAST(0.5 AS DOUBLE)) * 16 / 32 - CAST(0.5 AS DOUBLE) AS fy
+  FROM g4
+),
+ix AS (
+  SELECT gx4, gy4, gxb, gyb, fx, fy,
+    CAST(least(greatest(floor(fx), 0), 15) AS INT) AS x0,
+    CAST(least(greatest(floor(fy), 0), 15) AS INT) AS y0
+  FROM m
+),
+iw AS (
+  SELECT gx4, gy4,
+    gxb + x0 AS sgx0, gxb + least(x0 + 1, 15) AS sgx1,
+    gyb + y0 AS sgy0, gyb + least(y0 + 1, 15) AS sgy1,
+    least(greatest(fx - x0, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS wx,
+    least(greatest(fy - y0, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS wy
+  FROM ix
+)
+SELECT * FROM (
+  SELECT CAST(4 AS INT) AS zoom,
+         CAST(gx4 // 32 AS INT) AS col, CAST(gy4 // 32 AS INT) AS row,
+         CAST(gx4 % 32 AS INT) AS px, CAST(gy4 % 32 AS INT) AS py,
+         ((d00.cnt * (1 - wx) + d01.cnt * wx) * (1 - wy)
+          + (d10.cnt * (1 - wx) + d11.cnt * wx) * wy) AS val
+  FROM iw
+  JOIN dense d00 ON d00.gx = sgx0 AND d00.gy = sgy0
+  JOIN dense d01 ON d01.gx = sgx1 AND d01.gy = sgy0
+  JOIN dense d10 ON d10.gx = sgx0 AND d10.gy = sgy1
+  JOIN dense d11 ON d11.gx = sgx1 AND d11.gy = sgy1
+) WHERE val <> 0.0
+"""
 
 
 def q_merge_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,6 +1678,95 @@ FROM bk JOIN cd USING (bkt), mm
 """
 
 
+# target CDF for histogram matching: piecewise-linear, computed once so the
+# engine broadcast and the oracle literals share identical doubles
+_HM_TV = np.array([0.0, 10.0, 40.0, 100.0])
+_HM_TC = np.array([0.0, 0.5, 0.9, 1.0])
+_HM_SL = (_HM_TV[1:] - _HM_TV[:-1]) / (_HM_TC[1:] - _HM_TC[:-1])
+
+
+def q_hist_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram matching (RDDHistogramMatching.scala:30-120): source
+    floor-rule bucket CDF -> target inverse CDF (piecewise linear). All
+    rational arithmetic with shared literals -> hash-exact, no rounding."""
+    from .operators.reshape import histogram_matching
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(
+        histogram_matching(dense, _HM_TV.tolist(), _HM_TC.tolist())
+    )
+
+
+def _o_hist_matching() -> str:
+    jx = " + ".join(
+        f"(CASE WHEN cdfv >= CAST({c!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for c in _HM_TC[1:]
+    )
+    seg = " ".join(
+        f"WHEN {j} THEN CAST({_HM_TV[j]!r} AS DOUBLE)"
+        f" + (cdfv - CAST({_HM_TC[j]!r} AS DOUBLE)) * CAST({_HM_SL[j]!r} AS DOUBLE)"
+        for j in range(len(_HM_SL))
+    )
+    return f"""
+WITH {_o_dense_grid()},
+mm AS (SELECT min(cnt) AS lo, max(cnt) AS hi FROM dense),
+bk AS (
+  SELECT gx, gy,
+         CAST(least(greatest(floor((cnt - lo) / (hi - lo) * 256), 0.0), 255.0)
+              AS BIGINT) AS bkt
+  FROM dense, mm
+),
+bc AS (SELECT bkt, count(*) AS c FROM bk GROUP BY bkt),
+cd AS (
+  SELECT bkt,
+         CAST(sum(c) OVER (ORDER BY bkt) AS DOUBLE)
+           / CAST((SELECT count(*) FROM dense) AS DOUBLE) AS cdfv
+  FROM bc
+)
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       CASE least({jx}, {len(_HM_SL) - 1}) {seg} END AS val
+FROM bk JOIN cd USING (bkt)
+"""
+
+
+_SIG_ALPHA, _SIG_BETA = 0.5, 6.0
+_SIG_Y0 = np.float64(1.0) / (1.0 + np.exp(np.float64(_SIG_BETA * _SIG_ALPHA)))
+_SIG_Y1 = np.float64(1.0) / (1.0 + np.exp(np.float64(_SIG_BETA * (_SIG_ALPHA - 1.0))))
+
+
+def q_sigmoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sigmoidal contrast stretch (RDDSigmoidalContrast.scala:41-80) over
+    the count raster; exp is transcendental so both engines round to 6
+    decimals. Pixels at the layer minimum map to exactly 0 and are dropped
+    on both sides (the pixel explode's zero filter)."""
+    from .operators.reshape import sigmoidal_contrast
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(
+        sigmoidal_contrast(dense, _SIG_ALPHA, _SIG_BETA)
+    ).withColumn("val", F.round("val", 6))
+
+
+def _o_sigmoidal() -> str:
+    a = f"CAST({_SIG_ALPHA!r} AS DOUBLE)"
+    b = f"CAST({_SIG_BETA!r} AS DOUBLE)"
+    y0 = f"CAST({float(_SIG_Y0)!r} AS DOUBLE)"
+    y1 = f"CAST({float(_SIG_Y1)!r} AS DOUBLE)"
+    return f"""
+WITH {_o_dense_grid()},
+mm AS (SELECT min(cnt) AS lo, max(cnt) AS hi FROM dense),
+n AS (SELECT gx, gy, cnt, lo, hi, (cnt - lo) / (hi - lo) AS x FROM dense, mm)
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       round(lo + (1 / (1 + exp({b} * ({a} - x))) - {y0}) / ({y1} - {y0})
+             * (hi - lo), 6) AS val
+FROM n WHERE cnt <> lo
+"""
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact convex hull of the event points via the slope
     envelope formulation (vector.convex_hull_envelope): per-x extremal
@@ -1607,6 +1832,8 @@ QUERIES = {
     "local_add": q_local_add,
     "focal_sum": q_focal_sum,
     "pyramid_sum": q_pyramid_sum,
+    "zorder3_topk": q_zorder3_topk,
+    "temporal_mean": q_temporal_mean,
     "reproject_wm": q_reproject_wm,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
@@ -1622,11 +1849,14 @@ QUERIES = {
     "crop": q_crop,
     "mask": q_mask,
     "zoom_resample": q_zoom_resample,
+    "zoom_resample_bilinear": q_zoom_resample_bilinear,
     "merge_layers": q_merge_layers,
     "slope": q_slope,
     "vectorize": q_vectorize,
     "render_png": q_render_png,
     "hist_equalization": q_hist_equalization,
+    "hist_matching": q_hist_matching,
+    "sigmoidal": q_sigmoidal,
     "convex_hull": q_convex_hull,
     "dedup_exact": q_dedup_exact,
     "minhash_sig": q_minhash_sig,
@@ -1655,6 +1885,8 @@ ORACLES = {
     "local_add": _o_local_add(),
     "focal_sum": _o_focal_sum(),
     "pyramid_sum": _o_pyramid_sum(),
+    "zorder3_topk": _o_zorder3_topk(),
+    "temporal_mean": _o_temporal_mean(),
     "reproject_wm": _o_reproject_wm(),
     "band_stats": _o_band_stats(),
     "ndvi": _o_ndvi(),
@@ -1670,11 +1902,14 @@ ORACLES = {
     "crop": _o_crop(),
     "mask": _o_mask(),
     "zoom_resample": _o_zoom_resample(),
+    "zoom_resample_bilinear": _o_zoom_resample_bilinear(),
     "merge_layers": _o_merge_layers(),
     "slope": _o_slope(),
     "vectorize": _o_vectorize(),
     "render_png": _o_render_png(),
     "hist_equalization": _o_hist_equalization(),
+    "hist_matching": _o_hist_matching(),
+    "sigmoidal": _o_sigmoidal(),
     "convex_hull": _o_convex_hull(),
     "dedup_exact": _o_dedup_exact(),
     "minhash_sig": _o_minhash_sig(),

@@ -118,8 +118,25 @@ def resample_bilinear(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def rowwise_mode(rows: np.ndarray) -> np.ndarray:
+    """Mode of each row, fully vectorized: sort, run-length via a
+    maximum.accumulate start-index trick, argmax of the running run count.
+    NaNs are skipped (NaN != NaN makes each its own length-1 run, so a NaN
+    only wins when the whole row is NaN); ties resolve to the smallest
+    value — the same semantics as np.unique + argmax per row."""
+    n, m = rows.shape
+    vs = np.sort(rows, axis=1)  # NaNs sort to the end
+    idx = np.arange(m)
+    neq = np.ones((n, m), dtype=bool)
+    neq[:, 1:] = vs[:, 1:] != vs[:, :-1]
+    start = np.maximum.accumulate(np.where(neq, idx, 0), axis=1)
+    count = idx - start + 1
+    return vs[np.arange(n), np.argmax(count, axis=1)]
+
+
 def block_reduce(src: np.ndarray, factor: int, how: str = "average") -> np.ndarray:
-    """Aggregate resample by integer factor (Average/Max/Min/Sum kernels)."""
+    """Aggregate resample by integer factor
+    (Average/Max/Min/Sum/Median/Mode kernels, Resample.scala:25-36)."""
     h, w = src.shape[:2]
     b = src[: h - h % factor, : w - w % factor].reshape(
         h // factor, factor, w // factor, factor
@@ -133,4 +150,71 @@ def block_reduce(src: np.ndarray, factor: int, how: str = "average") -> np.ndarr
             return np.nanmin(b, axis=(1, 3))
         if how == "sum":
             return np.nansum(b, axis=(1, 3))
+        if how == "median":
+            return np.nanmedian(b, axis=(1, 3))
+        if how == "mode":
+            oh, ow = b.shape[0], b.shape[2]
+            rows = b.transpose(0, 2, 1, 3).reshape(oh * ow, factor * factor)
+            return rowwise_mode(rows).reshape(oh, ow)
     raise ValueError(how)
+
+
+def _sample_axis(n_out: int, n_src: int, taps: int, weight_fn):
+    """Separable-kernel sampling plan for one axis: (indices (n_out, taps)
+    edge-clamped, weights (n_out, taps)). Center rule fy=(i+0.5)*s/o-0.5."""
+    f = (np.arange(n_out) + 0.5) * n_src / n_out - 0.5
+    i0 = np.floor(f).astype(np.int64)
+    t = f - i0
+    offs = np.arange(taps) - (taps // 2 - 1)  # e.g. taps=4 -> -1..2
+    idx = np.clip(i0[:, None] + offs[None, :], 0, n_src - 1)
+    wts = weight_fn(t[:, None], offs[None, :])
+    return idx, wts
+
+
+def _cubic_w(t, offs, a: float = -0.5):
+    """Cubic-convolution (Keys) kernel weights at |s| = |offs - t|."""
+    s = np.abs(offs - t)
+    return np.where(
+        s <= 1,
+        (a + 2) * s**3 - (a + 3) * s**2 + 1,
+        np.where(s < 2, a * s**3 - 5 * a * s**2 + 8 * a * s - 4 * a, 0.0),
+    )
+
+
+def _lanczos_w(t, offs, a: int = 3):
+    s = offs - t
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sinc(s) * np.sinc(s / a)
+    w = np.where(np.abs(s) < a, w, 0.0)
+    return w / w.sum(axis=1, keepdims=True)  # normalized (standard Lanczos)
+
+
+def _separable_resample(src: np.ndarray, out_h: int, out_w: int, taps: int, weight_fn):
+    sh, sw = src.shape[:2]
+    yi, yw = _sample_axis(out_h, sh, taps, weight_fn)
+    xi, xw = _sample_axis(out_w, sw, taps, weight_fn)
+    a = src.astype(np.float64)
+    tmp = np.einsum("okw,ok->ow", a[yi, :], yw)          # rows pass
+    return np.einsum("hok,ok->ho", tmp[:, xi], xw)       # cols pass
+
+
+def resample_cubic(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """CubicConvolution (Keys a=-0.5; Resample.scala CubicConvolution),
+    edge-clamped, separable."""
+    return _separable_resample(src, out_h, out_w, 4, _cubic_w)
+
+
+def resample_lanczos(src: np.ndarray, out_h: int, out_w: int, a: int = 3) -> np.ndarray:
+    """Lanczos-3 windowed sinc (Resample.scala Lanczos), edge-clamped,
+    separable, normalized weights."""
+    return _separable_resample(
+        src, out_h, out_w, 2 * a, lambda t, o: _lanczos_w(t, o, a)
+    )
+
+
+RESAMPLERS = {
+    "nearest": resample_nearest,
+    "bilinear": resample_bilinear,
+    "cubic": resample_cubic,
+    "lanczos": resample_lanczos,
+}
