@@ -355,6 +355,105 @@ class TestOracle:
         assert out == [["a", "b"]]
 
 
+class TestAltIndexes:
+    def test_rowmajor(self):
+        from tilegrid.cell import rowmajor_encode
+
+        assert rowmajor_encode(3, 2, 8) == 19
+        np.testing.assert_array_equal(
+            rowmajor_encode(np.array([0, 7]), np.array([0, 7]), 8),
+            np.array([0, 63]),
+        )
+
+    def test_hilbert_roundtrip_and_locality(self):
+        from tilegrid.cell import hilbert_decode, hilbert_encode
+
+        order = 7
+        n = 1 << order
+        cc, rr = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_encode(cc.ravel(), rr.ravel(), order)
+        # bijection over the full grid
+        assert len(np.unique(d)) == n * n and d.min() == 0 and d.max() == n * n - 1
+        dc, dr = hilbert_decode(d, order)
+        np.testing.assert_array_equal(dc, cc.ravel())
+        np.testing.assert_array_equal(dr, rr.ravel())
+        # locality: consecutive curve positions are grid neighbors
+        order2 = np.argsort(d, kind="stable")
+        cs, rs = cc.ravel()[order2], rr.ravel()[order2]
+        step = np.abs(np.diff(cs)) + np.abs(np.diff(rs))
+        assert (step == 1).all()
+
+    def test_hilbert_known_order2(self):
+        from tilegrid.cell import hilbert_encode
+
+        # the canonical order-2 curve (Wikipedia xy2d convention)
+        want = {
+            (0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3,
+            (0, 2): 4, (0, 3): 5, (1, 3): 6, (1, 2): 7,
+        }
+        for (c, r), v in want.items():
+            assert int(hilbert_encode(c, r, 2)) == v, (c, r)
+
+
+class TestVectorIOAndOps:
+    def test_wkt_roundtrip(self):
+        from tilegrid.geometry import (
+            regular_ngon, wkt_decode, wkt_encode_multipolygon,
+            wkt_encode_point, wkt_encode_polygon,
+        )
+
+        assert wkt_decode(wkt_encode_point(1.5, -2.25)) == (1.5, -2.25)
+        ring = regular_ngon(3.0, 4.0, 7, 2.5, rot=0.3)
+        hole = regular_ngon(3.0, 4.0, 5, 0.5)
+        back = wkt_decode(wkt_encode_polygon([ring, hole]))
+        np.testing.assert_array_equal(back[0], ring)
+        np.testing.assert_array_equal(back[1], hole)
+        mp = wkt_decode(wkt_encode_multipolygon([[ring], [hole]]))
+        np.testing.assert_array_equal(mp[0][0], ring)
+        np.testing.assert_array_equal(mp[1][0], hole)
+
+    def test_geojson_roundtrip_and_wkb_parity(self):
+        from tilegrid.geometry import (
+            geojson_decode, geojson_encode, regular_ngon, wkb_decode,
+            wkb_encode_polygon,
+        )
+
+        ring = regular_ngon(-10.0, 20.0, 6, 3.0)
+        gj = geojson_decode(geojson_encode([ring]))
+        np.testing.assert_array_equal(gj[0], ring)
+        assert geojson_decode(geojson_encode((2.0, 3.0))) == (2.0, 3.0)
+        # all three codecs agree on the same geometry
+        wkb = wkb_decode(wkb_encode_polygon([ring]))
+        np.testing.assert_array_equal(wkb[0], gj[0])
+
+    def test_densify_and_affine(self):
+        from tilegrid.geometry import affine_transform, densify, polygon_perimeter
+
+        sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+        d = densify(sq, 2.5)
+        assert len(d) == 16  # each 10-unit edge -> 4 segments
+        assert polygon_perimeter(d) == pytest.approx(40.0)
+        seglens = np.hypot(*np.diff(np.vstack([d, d[:1]]), axis=0).T)
+        assert (seglens <= 2.5 + 1e-12).all()
+        rot = affine_transform(sq, 0.0, -1.0, 1.0, 0.0, 5.0, 0.0)  # 90deg + shift
+        np.testing.assert_allclose(rot[1], [5.0, 10.0])
+
+    def test_centroid_and_distance(self):
+        from tilegrid.geometry import (
+            points_polygon_distance, polygon_centroid, regular_ngon,
+        )
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+        assert polygon_centroid(sq) == (2.0, 2.0)
+        ngon = regular_ngon(1.0, -1.0, 128, 2.0)
+        cx, cy = polygon_centroid(ngon)
+        assert cx == pytest.approx(1.0) and cy == pytest.approx(-1.0)
+        d = points_polygon_distance(
+            np.array([2.0, 6.0, -3.0]), np.array([2.0, 2.0, 0.0]), [sq]
+        )
+        np.testing.assert_allclose(d, [0.0, 2.0, 3.0])
+
+
 class TestResampleKernels:
     def test_identity_scaling_is_exact(self):
         from tilegrid.tiles import resample_bilinear, resample_cubic, resample_lanczos

@@ -64,6 +64,15 @@ class TestFocal:
         want_h = oracle.hillshade(stitched_src("increasing"), 1.0, 1.0, 315, 45)
         np.testing.assert_allclose(got_h, want_h, equal_nan=True)
 
+    def test_morans_i_matches_oracle(self, spark):
+        a = layer_df(spark, "mod-10000")
+        got = stitched(FO.morans_i(a).toPandas())
+        want = oracle.morans_i(stitched_src("mod-10000"), 3)
+        np.testing.assert_allclose(got, want, rtol=1e-10, equal_nan=True)
+        gi = FO.morans_i_global(a).collect()[0]["morans_i"]
+        wi = oracle.morans_i_global(stitched_src("mod-10000"), 3)
+        np.testing.assert_allclose(gi, wi, rtol=1e-9)
+
     def test_mode_matches_oracle(self, spark):
         a = layer_df(spark, "every-other-undefined")
         got = stitched(FO.focal_mode(a).toPandas())

@@ -220,6 +220,67 @@ def ring_offsets(k: int) -> np.ndarray:
     return np.array(offs, dtype=np.int64)
 
 
+# ---- RowMajor + Hilbert key indexes (io/index/rowmajor/, io/index/hilbert/) ----
+
+def rowmajor_encode(col, row, layout_cols: int) -> np.ndarray:
+    """RowMajorSpatialKeyIndex.toIndex: row * layoutCols + col."""
+    return (
+        np.asarray(row).astype(np.int64) * np.int64(layout_cols)
+        + np.asarray(col).astype(np.int64)
+    )
+
+
+def rowmajor_sql(col_expr: str, row_expr: str, layout_cols: int) -> str:
+    """Same expression text in Spark SQL and DuckDB."""
+    return f"(CAST({row_expr} AS BIGINT) * {layout_cols} + CAST({col_expr} AS BIGINT))"
+
+
+def hilbert_encode(col, row, order: int) -> np.ndarray:
+    """Hilbert curve index of (col, row) on a 2^order x 2^order grid
+    (HilbertSpatialKeyIndex.scala:52-120 delegates to the Uzaygezen
+    library; this is the published iterative xy->d bit algorithm,
+    vectorized)."""
+    x = np.asarray(col).astype(np.int64).copy()
+    y = np.asarray(row).astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d
+
+
+def hilbert_decode(d, order: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of hilbert_encode (published d->xy iterative algorithm)."""
+    t = np.asarray(d).astype(np.int64).copy()
+    x = np.zeros_like(t)
+    y = np.zeros_like(t)
+    s = np.int64(1)
+    top = np.int64(1) << np.int64(order)
+    while s < top:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        # rotate
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
 # ---- range coalescing (reference io/index/MergeQueue.scala semantics) ----
 
 def merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:

@@ -76,6 +76,129 @@ def _decode_polygon_body(data: bytes, pos: int):
     return rings, pos
 
 
+# ----------------------------------------------------------------- WKT
+# (reference: vector/src/main/scala/geotrellis/vector/io/wkt/)
+
+def _fmt_coord(x: float, y: float) -> str:
+    return f"{x!r} {y!r}"
+
+
+def wkt_encode_point(x: float, y: float) -> str:
+    return f"POINT ({_fmt_coord(x, y)})"
+
+
+def _wkt_rings(rings: list[np.ndarray]) -> str:
+    parts = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        parts.append("(" + ", ".join(_fmt_coord(a, b) for a, b in r) + ")")
+    return "(" + ", ".join(parts) + ")"
+
+
+def wkt_encode_polygon(rings: list[np.ndarray]) -> str:
+    return "POLYGON " + _wkt_rings(rings)
+
+
+def wkt_encode_multipolygon(polys: list[list[np.ndarray]]) -> str:
+    return "MULTIPOLYGON (" + ", ".join(_wkt_rings(p) for p in polys) + ")"
+
+
+def _parse_ring_text(txt: str) -> np.ndarray:
+    pts = [
+        [float(v) for v in pair.split()] for pair in txt.split(",") if pair.strip()
+    ]
+    r = np.asarray(pts, dtype=np.float64)
+    if len(r) > 1 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    return r
+
+
+def _split_groups(body: str) -> list[str]:
+    """Split a parenthesized WKT body into its top-level (...) groups."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    return groups
+
+
+def wkt_decode(text: str):
+    """POINT -> (x, y); POLYGON -> list[rings]; MULTIPOLYGON ->
+    list[list[rings]] (same shapes wkb_decode returns)."""
+    t = text.strip()
+    upper = t.upper()
+    if upper.startswith("POINT"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        x, y = (float(v) for v in body.split())
+        return (x, y)
+    if upper.startswith("POLYGON"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        return [_parse_ring_text(g) for g in _split_groups(body)]
+    if upper.startswith("MULTIPOLYGON"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        return [
+            [_parse_ring_text(g) for g in _split_groups(poly)]
+            for poly in _split_groups(body)
+        ]
+    raise ValueError(f"unsupported WKT: {t[:30]!r}")
+
+
+# ----------------------------------------------------------------- GeoJSON
+# (reference: vector/src/main/scala/geotrellis/vector/io/json/)
+
+def geojson_encode(geom) -> str:
+    """(x, y) -> Point; list[rings] -> Polygon; list[list[rings]] ->
+    MultiPolygon. Rings emitted closed, per the GeoJSON spec."""
+    import json
+
+    def ring_coords(ring):
+        r = np.asarray(ring, dtype=np.float64)
+        if not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        return r.tolist()
+
+    if isinstance(geom, tuple):
+        obj = {"type": "Point", "coordinates": [geom[0], geom[1]]}
+    elif geom and isinstance(geom[0], list):
+        obj = {
+            "type": "MultiPolygon",
+            "coordinates": [[ring_coords(r) for r in poly] for poly in geom],
+        }
+    else:
+        obj = {"type": "Polygon", "coordinates": [ring_coords(r) for r in geom]}
+    return json.dumps(obj)
+
+
+def geojson_decode(text: str):
+    import json
+
+    obj = json.loads(text)
+    t = obj["type"]
+    cs = obj["coordinates"]
+
+    def ring(c):
+        r = np.asarray(c, dtype=np.float64)
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        return r
+
+    if t == "Point":
+        return (float(cs[0]), float(cs[1]))
+    if t == "Polygon":
+        return [ring(c) for c in cs]
+    if t == "MultiPolygon":
+        return [[ring(c) for c in poly] for poly in cs]
+    raise ValueError(f"unsupported GeoJSON type {t!r}")
+
+
 # ------------------------------------------------------- point-in-polygon
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -233,6 +356,84 @@ def polygon_area(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
     return float(abs(np.sum(x * y2 - x2 * y)) / 2.0)
+
+
+def polygon_perimeter(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(np.hypot(x2 - x, y2 - y)))
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid (shoelace form; degenerate rings fall back to
+    the vertex mean)."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean())
+    cx = float(((x + x2) * cross).sum() / (6.0 * a))
+    cy = float(((y + y2) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+def densify(ring: np.ndarray, max_seg_len: float) -> np.ndarray:
+    """Insert evenly spaced vertices so no segment exceeds max_seg_len
+    (reference vector densify via JTS Densifier semantics)."""
+    r = np.asarray(ring, dtype=np.float64)
+    out = []
+    n = len(r)
+    for i in range(n):
+        a, b = r[i], r[(i + 1) % n]
+        out.append(a)
+        d = float(np.hypot(*(b - a)))
+        if d > max_seg_len:
+            k = int(np.ceil(d / max_seg_len))
+            ts = np.arange(1, k) / k
+            out.extend(a + ts[:, None] * (b - a))
+    return np.asarray(out)
+
+
+def affine_transform(ring: np.ndarray, a: float, b: float, d: float, e: float,
+                     xoff: float = 0.0, yoff: float = 0.0) -> np.ndarray:
+    """x' = a*x + b*y + xoff, y' = d*x + e*y + yoff (JTS
+    AffineTransformation parameter order)."""
+    r = np.asarray(ring, dtype=np.float64)
+    return np.stack(
+        [a * r[:, 0] + b * r[:, 1] + xoff, d * r[:, 0] + e * r[:, 1] + yoff],
+        axis=1,
+    )
+
+
+def points_segments_distance(px, py, ring: np.ndarray) -> np.ndarray:
+    """Min distance from each point to the ring's boundary segments."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    best = np.full(px.shape, np.inf)
+    for i in range(len(ring)):
+        dx, dy = x2[i] - x1[i], y2[i] - y1[i]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            t = np.zeros_like(px)
+        else:
+            t = np.clip(((px - x1[i]) * dx + (py - y1[i]) * dy) / L2, 0.0, 1.0)
+        best = np.minimum(best, np.hypot(px - (x1[i] + t * dx), py - (y1[i] + t * dy)))
+    return best
+
+
+def points_polygon_distance(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Distance from points to a polygon: 0 inside, else distance to the
+    nearest boundary segment (any ring)."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    d = np.full(px.shape, np.inf)
+    for ring in rings:
+        d = np.minimum(d, points_segments_distance(px, py, ring))
+    d[points_in_polygon(px, py, rings)] = 0.0
+    return d
 
 
 # ----------------------------------------------------- hull / simplify

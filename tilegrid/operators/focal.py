@@ -225,6 +225,117 @@ def _hillshade(dzdx, dzdy, azimuth, altitude):
     return np.round(127.0 * np.maximum(0.0, math.cos(ze) * cos_slope + math.sin(ze) * sin_slope * c))
 
 
+def _layer_scalar_stats(layer: DataFrame) -> tuple[int, float, float]:
+    """(n, mean, population variance) over all data cells, from exact
+    integer-friendly partials (n, sum x, sum x^2): mean = sx/n,
+    var = (sx2 - sx*sx/n)/n — the same formula text the SQL oracle uses."""
+
+    def part(it):
+        for pdf in it:
+            n, sx, sx2 = 0, 0.0, 0.0
+            for t in pdf.itertuples(index=False):
+                v = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                v = v[~np.isnan(v)]
+                n += int(v.size)
+                sx += float(v.sum())
+                sx2 += float((v * v).sum())
+            yield pd.DataFrame({"n": [n], "sx": [sx], "sx2": [sx2]})
+
+    import pyspark.sql.functions as F
+
+    r = (
+        layer.mapInPandas(part, "n long, sx double, sx2 double")
+        .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"), F.sum("sx2").alias("sx2"))
+        .collect()[0]
+    )
+    n, sx, sx2 = int(r["n"]), float(r["sx"]), float(r["sx2"])
+    mean = sx / n
+    var = (sx2 - sx * sx / n) / n
+    return n, mean, var
+
+
+def _morans_parts(layer: DataFrame, size: int, mean: float, var: float) -> DataFrame:
+    """Per-pixel local Moran's I + neighbor count as a (li, w) layer pass.
+    Semantics follow Moran.scala TileMoransICalculation: base = x - mean;
+    z = sum over in-bounds non-NaN window cells != focus of (x_j - mean);
+    li = base / var * z / w. Computed as z = (S - x) - w*mean with S the
+    integer-exact window sum, so the per-pixel float path is reproducible
+    in SQL."""
+    parts = buffer_parts(layer, size)
+
+    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble(pdf, size)
+        if asm is None:
+            return pd.DataFrame(
+                {c: [] for c in
+                 ("zoom", "col", "row", "cell", "tile", "h", "w", "fmt", "wtile")}
+            )
+        buf, h, w = asm
+        s = size
+        k = 2 * s + 1
+        win = np.lib.stride_tricks.sliding_window_view(buf, (k, k))
+        with np.errstate(invalid="ignore"):
+            S = np.nansum(win, axis=(2, 3))
+            wfull = (~np.isnan(win)).sum(axis=(2, 3))
+        center = buf[s : s + h, s : s + w]
+        wn = wfull - 1  # neighbors excluding the focus
+        base = center - mean
+        z = (S - center) - wn * mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            li = base / var * z / wn
+        li[np.isnan(center) | (wn <= 0)] = np.nan
+        first = pdf.iloc[0]
+        zoom, col, row = int(first["zoom"]), int(first["tcol"]), int(first["trow"])
+        wn_out = np.where(np.isnan(center), np.nan, wn.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "zoom": [zoom], "col": [col], "row": [row],
+                "cell": [int(z2_encode(col, row))],
+                "tile": [codec.raw_encode(np.ascontiguousarray(li))],
+                "h": [h], "w": [w], "fmt": ["raw"],
+                "wtile": [codec.raw_encode(np.ascontiguousarray(wn_out))],
+            }
+        )
+
+    return parts.groupBy("zoom", "tcol", "trow").applyInPandas(
+        apply_group, LAYER_SCHEMA + ", wtile binary"
+    )
+
+
+def morans_i(layer: DataFrame, size: int = 1) -> DataFrame:
+    """Focal (local) Moran's I layer (Moran.scala TileMoransICalculation):
+    two passes — global mean/variance, then the buffered stencil."""
+    _, mean, var = _layer_scalar_stats(layer)
+    return _morans_parts(layer, size, mean, var).drop("wtile")
+
+
+def morans_i_global(layer: DataFrame, size: int = 1) -> DataFrame:
+    """Global Moran's I scalar (Moran.scala ScalarMoransICalculation):
+    sum over cells of base/var*z divided by the total neighbor count.
+    Returns a 1-row DataFrame (morans_i double)."""
+    import pyspark.sql.functions as F
+
+    _, mean, var = _layer_scalar_stats(layer)
+    parts = _morans_parts(layer, size, mean, var)
+
+    def partials(it):
+        for pdf in it:
+            num, ws = 0.0, 0
+            for t in pdf.itertuples(index=False):
+                li = codec.decode_tile(bytes(t.tile), "raw")
+                wn = codec.decode_tile(bytes(t.wtile), "raw")
+                ok = ~np.isnan(li)
+                # contribution = base/var*z = li * w per cell
+                num += float((li[ok] * wn[ok]).sum())
+                ws += int(wn[ok].sum())
+            yield pd.DataFrame({"num": [num], "ws": [ws]})
+
+    agg = parts.mapInPandas(partials, "num double, ws long").agg(
+        F.sum("num").alias("num"), F.sum("ws").alias("ws")
+    )
+    return agg.select((F.col("num") / F.col("ws")).alias("morans_i"))
+
+
 def focal_mean(layer, size=1):
     return focal(layer, "mean", size)
 

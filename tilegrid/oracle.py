@@ -195,6 +195,42 @@ def hillshade(
     return out
 
 
+def _morans_stats(arr: np.ndarray) -> tuple[float, float]:
+    v = arr[~np.isnan(arr)]
+    n = v.size
+    sx, sx2 = float(v.sum()), float((v * v).sum())
+    mean = sx / n
+    var = (sx2 - sx * sx / n) / n
+    return mean, var
+
+
+def morans_i(arr: np.ndarray, size: int = 3) -> np.ndarray:
+    """Local Moran's I (Moran.scala TileMoransICalculation): base/var*z/w
+    with z the neighbor deviation sum and w the in-bounds neighbor count."""
+    mean, var = _morans_stats(arr)
+    w = _windows(arr, size)
+    with np.errstate(invalid="ignore"):
+        S = np.nansum(w, axis=(2, 3))
+        wfull = (~np.isnan(w)).sum(axis=(2, 3))
+    wn = wfull - 1
+    base = arr - mean
+    z = (S - arr) - wn * mean
+    with np.errstate(invalid="ignore", divide="ignore"):
+        li = base / var * z / wn
+    li[np.isnan(arr) | (wn <= 0)] = np.nan
+    return li
+
+
+def morans_i_global(arr: np.ndarray, size: int = 3) -> float:
+    """Global Moran's I (ScalarMoransICalculation): sum(base/var*z)/sum(w)."""
+    li = morans_i(arr, size)
+    mean, var = _morans_stats(arr)
+    w = _windows(arr, size)
+    wn = (~np.isnan(w)).sum(axis=(2, 3)) - 1
+    ok = ~np.isnan(li)
+    return float((li[ok] * wn[ok]).sum() / wn[~np.isnan(arr)].sum())
+
+
 # --------------------------------------------------------------- pyramid
 
 def pyramid_up(arr: np.ndarray, method: str = "average") -> np.ndarray:

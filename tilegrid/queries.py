@@ -484,6 +484,69 @@ HAVING sum(cnt) > 0
 """
 
 
+def _o_morans_stats_cte() -> str:
+    """Shared CTE text: exact mean/variance of the dense count grid with
+    the engine's formula (mean = sx/n, var = (sx2 - sx*sx/n)/n)."""
+    return """
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS DOUBLE) AS sx,
+         CAST(sum(cnt * cnt) AS DOUBLE) AS sx2
+  FROM dense
+),
+mv AS (SELECT sx / n AS mean, (sx2 - sx * sx / n) / n AS var FROM st),
+nb AS (
+  SELECT a.gx, a.gy, a.cnt,
+         sum(b.cnt) AS S, CAST(count(*) AS BIGINT) - 1 AS wn
+  FROM dense a JOIN dense b
+    ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+  GROUP BY a.gx, a.gy, a.cnt
+)"""
+
+
+def q_morans_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (local) Moran's I (Moran.scala TileMoransICalculation):
+    base/var * z / w per pixel. z uses the integer-exact window sum, so the
+    whole per-pixel float path is reproducible in SQL — hash-exact."""
+    from .operators.focal import morans_i
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(morans_i(dense))
+
+
+def _o_morans_local() -> str:
+    return f"""
+WITH {_o_dense_grid()},
+{_o_morans_stats_cte().strip()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       (cnt - mean) / var * ((S - cnt) - wn * mean) / wn AS val
+FROM nb, mv
+WHERE (cnt - mean) / var * ((S - cnt) - wn * mean) / wn <> 0.0
+"""
+
+
+def q_morans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I scalar (ScalarMoransICalculation): the float
+    summation order over 65k contributions differs across engines, so both
+    sides round to 6 decimals."""
+    from .operators.focal import morans_i_global
+
+    dense = _count_raster(spark, sf_dir)
+    return morans_i_global(dense).withColumn("morans_i", F.round("morans_i", 6))
+
+
+def _o_morans_global() -> str:
+    return f"""
+WITH {_o_dense_grid()},
+{_o_morans_stats_cte().strip()}
+SELECT round(sum((cnt - mean) / var * ((S - cnt) - wn * mean)) / sum(wn), 6)
+       AS morans_i
+FROM nb, mv
+"""
+
+
 def q_zorder3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z3 space-time linearization (Z3.scala / ZSpaceTimeKeyIndex.scala):
     first 100 events in (col, row, day-bin) Morton order — the storage sort
@@ -1832,6 +1895,8 @@ QUERIES = {
     "local_add": q_local_add,
     "focal_sum": q_focal_sum,
     "pyramid_sum": q_pyramid_sum,
+    "morans_local": q_morans_local,
+    "morans_global": q_morans_global,
     "zorder3_topk": q_zorder3_topk,
     "temporal_mean": q_temporal_mean,
     "reproject_wm": q_reproject_wm,
@@ -1885,6 +1950,8 @@ ORACLES = {
     "local_add": _o_local_add(),
     "focal_sum": _o_focal_sum(),
     "pyramid_sum": _o_pyramid_sum(),
+    "morans_local": _o_morans_local(),
+    "morans_global": _o_morans_global(),
     "zorder3_topk": _o_zorder3_topk(),
     "temporal_mean": _o_temporal_mean(),
     "reproject_wm": _o_reproject_wm(),
