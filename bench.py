@@ -54,6 +54,15 @@ HEADLINE = [
     "crop",
     "zoom_resample",
     "pricing_summary",
+    # round-2 additions
+    "reproject_wm",
+    "band_stats",
+    "ndvi",
+    "morans_local",
+    "vectorize",
+    "zoom_resample_bilinear",
+    "temporal_mean",
+    "embed_dups",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

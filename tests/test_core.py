@@ -438,6 +438,53 @@ class TestVectorIOAndOps:
         rot = affine_transform(sq, 0.0, -1.0, 1.0, 0.0, 5.0, 0.0)  # 90deg + shift
         np.testing.assert_allclose(rot[1], [5.0, 10.0])
 
+    def test_clip_polygon_convex(self):
+        from tilegrid.geometry import clip_polygon_convex, polygon_area
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+        clip = np.array([[2.0, -1.0], [6.0, -1.0], [6.0, 5.0], [2.0, 5.0]])
+        out = clip_polygon_convex(sq, clip)
+        assert polygon_area(out) == pytest.approx(8.0)  # right half of sq
+        # clip winding must not matter
+        out2 = clip_polygon_convex(sq, clip[::-1])
+        assert polygon_area(out2) == pytest.approx(8.0)
+        # disjoint -> empty
+        far = clip + 100.0
+        assert len(clip_polygon_convex(sq, far)) == 0
+        # triangle x square partial overlap
+        tri = np.array([[3.0, 3.0], [7.0, 3.0], [3.0, 7.0]])
+        got = polygon_area(clip_polygon_convex(tri, sq))
+        assert got == pytest.approx(1.0)  # the [3,4]^2 unit square
+        tri2 = np.array([[3.0, 3.0], [4.5, 3.0], [3.0, 4.5]])
+        got2 = polygon_area(clip_polygon_convex(tri2, sq))
+        assert got2 == pytest.approx(0.875)  # unit square minus corner cut
+
+    def test_buffer_convex(self):
+        from tilegrid.geometry import buffer_convex, polygon_area, points_in_polygon
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+        buf = buffer_convex(sq, 1.0, quad_segs=16)
+        # area = A + perimeter*d + pi*d^2 (Minkowski with disc), slightly
+        # under due to the polygonal disc
+        want = 16.0 + 16.0 * 1.0 + np.pi
+        assert polygon_area(buf) == pytest.approx(want, rel=0.01)
+        assert polygon_area(buf) <= want
+        # original inside the buffer
+        assert points_in_polygon(sq[:, 0] + 1e-9, sq[:, 1] + 1e-9, [buf]).all()
+
+    def test_polygon_predicates(self):
+        from tilegrid.geometry import (
+            polygon_contains_polygon, polygons_intersect, regular_ngon,
+        )
+
+        a = [regular_ngon(0.0, 0.0, 8, 5.0)]
+        b = [regular_ngon(0.0, 0.0, 8, 1.0)]
+        c = [regular_ngon(20.0, 0.0, 8, 1.0)]
+        d = [regular_ngon(5.0, 0.0, 8, 1.5)]  # straddles a's boundary
+        assert polygons_intersect(a, b) and polygon_contains_polygon(a, b)
+        assert not polygons_intersect(a, c)
+        assert polygons_intersect(a, d) and not polygon_contains_polygon(a, d)
+
     def test_centroid_and_distance(self):
         from tilegrid.geometry import (
             points_polygon_distance, polygon_centroid, regular_ngon,

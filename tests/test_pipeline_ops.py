@@ -362,6 +362,24 @@ class TestVectorOps:
         m0 = merged[merged.value == 0.0]
         assert len(m0) == 1 and int(m0.iloc[0].n_pixels) == 4 * 1024 - 127
 
+    def test_clip_rings(self, spark):
+        from tilegrid.geometry import polygon_area, wkb_decode, wkb_encode_polygon
+        from tilegrid.operators.vector import clip_rings
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+        far = sq + 100.0
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"pid": [1, 2],
+                 "wkb": [wkb_encode_polygon([sq]), wkb_encode_polygon([far])]}
+            )
+        )
+        clip = np.array([[2.0, -1.0], [6.0, -1.0], [6.0, 5.0], [2.0, 5.0]])
+        out = clip_rings(df, clip).toPandas()
+        assert list(out.pid) == [1]  # disjoint polygon dropped
+        rings = wkb_decode(bytes(out.iloc[0].wkb))
+        assert polygon_area(rings[0]) == pytest.approx(8.0)
+
     def test_simplify_rings_roundtrip(self, spark):
         from tilegrid.geometry import regular_ngon, wkb_decode, wkb_encode_polygon
         from tilegrid.operators.vector import simplify_rings

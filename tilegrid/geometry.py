@@ -436,6 +436,103 @@ def points_polygon_distance(px, py, rings: list[np.ndarray]) -> np.ndarray:
     return d
 
 
+# ------------------------------------------------ set ops (clip / buffer)
+
+def clip_polygon_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip an arbitrary simple ring against a CONVEX
+    clip ring -> the intersection ring (possibly empty). This covers the
+    reference's most common set-op uses (intersection with extents /
+    convex query polygons; Polygon.scala:153-230 delegates to JTS).
+    Clip ring may be CW or CCW (orientation is normalized)."""
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    # normalize clip to CCW so "inside" = left of each directed edge
+    x, y = clip[:, 0], clip[:, 1]
+    if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        clip = clip[::-1]
+    out = [tuple(p) for p in np.asarray(subject, dtype=np.float64)]
+    n = len(clip)
+    for i in range(n):
+        if not out:
+            break
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        inp = out
+        out = []
+        m = len(inp)
+        for j in range(m):
+            cx, cy = inp[j]
+            px, py = inp[j - 1]
+            cur_in = ex * (cy - ay) - ey * (cx - ax) >= 0
+            prev_in = ex * (py - ay) - ey * (px - ax) >= 0
+            if cur_in != prev_in:
+                # edge crossing: intersect segment (prev->cur) with clip line
+                dx, dy = cx - px, cy - py
+                denom = ex * dy - ey * dx
+                if denom != 0:
+                    t = (ex * (ay - py) - ey * (ax - px)) / denom
+                    out.append((px + t * dx, py + t * dy))
+            if cur_in:
+                out.append((cx, cy))
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def buffer_convex(ring: np.ndarray, dist: float, quad_segs: int = 8) -> np.ndarray:
+    """Positive buffer of a CONVEX ring (or a point set): the Minkowski sum
+    with a disc, computed exactly for convex inputs as hull({v + c_k}) over
+    the ring vertices v and a 4*quad_segs-gon disc approximation c_k —
+    the JTS BufferOp contract restricted to the convex case (documented
+    limitation; concave buffers need the full offset-curve machinery)."""
+    if dist <= 0:
+        raise ValueError("buffer_convex supports positive distances")
+    k = 4 * quad_segs
+    ang = 2.0 * np.pi * np.arange(k) / k
+    disc = np.stack([dist * np.cos(ang), dist * np.sin(ang)], axis=1)
+    pts = (np.asarray(ring, dtype=np.float64)[:, None, :] + disc[None, :, :]).reshape(-1, 2)
+    return convex_hull(pts)
+
+
+def polygons_intersect(a: list[np.ndarray], b: list[np.ndarray]) -> bool:
+    """True when polygons a and b share any point: vertex containment
+    either way, or any exterior-edge crossing."""
+    ea, eb = a[0], b[0]
+    if points_in_polygon(ea[:, 0], ea[:, 1], b).any():
+        return True
+    if points_in_polygon(eb[:, 0], eb[:, 1], a).any():
+        return True
+    ax1, ay1 = ea[:, 0], ea[:, 1]
+    ax2, ay2 = np.roll(ax1, -1), np.roll(ay1, -1)
+    bx1, by1 = eb[:, 0], eb[:, 1]
+    bx2, by2 = np.roll(bx1, -1), np.roll(by1, -1)
+    for i in range(len(ea)):
+        if _segments_cross(
+            ax1[i], ay1[i], ax2[i], ay2[i],
+            bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
+        ).any():
+            return True
+    return False
+
+
+def polygon_contains_polygon(a: list[np.ndarray], b: list[np.ndarray]) -> bool:
+    """True when polygon b lies fully inside polygon a (all b vertices in a
+    and no boundary crossings)."""
+    eb = b[0]
+    if not points_in_polygon(eb[:, 0], eb[:, 1], a).all():
+        return False
+    ea = a[0]
+    ax1, ay1 = ea[:, 0], ea[:, 1]
+    ax2, ay2 = np.roll(ax1, -1), np.roll(ay1, -1)
+    bx1, by1 = eb[:, 0], eb[:, 1]
+    bx2, by2 = np.roll(bx1, -1), np.roll(by1, -1)
+    for i in range(len(ea)):
+        if _segments_cross(
+            ax1[i], ay1[i], ax2[i], ay2[i],
+            bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
+        ).any():
+            return False
+    return True
+
+
 # ----------------------------------------------------- hull / simplify
 
 def convex_hull(points: np.ndarray) -> np.ndarray:

@@ -120,21 +120,22 @@ def with_banded_buckets(
     disjoint slice of n_planes/n_bands hyperplanes -> one (band, bucket)
     row per input row per band. More planes per table shrink hot buckets;
     multiple tables restore recall (candidate if ANY band matches) — the
-    same band trick the minhash pipeline uses. The bucket exprs are
-    computed once here (a single projection), not re-derived per join."""
+    same band trick the minhash pipeline uses.
+
+    All n_planes sign folds are computed in ONE projection (one scan of the
+    source); per-band buckets are bit slices of that packed int via a cheap
+    sequence-explode — not a per-band union re-scanning the input."""
     rb = n_planes // n_bands
-    rows = []
-    for b in range(n_bands):
-        planes = list(range(b * rb, (b + 1) * rb))
-        rows.append(
-            df.withColumn("band", F.lit(b)).withColumn(
-                "bucket", F.expr(bucket_expr(emb, planes, dim))
-            )
+    allbits = bucket_expr(emb, list(range(n_planes)), dim)
+    return (
+        df.withColumn("_ab", F.expr(allbits))
+        .withColumn("band", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(shiftright(_ab, band * {rb}) & {(1 << rb) - 1} AS INT)"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        .drop("_ab")
+    )
 
 
 def lsh_bucket_topk(

@@ -82,6 +82,36 @@ def convex_hull_envelope(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame
     return side(upper, True).unionByName(side(lower, False))
 
 
+def clip_rings(
+    df: DataFrame, clip_ring: np.ndarray, wkb_col: str = "wkb"
+) -> DataFrame:
+    """Clip every polygon's exterior ring against a convex clip ring
+    (Sutherland-Hodgman; geometry.clip_polygon_convex). Rows whose
+    intersection is empty are dropped."""
+    from ..geometry import clip_polygon_convex, wkb_decode, wkb_encode_polygon
+
+    schema = df.schema
+    clip = np.asarray(clip_ring, dtype=np.float64)
+
+    def run(it):
+        for pdf in it:
+            out = pdf.copy()
+            new, keep = [], []
+            for raw in out[wkb_col]:
+                rings = wkb_decode(bytes(raw))
+                clipped = clip_polygon_convex(rings[0], clip)
+                if len(clipped) >= 3:
+                    new.append(wkb_encode_polygon([clipped]))
+                    keep.append(True)
+                else:
+                    new.append(None)
+                    keep.append(False)
+            out[wkb_col] = new
+            yield out[np.asarray(keep, dtype=bool)]
+
+    return df.mapInPandas(run, schema)
+
+
 def simplify_rings(
     df: DataFrame, tolerance: float, wkb_col: str = "wkb"
 ) -> DataFrame:
