@@ -42,6 +42,10 @@ def main() -> int:
     ap.add_argument("--zoom", type=int, default=6)
     ap.add_argument("--min-zoom", type=int, default=2)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--multiband", action="store_true",
+        help="keep RGB bands through the tiler instead of collapsing to luma",
+    )
     ap.add_argument("--cores", default=None, help="local[N] when not on a cluster")
     args = ap.parse_args()
 
@@ -105,7 +109,9 @@ def main() -> int:
         parallelism = spark.sparkContext.defaultParallelism
         imgs = imgs.repartition(parallelism * 2, "image_id")
         placed = with_extent_from_center(imgs, layout, "lon", "lat")
-        layer = tile_to_layout(placed, layout, args.zoom).persist()
+        layer = tile_to_layout(
+            placed, layout, args.zoom, multiband=args.multiband
+        ).persist()
         t = time.time()
         n_tiles = layer.count()
         write_layer(

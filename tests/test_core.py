@@ -511,11 +511,15 @@ class TestResampleKernels:
             np.testing.assert_allclose(fn(src, 16, 16), src, atol=1e-9, err_msg=fn.__name__)
 
     def test_constant_preserved(self):
-        from tilegrid.tiles import resample_cubic, resample_lanczos
+        from tilegrid.tiles import (
+            resample_cubic, resample_cubicspline, resample_lanczos,
+        )
 
         src = np.full((8, 8), 42.0)
         np.testing.assert_allclose(resample_cubic(src, 32, 32), 42.0)
         np.testing.assert_allclose(resample_lanczos(src, 32, 32), 42.0)
+        # B-spline: partition of unity -> constants exact (though smoothing)
+        np.testing.assert_allclose(resample_cubicspline(src, 32, 32), 42.0)
 
     def test_cubic_reproduces_linear_ramp_interior(self):
         """Cubic convolution interpolates degree-1 polynomials exactly in

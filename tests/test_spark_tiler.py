@@ -341,6 +341,35 @@ class TestPyramid:
             m = ~np.isnan(want)
             np.testing.assert_allclose(got[m], want[m])
 
+    def test_multiband_pyramid(self, spark):
+        """pyramid_up over (h, w, 3) tiles: per-band 2x2 average."""
+        from tilegrid.cell import z2_encode
+        from tilegrid.operators import LAYER_SCHEMA
+
+        rng = np.random.default_rng(9)
+        tiles = {}
+        rows = []
+        for c in range(2):
+            for r in range(2):
+                arr = rng.random((16, 16, 3)) * 100
+                tiles[(c, r)] = arr
+                rows.append((8, c, r, int(z2_encode(c, r)),
+                             codec.raw_encode(arr), 16, 16, "raw"))
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile",
+                                        "h", "w", "fmt"]),
+            schema=LAYER_SCHEMA,
+        )
+        up = P.pyramid_up(layer, "average").toPandas()
+        assert len(up) == 1
+        got = codec.decode_tile(bytes(up.iloc[0].tile), "raw")
+        assert got.shape == (16, 16, 3)
+        big = np.full((32, 32, 3), np.nan)
+        for (c, r), a in tiles.items():
+            big[r * 16 : (r + 1) * 16, c * 16 : (c + 1) * 16] = a
+        want = big.reshape(16, 2, 16, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want)
+
     def test_full_pyramid_counts(self, spark):
         a = layer_df(spark, "all-ones")
         levels = P.build_pyramid(a, max_zoom=8, min_zoom=5)

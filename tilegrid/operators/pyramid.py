@@ -34,9 +34,11 @@ def pyramid_up(layer: DataFrame, method: str = "average") -> DataFrame:
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]
         th, tw = int(first["h"]), int(first["w"])
-        big = np.full((2 * th, 2 * tw), np.nan)
+        big = None
         for t in pdf.itertuples(index=False):
             arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+            if big is None:  # band count comes from the first child tile
+                big = np.full((2 * th, 2 * tw) + arr.shape[2:], np.nan)
             big[t.qy * th : (t.qy + 1) * th, t.qx * tw : (t.qx + 1) * tw] = arr
         out = block_reduce(big, 2, method)
         zoom = int(first["zoom"]) - 1

@@ -41,7 +41,7 @@ def crop(layer: DataFrame, ext: Extent, layout: LayoutDefinition) -> DataFrame:
                 if inter is None:
                     arr[:] = np.nan
                 elif inter != text:
-                    h, w = arr.shape
+                    h, w = arr.shape[:2]
                     cw, ch = text.width / w, text.height / h
                     cx = text.xmin + (np.arange(w) + 0.5) * cw
                     cy = text.ymax - (np.arange(h) + 0.5) * ch
@@ -78,7 +78,7 @@ def mask(layer: DataFrame, rings: list[np.ndarray], layout: LayoutDefinition) ->
                 arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
                 text = mt.extent_for_key(int(t.col), int(t.row))
                 if not polygon_contains_extent(rr, text):
-                    h, w = arr.shape
+                    h, w = arr.shape[:2]
                     m = scanline_rasterize(rr, text, w, h)
                     arr[~m] = np.nan
                 tiles.append(codec.raw_encode(arr))
@@ -306,54 +306,29 @@ def histogram_equalization(layer: DataFrame, num_buckets: int = 256) -> DataFram
     out = lo + cdf[bucket(v)] * (hi - lo).
 
     Bucketing uses the floor rule bucket(v) = clip(floor((v-lo)/(hi-lo)*nb),
-    0, nb-1) in BOTH passes (count and transfer). Every step is +,-,*,/ of
-    exact integer counts — no transcendentals — so the transfer is
-    bit-identical to the SQL oracle twin."""
-
-    def bucket_of(arr: np.ndarray, lo: float, hi: float, nb: int) -> np.ndarray:
-        return np.floor((arr - lo) / (hi - lo) * nb).clip(0, nb - 1).astype(np.int64)
-
+    0, nb-1) in BOTH passes (count and transfer; shared _bucket_cdf). Every
+    step is +,-,*,/ of exact integer counts — no transcendentals — so the
+    transfer is bit-identical to the SQL oracle twin."""
     from .summary import min_max
 
     mm = min_max(layer).collect()[0]
     lo, hi = float(mm["vmin"]), float(mm["vmax"])
     if hi <= lo:
         hi = lo + 1.0
-
-    def count_buckets(it):
-        for pdf in it:
-            acc = np.zeros(num_buckets, dtype=np.int64)
-            for t in pdf.itertuples(index=False):
-                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
-                v = arr[~np.isnan(arr)]
-                if v.size:
-                    acc += np.bincount(bucket_of(v, lo, hi, num_buckets),
-                                       minlength=num_buckets)
-            yield pd.DataFrame({"bucket": np.arange(num_buckets), "n": acc})
-
-    bucket_rows = (
-        layer.mapInPandas(count_buckets, "bucket int, n long")
-        .groupBy("bucket").agg(F.sum("n").alias("n")).collect()
-    )
-    counts = np.zeros(num_buckets, dtype=np.int64)
-    for r in bucket_rows:
-        counts[int(r["bucket"])] = int(r["n"])
-    cdf = np.cumsum(counts).astype(np.float64)
-    cdf = cdf / cdf[-1] if cdf[-1] > 0 else cdf
+    bucket_of, cdf = _bucket_cdf(layer, lo, hi, num_buckets)
     spark = layer.sparkSession
     bc = spark.sparkContext.broadcast((lo, hi, cdf.tolist()))
 
     def run(it):
         lo_, hi_, cdf_l = bc.value
         cdf_a = np.asarray(cdf_l)
-        nb = len(cdf_a)
         for pdf in it:
             tiles = []
             for t in pdf.itertuples(index=False):
                 arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
                 out = np.where(np.isnan(arr), np.nan, 0.0)
                 ok = ~np.isnan(arr)
-                out[ok] = lo_ + cdf_a[bucket_of(arr[ok], lo_, hi_, nb)] * (hi_ - lo_)
+                out[ok] = lo_ + cdf_a[bucket_of(arr[ok])] * (hi_ - lo_)
                 tiles.append(codec.raw_encode(out))
             pdf = pdf.copy()
             pdf["tile"] = tiles

@@ -136,10 +136,11 @@ def rowwise_mode(rows: np.ndarray) -> np.ndarray:
 
 def block_reduce(src: np.ndarray, factor: int, how: str = "average") -> np.ndarray:
     """Aggregate resample by integer factor
-    (Average/Max/Min/Sum/Median/Mode kernels, Resample.scala:25-36)."""
+    (Average/Max/Min/Sum/Median/Mode kernels, Resample.scala:25-36).
+    Trailing band axes ride along (mode is single-band only)."""
     h, w = src.shape[:2]
     b = src[: h - h % factor, : w - w % factor].reshape(
-        h // factor, factor, w // factor, factor
+        (h // factor, factor, w // factor, factor) + src.shape[2:]
     ).astype(np.float64)
     with np.errstate(invalid="ignore"):
         if how == "average":
@@ -153,6 +154,8 @@ def block_reduce(src: np.ndarray, factor: int, how: str = "average") -> np.ndarr
         if how == "median":
             return np.nanmedian(b, axis=(1, 3))
         if how == "mode":
+            if src.ndim != 2:
+                raise ValueError("mode block_reduce is single-band only")
             oh, ow = b.shape[0], b.shape[2]
             rows = b.transpose(0, 2, 1, 3).reshape(oh * ow, factor * factor)
             return rowwise_mode(rows).reshape(oh, ow)
@@ -178,6 +181,17 @@ def _cubic_w(t, offs, a: float = -0.5):
         s <= 1,
         (a + 2) * s**3 - (a + 3) * s**2 + 1,
         np.where(s < 2, a * s**3 - 5 * a * s**2 + 8 * a * s - 4 * a, 0.0),
+    )
+
+
+def _bspline_w(t, offs):
+    """Cubic B-spline kernel (Resample.scala CubicSpline): smoothing, not
+    interpolating — partition of unity, so constants are preserved."""
+    s = np.abs(offs - t)
+    return np.where(
+        s <= 1,
+        2.0 / 3.0 - s**2 + s**3 / 2.0,
+        np.where(s < 2, (2.0 - s) ** 3 / 6.0, 0.0),
     )
 
 
@@ -212,9 +226,16 @@ def resample_lanczos(src: np.ndarray, out_h: int, out_w: int, a: int = 3) -> np.
     )
 
 
+def resample_cubicspline(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Cubic B-spline (Resample.scala CubicSpline), edge-clamped,
+    separable."""
+    return _separable_resample(src, out_h, out_w, 4, _bspline_w)
+
+
 RESAMPLERS = {
     "nearest": resample_nearest,
     "bilinear": resample_bilinear,
     "cubic": resample_cubic,
+    "cubicspline": resample_cubicspline,
     "lanczos": resample_lanczos,
 }
