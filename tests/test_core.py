@@ -383,6 +383,29 @@ class TestAltIndexes:
         step = np.abs(np.diff(cs)) + np.abs(np.diff(rs))
         assert (step == 1).all()
 
+    def test_z3ranges_cover_box_exactly(self):
+        from tilegrid.cell import z3_encode, z3ranges
+
+        box = (3, 5, 2, 9, 12, 6)  # col 3..9, row 5..12, t 2..6
+        ranges = z3ranges(*box, max_ranges=10_000)
+        cc, rr, tt = np.meshgrid(
+            np.arange(box[0], box[3] + 1),
+            np.arange(box[1], box[4] + 1),
+            np.arange(box[2], box[5] + 1),
+        )
+        want = set(int(v) for v in z3_encode(cc.ravel(), rr.ravel(), tt.ravel()))
+        got = set()
+        for lo, hi in ranges:
+            got.update(range(lo, hi + 1))
+        assert got == want  # uncoalesced ranges are EXACT, not a superset
+        # coalesced (bounded) ranges stay a superset
+        coarse = z3ranges(*box, max_ranges=4)
+        assert len(coarse) <= 4
+        cov = set()
+        for lo, hi in coarse:
+            cov.update(range(lo, hi + 1))
+        assert want <= cov
+
     def test_hilbert_known_order2(self):
         from tilegrid.cell import hilbert_encode
 

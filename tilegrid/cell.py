@@ -220,6 +220,67 @@ def ring_offsets(k: int) -> np.ndarray:
     return np.array(offs, dtype=np.int64)
 
 
+def z3ranges(
+    col_min: int, row_min: int, t_min: int,
+    col_max: int, row_max: int, t_max: int,
+    max_ranges: int = 256,
+) -> list[tuple[int, int]]:
+    """Z3 index ranges (inclusive) covering a (space x time) box — the
+    octree analogue of `zranges` (reference Z3.zranges): an octant fully
+    inside the query reports its contiguous Z3 range, a partial octant
+    recurses. Drives combined spatial+temporal storage pruning on a
+    cell3-sorted layer."""
+    out = MergeQueue()
+
+    def covers(c0, r0, t0, c1, r1, t1) -> bool:
+        return (
+            c0 >= col_min and c1 <= col_max
+            and r0 >= row_min and r1 <= row_max
+            and t0 >= t_min and t1 <= t_max
+        )
+
+    def overlaps(c0, r0, t0, c1, r1, t1) -> bool:
+        return (
+            c0 <= col_max and c1 >= col_min
+            and r0 <= row_max and r1 >= row_min
+            and t0 <= t_max and t1 >= t_min
+        )
+
+    def rec(prefix: int, bits: int, c0: int, r0: int, t0: int):
+        side = 1 << bits
+        c1, r1, t1 = c0 + side - 1, r0 + side - 1, t0 + side - 1
+        if not overlaps(c0, r0, t0, c1, r1, t1):
+            return
+        if covers(c0, r0, t0, c1, r1, t1):
+            out.add(prefix, prefix + (1 << (3 * bits)) - 1)
+            return
+        if bits == 0:
+            return
+        h = side // 2
+        step = 1 << (3 * (bits - 1))
+        # child order = Z3 bit layout: col bit 0, row bit 1, t bit 2
+        i = 0
+        for dt in (0, h):
+            for dr in (0, h):
+                for dc in (0, h):
+                    rec(prefix + i * step, bits - 1, c0 + dc, r0 + dr, t0 + dt)
+                    i += 1
+
+    bits = 1
+    while (1 << bits) <= max(col_max, row_max, t_max):
+        bits += 1
+    rec(0, bits, 0, 0, 0)
+    ranges = out.to_list()
+    while len(ranges) > max_ranges:  # coarsen pairwise by smallest gap
+        gaps = [
+            (ranges[i + 1][0] - ranges[i][1], i) for i in range(len(ranges) - 1)
+        ]
+        _, i = min(gaps)
+        ranges[i] = (ranges[i][0], ranges[i + 1][1])
+        del ranges[i + 1]
+    return ranges
+
+
 # ---- RowMajor + Hilbert key indexes (io/index/rowmajor/, io/index/hilbert/) ----
 
 def rowmajor_encode(col, row, layout_cols: int) -> np.ndarray:

@@ -1,0 +1,79 @@
+"""Point-set -> raster interpolation: inverse distance weighting.
+
+Reference: raster/.../interpolation/InverseDistanceWeighted.scala (point set
+-> tile by w = 1/d^power sums). Our formulation quantizes points to their
+pixel (the tiler's floor math), then builds the IDW surface RELATIONALLY:
+each data pixel explodes to the window of target pixels it influences
+(a Catalyst sequence-explode, like CutTiles), one groupBy aggregates
+num = sum(w * sum_v) and den = sum(w * n) per target pixel — no UDF, no
+range join, whole-stage codegen end to end. A target pixel holding data
+returns the exact mean of its own points (the d=0 rule); otherwise
+num/den over the window; pixels with no data in the window are absent.
+
+The same SQL text runs on DuckDB, so the op is oracle-checked; the only
+cross-engine nondeterminism is float summation order over the <= (2k+1)^2
+window terms, absorbed by round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..grid import LayoutDefinition
+
+
+def idw_grid(
+    points: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    x: str = "x",
+    y: str = "y",
+    value_col: str = "value",
+    window: int = 2,
+) -> DataFrame:
+    """IDW (power=2) surface at pixel resolution: rows (col, row, px, py,
+    val) for every pixel within `window` pixels of a data pixel."""
+    tl = layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    ncx, ncy = tl.layout_cols * tc, tl.layout_rows * tr
+    cw, ch = layout.cell_width, layout.cell_height
+    e = layout.extent
+    # global pixel index of each point (same floor text as the oracle)
+    gx = f"CAST(floor((({x}) - {e.xmin!r}) / {cw!r}) AS BIGINT)"
+    gy = f"CAST(floor(({e.ymax!r} - ({y})) / {ch!r}) AS BIGINT)"
+    src = (
+        points.select(
+            F.expr(gx).alias("gx"), F.expr(gy).alias("gy"),
+            F.col(value_col).alias("_v"),
+        )
+        .where(f"gx BETWEEN 0 AND {ncx - 1} AND gy BETWEEN 0 AND {ncy - 1}")
+        .groupBy("gx", "gy")
+        .agg(F.sum("_v").alias("sv"), F.count("*").cast("long").alias("n"))
+    )
+    k = window
+    w_expr = (
+        f"1.0 / ((dx * CAST({cw!r} AS DOUBLE)) * (dx * CAST({cw!r} AS DOUBLE))"
+        f" + (dy * CAST({ch!r} AS DOUBLE)) * (dy * CAST({ch!r} AS DOUBLE)))"
+    )
+    exploded = (
+        src.withColumn("dx", F.explode(F.expr(f"sequence(-{k}, {k})")))
+        .withColumn("dy", F.explode(F.expr(f"sequence(-{k}, {k})")))
+        .withColumn("tgx", F.col("gx") + F.col("dx"))
+        .withColumn("tgy", F.col("gy") + F.col("dy"))
+        .where(f"tgx BETWEEN 0 AND {ncx - 1} AND tgy BETWEEN 0 AND {ncy - 1}")
+    )
+    agg = exploded.groupBy("tgx", "tgy").agg(
+        F.expr(f"sum(CASE WHEN dx = 0 AND dy = 0 THEN NULL ELSE ({w_expr}) * sv END)").alias("num"),
+        F.expr(f"sum(CASE WHEN dx = 0 AND dy = 0 THEN NULL ELSE ({w_expr}) * n END)").alias("den"),
+        F.expr("max(CASE WHEN dx = 0 AND dy = 0 THEN sv END)").alias("sv0"),
+        F.expr("max(CASE WHEN dx = 0 AND dy = 0 THEN n END)").alias("n0"),
+    )
+    return agg.select(
+        F.expr(f"CAST(tgx DIV {tc} AS INT)").alias("col"),
+        F.expr(f"CAST(tgy DIV {tr} AS INT)").alias("row"),
+        F.expr(f"CAST(tgx % {tc} AS INT)").alias("px"),
+        F.expr(f"CAST(tgy % {tr} AS INT)").alias("py"),
+        F.expr(
+            "round(CASE WHEN n0 IS NOT NULL THEN sv0 / n0 ELSE num / den END, 6)"
+        ).alias("val"),
+    )

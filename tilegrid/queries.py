@@ -484,6 +484,59 @@ HAVING sum(cnt) > 0
 """
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation of event values onto the
+    zoom-3 pixel grid (InverseDistanceWeighted.scala, power=2, quantized
+    point locations): fully relational — quantize, sequence-explode the
+    influence window, one groupBy. round(6) absorbs summation order."""
+    from .operators.interpolate import idw_grid
+
+    pts = _events_points(spark, sf_dir)
+    return idw_grid(pts, LR, ZR, x="lon", y="lat", value_col="value", window=2)
+
+
+def _o_idw() -> str:
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    w = (
+        f"1.0 / ((dx * CAST({cw} AS DOUBLE)) * (dx * CAST({cw} AS DOUBLE))"
+        f" + (dy * CAST({ch} AS DOUBLE)) * (dy * CAST({ch} AS DOUBLE)))"
+    )
+    return f"""
+WITH p AS (SELECT {LON_E} AS lon, {LAT_E} AS lat, value FROM events),
+q AS (
+  SELECT CAST(floor((lon - (-180.0)) / CAST({cw} AS DOUBLE)) AS BIGINT) AS gx,
+         CAST(floor((90.0 - lat) / CAST({ch} AS DOUBLE)) AS BIGINT) AS gy,
+         value
+  FROM p
+),
+src AS (
+  SELECT gx, gy, sum(value) AS sv, CAST(count(*) AS BIGINT) AS n
+  FROM q WHERE gx BETWEEN 0 AND 255 AND gy BETWEEN 0 AND 255
+  GROUP BY gx, gy
+),
+ex AS (
+  SELECT gx + CAST(dxr.range AS BIGINT) AS tgx,
+         gy + CAST(dyr.range AS BIGINT) AS tgy,
+         CAST(dxr.range AS BIGINT) AS dx, CAST(dyr.range AS BIGINT) AS dy,
+         sv, n
+  FROM src, range(-2, 3) dxr, range(-2, 3) dyr
+),
+ag AS (
+  SELECT tgx, tgy,
+         sum(CASE WHEN dx = 0 AND dy = 0 THEN NULL ELSE ({w}) * sv END) AS num,
+         sum(CASE WHEN dx = 0 AND dy = 0 THEN NULL ELSE ({w}) * n END) AS den,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN sv END) AS sv0,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN n END) AS n0
+  FROM ex WHERE tgx BETWEEN 0 AND 255 AND tgy BETWEEN 0 AND 255
+  GROUP BY tgx, tgy
+)
+SELECT CAST(tgx // 32 AS INT) AS col, CAST(tgy // 32 AS INT) AS row,
+       CAST(tgx % 32 AS INT) AS px, CAST(tgy % 32 AS INT) AS py,
+       round(CASE WHEN n0 IS NOT NULL THEN sv0 / n0 ELSE num / den END, 6) AS val
+FROM ag
+"""
+
+
 def _o_morans_stats_cte() -> str:
     """Shared CTE text: exact mean/variance of the dense count grid with
     the engine's formula (mean = sx/n, var = (sx2 - sx*sx/n)/n)."""
@@ -1895,6 +1948,7 @@ QUERIES = {
     "local_add": q_local_add,
     "focal_sum": q_focal_sum,
     "pyramid_sum": q_pyramid_sum,
+    "idw": q_idw,
     "morans_local": q_morans_local,
     "morans_global": q_morans_global,
     "zorder3_topk": q_zorder3_topk,
@@ -1950,6 +2004,7 @@ ORACLES = {
     "local_add": _o_local_add(),
     "focal_sum": _o_focal_sum(),
     "pyramid_sum": _o_pyramid_sum(),
+    "idw": _o_idw(),
     "morans_local": _o_morans_local(),
     "morans_global": _o_morans_global(),
     "zorder3_topk": _o_zorder3_topk(),
