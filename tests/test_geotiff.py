@@ -1,0 +1,141 @@
+"""From-scratch GeoTiff codec tests: roundtrips, format variants, georef,
+and a Spark ingest of GeoTiff-encoded images through the tiler."""
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilegrid import codec
+from tilegrid.geotiff import tiff_decode, tiff_encode
+from tilegrid.grid import Extent
+
+
+class TestGeoTiffCodec:
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32", "float64"])
+    def test_roundtrip_gray(self, dtype):
+        rng = np.random.default_rng(1)
+        arr = (rng.random((37, 53)) * 200).astype(dtype)
+        back, ext = tiff_decode(tiff_encode(arr))
+        np.testing.assert_array_equal(back, arr)
+        assert ext is None
+
+    def test_roundtrip_rgb_and_georef(self):
+        rng = np.random.default_rng(2)
+        arr = (rng.random((32, 64, 3)) * 255).astype(np.uint8)
+        e = Extent(-10.0, 40.0, 22.0, 56.0)
+        data = tiff_encode(arr, extent=e)
+        back, ext = tiff_decode(data)
+        np.testing.assert_array_equal(back, arr)
+        assert ext is not None
+        np.testing.assert_allclose(
+            [ext.xmin, ext.ymin, ext.xmax, ext.ymax],
+            [e.xmin, e.ymin, e.xmax, e.ymax],
+        )
+
+    def test_uncompressed_and_codec_dispatch(self):
+        arr = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+        data = tiff_encode(arr, compress=False)
+        back, _ = tiff_decode(data)
+        np.testing.assert_array_equal(back, arr)
+        # codec.decode_tile sniffs the TIFF magic
+        np.testing.assert_array_equal(codec.decode_tile(data), arr)
+        np.testing.assert_array_equal(
+            codec.decode_tile(codec.encode_tile(arr, "tiff"), "tiff"), arr
+        )
+
+    def test_packbits_strip(self):
+        """Hand-built PackBits-compressed strip decodes correctly."""
+        row = bytes([7] * 10 + [1, 2, 3])  # run of 7s + literal bytes
+        packed = bytes([256 - 9, 7, 2, 1, 2, 3])  # replicate 10x7, literal 3
+        h, w = 1, 13
+        ifd_off = 8
+        entries = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, 1, struct.pack("<H", 8)),
+            (259, 3, 1, struct.pack("<H", 32773)),
+            (262, 3, 1, struct.pack("<H", 1)),
+            (277, 3, 1, struct.pack("<H", 1)),
+            (278, 4, 1, struct.pack("<I", h)),
+            (279, 4, 1, struct.pack("<I", len(packed))),
+        ]
+        n = len(entries) + 1
+        strip_off = ifd_off + 2 + n * 12 + 4
+        entries.append((273, 4, 1, struct.pack("<I", strip_off)))
+        entries.sort(key=lambda x: x[0])
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+        out += struct.pack("<H", n)
+        for tag, typ, cnt, raw in entries:
+            out += struct.pack("<HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")
+        out += struct.pack("<I", 0)
+        out += packed
+        back, _ = tiff_decode(bytes(out))
+        np.testing.assert_array_equal(back, np.frombuffer(row, np.uint8).reshape(1, 13))
+
+    def test_big_endian_read(self):
+        """Hand-built big-endian (MM) uncompressed gray TIFF decodes."""
+        arr = (np.arange(4 * 6, dtype=np.uint16) * 101 % 5000).reshape(4, 6)
+        body = arr.astype(">u2").tobytes()
+        ifd_off = 8
+        entries = [
+            (256, 4, 1, struct.pack(">I", 6)),
+            (257, 4, 1, struct.pack(">I", 4)),
+            (258, 3, 1, struct.pack(">H", 16) + b"\x00\x00"),
+            (259, 3, 1, struct.pack(">H", 1) + b"\x00\x00"),
+            (262, 3, 1, struct.pack(">H", 1) + b"\x00\x00"),
+            (277, 3, 1, struct.pack(">H", 1) + b"\x00\x00"),
+            (278, 4, 1, struct.pack(">I", 4)),
+            (279, 4, 1, struct.pack(">I", len(body))),
+        ]
+        n = len(entries) + 1
+        strip_off = ifd_off + 2 + n * 12 + 4
+        entries.append((273, 4, 1, struct.pack(">I", strip_off)))
+        entries.sort(key=lambda x: x[0])
+        out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off))
+        out += struct.pack(">H", n)
+        for tag, typ, cnt, raw in entries:
+            out += struct.pack(">HHI", tag, typ, cnt) + raw[:4].ljust(4, b"\x00")
+        out += struct.pack(">I", 0)
+        out += body
+        back, _ = tiff_decode(bytes(out))
+        np.testing.assert_array_equal(back, arr)
+
+    def test_unsupported_raises(self):
+        arr = np.zeros((4, 4), dtype=np.uint8)
+        data = bytearray(tiff_encode(arr, compress=False))
+        # flip compression tag (259) value to JPEG (7)
+        pos = data.find(struct.pack("<HH", 259, 3))
+        data[pos + 8 : pos + 10] = struct.pack("<H", 7)
+        with pytest.raises(ValueError, match="compression"):
+            tiff_decode(bytes(data))
+
+
+class TestGeoTiffIngest:
+    def test_tiler_ingests_tiff_corpus(self, spark):
+        """GeoTiff-encoded images flow through tile_to_layout unchanged —
+        the codec dispatch is the only difference vs the PNG corpus."""
+        from tilegrid import fixtures
+        from tilegrid.grid import ZoomedLayoutScheme, lnglat_to_webmercator
+        from tilegrid.operators.tiler import tile_to_layout, with_extent_from_center
+
+        scheme = ZoomedLayoutScheme("webmercator")
+        layout = scheme.level_for_zoom(3).layout
+        pdf = fixtures.images_table(20)
+        x, y = lnglat_to_webmercator(pdf.lon.values, pdf.lat.values)
+        pdf["x"], pdf["y"] = x, y
+        # re-encode the RGB patterns as GeoTiffs
+        pdf["tile"] = [
+            tiff_encode(fixtures.make_pattern_rgb(i, int(r.h), int(r.w)))
+            for i, r in enumerate(pdf.itertuples(index=False))
+        ]
+        pdf["fmt"] = "tiff"
+        df = spark.createDataFrame(pdf[["image_id", "tile", "fmt", "x", "y", "w", "h"]])
+        layer = tile_to_layout(
+            with_extent_from_center(df, layout, "x", "y"), layout, 3
+        ).toPandas()
+        assert len(layer) > 0
+        arr = codec.decode_tile(bytes(layer.iloc[0].tile), layer.iloc[0].fmt)
+        assert arr.shape == (256, 256)

@@ -218,6 +218,10 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         return fake_jpeg_encode(arr)
     if fmt == "raw":
         return raw_encode(arr)
+    if fmt == "tiff":
+        from .geotiff import tiff_encode
+
+        return tiff_encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -229,6 +233,8 @@ def decode_tile(data: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "jpeg"
         elif data[:4] == _RAW_MAGIC:
             fmt = "raw"
+        elif data[:4] in (b"II*\x00", b"MM\x00*"):
+            fmt = "tiff"
         else:
             raise ValueError("unknown tile format")
     if fmt == "png":
@@ -237,6 +243,11 @@ def decode_tile(data: bytes, fmt: str | None = None) -> np.ndarray:
         return fake_jpeg_decode(bytes(data))
     if fmt == "raw":
         return raw_decode(bytes(data))
+    if fmt == "tiff":
+        from .geotiff import tiff_decode
+
+        arr, _ = tiff_decode(bytes(data))
+        return arr
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
