@@ -508,6 +508,22 @@ class TestVectorIOAndOps:
         assert not polygons_intersect(a, c)
         assert polygons_intersect(a, d) and not polygon_contains_polygon(a, d)
 
+    def test_shapefile_roundtrip(self):
+        from tilegrid.geometry import regular_ngon
+        from tilegrid.shapefile import shp_decode, shp_encode
+
+        pts = [(1.5, -2.0), (3.25, 4.5)]
+        assert shp_decode(shp_encode(pts)) == pts
+        ring = regular_ngon(0.0, 0.0, 6, 2.0)
+        hole = regular_ngon(10.0, 10.0, 4, 0.5)
+        polys = [[ring], [ring + 10.0, hole]]
+        back = shp_decode(shp_encode(polys))
+        assert len(back) == 2 and len(back[1]) == 2
+        np.testing.assert_allclose(back[0][0], ring)
+        np.testing.assert_allclose(back[1][1], hole)
+        with pytest.raises(ValueError, match="share one shape type"):
+            shp_encode([pts[0], [ring]])
+
     def test_centroid_and_distance(self):
         from tilegrid.geometry import (
             points_polygon_distance, polygon_centroid, regular_ngon,
