@@ -140,7 +140,7 @@ def flagship_pipeline(spark) -> dict:
     join over the stored image corpus."""
     from tilegrid import fixtures
     from tilegrid.grid import LATLNG_WORLD, LayoutDefinition, TileLayout
-    from tilegrid.operators.join import pip_join
+    from tilegrid.operators.join import pip_join_df
     from tilegrid.operators.pyramid import build_pyramid
     from tilegrid.operators.tiler import tile_to_layout, with_extent_from_center
 
@@ -176,8 +176,10 @@ def flagship_pipeline(spark) -> dict:
     t_pyr = time.time()
     log(f"  phase pyramid: {t_pyr - t_tile:.1f}s ({n_pyr} tiles)")
 
-    polys = fixtures.polygons_table(1000)[["polygon_id", "wkb"]]
-    join = pip_join(
+    polys = spark.createDataFrame(
+        fixtures.polygons_table(1000)[["polygon_id", "wkb"]]
+    )
+    join = pip_join_df(
         imgs.select("image_id", "lon", "lat", "caption"),
         polys,
         layout,

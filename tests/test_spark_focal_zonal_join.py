@@ -179,6 +179,30 @@ class TestPipJoin:
         assert got_set == want
         assert len(want) > 0  # non-trivial
 
+    def test_pip_join_df_matches_pandas_variant(self, spark):
+        """DataFrame-native polygon side == driver-pandas variant."""
+        pts = to_xy(fixtures.points_table(400))
+        polys = fixtures.polygons_table(8)
+        merc_rows = []
+        from tilegrid.geometry import wkb_encode_polygon
+
+        for t in polys.itertuples(index=False):
+            rings = wkb_decode(bytes(t.wkb))
+            mr = []
+            for ring in rings:
+                rx, ry = lnglat_to_webmercator(ring[:, 0], ring[:, 1])
+                mr.append(np.stack([rx, ry], axis=1))
+            merc_rows.append({"polygon_id": t.polygon_id, "wkb": wkb_encode_polygon(mr)})
+        polys_m = pd.DataFrame(merc_rows)
+        df = spark.createDataFrame(pts[["point_id", "x", "y"]])
+        want = J.pip_join(df, polys_m, LAYOUT, ZOOM).toPandas()
+        got = J.pip_join_df(
+            df, spark.createDataFrame(polys_m), LAYOUT, ZOOM
+        ).toPandas()
+        ws = set(zip(want.point_id, want.polygon_id))
+        gs = set(zip(got.point_id, got.polygon_id))
+        assert ws == gs and len(ws) > 0
+
     def test_unrefined_is_superset(self, spark):
         pts = to_xy(fixtures.points_table(300))
         polys = fixtures.polygons_table(10)

@@ -115,6 +115,11 @@ class TestSummaries:
         src = np.sort(stitched(fixtures.tile_layer_table("increasing")).ravel())
         want = [src[int(q * len(src)) - 1] for q in (0.25, 0.5, 0.75, 1.0)]
         np.testing.assert_allclose(br, want, atol=1.0)
+        # bucketed (scale-safe) path: bounded driver traffic, breaks within
+        # one bucket width of the exact quantiles
+        br2 = S.class_breaks(a, 4, exact=False, num_buckets=512)
+        width = (src[-1] - src[0]) / 512
+        np.testing.assert_allclose(br2, want, atol=width + 1.0)
 
     def test_polygonal_summary(self, spark):
         a = layer_df(spark, "increasing")

@@ -89,12 +89,25 @@ def min_max(layer: DataFrame) -> DataFrame:
     return part.agg(F.min("tmin").alias("vmin"), F.max("tmax").alias("vmax"))
 
 
-def class_breaks(layer: DataFrame, n: int) -> list[float]:
-    """Quantile breaks from the exact histogram CDF
-    (StatsTileRDDMethods.scala:85-100)."""
-    hist = histogram_exact_int(layer).orderBy("value").collect()
-    values = np.array([r["value"] for r in hist], dtype=np.float64)
-    counts = np.array([r["count"] for r in hist], dtype=np.float64)
+def class_breaks(layer: DataFrame, n: int, exact: bool = True,
+                 num_buckets: int = 4096) -> list[float]:
+    """Quantile breaks from a histogram CDF
+    (StatsTileRDDMethods.scala:85-100).
+
+    exact=True collects the exact integer-value histogram — bounded by the
+    layer's value DOMAIN, which is unbounded for float layers. exact=False
+    is the scale-safe path: a fixed `num_buckets` bucketed histogram
+    (driver traffic bounded at num_buckets rows regardless of domain),
+    returning bucket upper edges as approximate quantiles — the same
+    trade the reference's StreamingHistogram makes."""
+    if exact:
+        hist = histogram_exact_int(layer).orderBy("value").collect()
+        values = np.array([r["value"] for r in hist], dtype=np.float64)
+        counts = np.array([r["count"] for r in hist], dtype=np.float64)
+    else:
+        hist = histogram(layer, num_buckets).orderBy("bucket").collect()
+        values = np.array([r["hi"] for r in hist], dtype=np.float64)
+        counts = np.array([r["count"] for r in hist], dtype=np.float64)
     cdf = np.cumsum(counts) / counts.sum()
     qs = np.linspace(0, 1, n + 1)[1:]
     idx = np.searchsorted(cdf, qs, side="left").clip(0, len(values) - 1)

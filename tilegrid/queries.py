@@ -29,7 +29,7 @@ from .operators import ann as A
 from .operators import dedup as D
 from .operators import text as T
 from .operators.focal import focal_sum
-from .operators.join import knn_join_df, pip_join
+from .operators.join import knn_join_df, pip_join_df
 from .operators.pyramid import pyramid_up
 from .operators.rasterize import kernel_density
 from .operators.tiler import key_exprs, with_key_columns
@@ -206,10 +206,11 @@ def _triangles(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join: cell-cover equi-join + vectorized ray-casting
-    refine (our VectorJoin.scala:35-79 replacement)."""
+    refine (our VectorJoin.scala:35-79 replacement). Polygon side is a
+    DataFrame end-to-end (pip_join_df — no driver geometry loop)."""
     pts = _events_points(spark, sf_dir).withColumn("point_id", F.col("event_id"))
-    tri = _triangles(spark, sf_dir)
-    out = pip_join(
+    tri = spark.createDataFrame(_triangles(spark, sf_dir))
+    out = pip_join_df(
         pts, tri, L5, 5, x="lon", y="lat", point_cols=("point_id",)
     )
     return out.select(
@@ -2053,8 +2054,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     """Flagship: PIP-join events to triangle polygons, assign zoom-5 tiles,
     aggregate per (polygon, tile) — join + tiler in one pipeline."""
     pts = _events_points(spark, sf_dir).withColumn("point_id", F.col("event_id"))
-    tri = _triangles(spark, sf_dir)
-    joined = pip_join(pts, tri, L5, 5, x="lon", y="lat", point_cols=("point_id",))
+    tri = spark.createDataFrame(_triangles(spark, sf_dir))
+    joined = pip_join_df(pts, tri, L5, 5, x="lon", y="lat", point_cols=("point_id",))
     keyed = with_key_columns(joined, L5, "lon", "lat", 5)
     return keyed.groupBy("polygon_id", "zoom", "col", "row", "cell").agg(
         F.count("*").cast("long").alias("n_events")
