@@ -4,6 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from tilegrid import fixtures
 from tilegrid.grid import LATLNG_WORLD, LayoutDefinition, TileLayout
 from tilegrid.streaming import streaming_cell_counts
@@ -57,6 +59,58 @@ class TestStreaming:
         pd.testing.assert_frame_equal(
             g[key + ["n_events", "sum_value"]], b[key + ["n_events", "sum_value"]]
         )
+
+    def test_stateful_running_stats_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState: state must carry across micro-batches —
+        final per-cell totals equal the batch groupBy over all input."""
+        from tilegrid.streaming import streaming_running_cell_stats
+
+        pdf = _events_pdf(2000)
+        src = str(tmp_path / "state_src")
+        spark.createDataFrame(pdf.iloc[:1000]).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(pdf.iloc[1000:]).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+            .parquet(src)
+        )
+        out = streaming_running_cell_stats(stream, LAYOUT, ZOOM, x="lon", y="lat")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM running").toPandas()
+        # last emitted row per cell = the running total after all batches
+        final = rows.groupby("cell").last()
+        from tilegrid.operators.tiler import with_key_columns
+
+        batch = (
+            with_key_columns(spark.createDataFrame(pdf), LAYOUT, "lon", "lat", ZOOM)
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .toPandas()
+            .set_index("cell")
+        )
+        assert set(final.index) == set(batch.index)
+        for cell in batch.index:
+            assert final.loc[cell, "n_events"] == batch.loc[cell, "n_events"]
+            np.testing.assert_allclose(
+                final.loc[cell, "sum_value"], batch.loc[cell, "sum_value"]
+            )
+            assert final.loc[cell, "min_value"] == batch.loc[cell, "min_value"]
+            assert final.loc[cell, "max_value"] == batch.loc[cell, "max_value"]
+        # state genuinely spanned batches: some cell was emitted twice
+        assert (rows.groupby("cell").size() > 1).any()
 
     def test_watermark_bounds_state(self, spark):
         # watermark column present in the plan (state-bounding contract)

@@ -14,6 +14,7 @@ parquet/kafka in production) and trigger.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .grid import LayoutDefinition
@@ -58,4 +59,57 @@ def streaming_cell_counts(
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
         *(["n_events"] + (["sum_value"] if value_col else [])),
+    )
+
+
+def streaming_running_cell_stats(
+    stream: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    x: str = "lon",
+    y: str = "lat",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per cell, carry
+    running (count, sum, min, max) across micro-batches — the arbitrary-
+    state path for aggregations Spark's windowed engine can't express
+    (e.g. lifetime per-cell stats over an unbounded stream). Each update
+    emits the cell's latest totals; state is one tiny tuple per cell, so
+    the store stays O(live cells)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = streaming_keyed(stream, layout, x, y, zoom).select(
+        "zoom", "col", "row", "cell", F.col(value_col).alias("_v")
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, s, mn, mx = state.get
+        else:
+            n, s, mn, mx = 0, 0.0, float("inf"), float("-inf")
+        for pdf in pdfs:
+            if len(pdf):
+                n += int(len(pdf))
+                s += float(pdf["_v"].sum())
+                mn = min(mn, float(pdf["_v"].min()))
+                mx = max(mx, float(pdf["_v"].max()))
+        state.update((n, s, mn, mx))
+        zoom_, col_, row_, cell_ = key
+        yield pd.DataFrame(
+            {
+                "zoom": [zoom_], "col": [col_], "row": [row_], "cell": [cell_],
+                "n_events": [n], "sum_value": [s],
+                "min_value": [mn], "max_value": [mx],
+            }
+        )
+
+    return keyed.groupBy("zoom", "col", "row", "cell").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "zoom int, col int, row int, cell long, n_events long, "
+            "sum_value double, min_value double, max_value double"
+        ),
+        stateStructType="n long, s double, mn double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
