@@ -266,6 +266,62 @@ class TestReproject:
         np.testing.assert_array_equal(got, want)
 
 
+class TestReprojectBilinear:
+    def test_bilinear_warp_matches_oracle(self, spark):
+        """Buffered-tile bilinear warp vs a whole-array NumPy oracle."""
+        from tilegrid.grid import (
+            LATLNG_WORLD, WEBMERCATOR_WORLD, LayoutDefinition, TileLayout,
+            webmercator_to_lnglat,
+        )
+        from tilegrid.operators.reproject import reproject_layer
+
+        src_layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 16, 16))
+        dst_layout = LayoutDefinition(WEBMERCATOR_WORLD, TileLayout(4, 4, 16, 16))
+        from tilegrid.cell import z2_encode
+        from tilegrid.operators import LAYER_SCHEMA
+
+        rng = np.random.default_rng(13)
+        src_px = rng.random((64, 64)) * 50.0
+        rows = []
+        for c in range(4):
+            for r in range(4):
+                arr = src_px[r * 16 : (r + 1) * 16, c * 16 : (c + 1) * 16]
+                rows.append((2, c, r, int(z2_encode(c, r)),
+                             codec.raw_encode(np.ascontiguousarray(arr)),
+                             16, 16, "raw"))
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile",
+                                        "h", "w", "fmt"]),
+            schema=LAYER_SCHEMA,
+        )
+        out = reproject_layer(
+            layer, src_layout, dst_layout, 2, "latlng", "webmercator",
+            method="bilinear",
+        ).toPandas()
+        assert len(out) == 16
+        half = WEBMERCATOR_WORLD.xmax
+        cwm = 2 * half / 64
+        gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+        mx = -half + (gx + 0.5) * cwm
+        my = half - (gy + 0.5) * cwm
+        lon, lat = webmercator_to_lnglat(mx.ravel(), my.ravel())
+        fx = (lon + 180.0) / src_layout.cell_width - 0.5
+        fy = (90.0 - lat) / src_layout.cell_height - 0.5
+        x0 = np.clip(np.floor(fx).astype(np.int64), 0, 63)
+        y0 = np.clip(np.floor(fy).astype(np.int64), 0, 63)
+        x1 = np.clip(x0 + 1, 0, 63)
+        y1 = np.clip(y0 + 1, 0, 63)
+        wx = np.clip(fx - x0, 0.0, 1.0)
+        wy = np.clip(fy - y0, 0.0, 1.0)
+        top = src_px[y0, x0] * (1 - wx) + src_px[y0, x1] * wx
+        bot = src_px[y1, x0] * (1 - wx) + src_px[y1, x1] * wx
+        want = (top * (1 - wy) + bot * wy).reshape(64, 64)
+        got, (c0, r0, _, _) = fixtures.stitch_layer_df(out)
+        assert (c0, r0) == (0, 0)
+        assert not np.isnan(got).any()
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def layer_df(spark, variant, tile_size=16):
     return spark.createDataFrame(fixtures.tile_layer_table(variant, tile_size=tile_size))
 

@@ -255,6 +255,9 @@ def _cap_buckets(
             file=sys.stderr,
         )
     ok = counts.where(F.col("_bc") <= max_bucket).select(*keys)
+    # counts stays persisted until the join consumes it; blocking=False
+    # unpersist after the plan is built would drop it before execution, so
+    # rely on LRU eviction (the cached partials are tiny: one row/bucket)
     return bands.join(ok, keys)
 
 

@@ -53,11 +53,19 @@ def reproject_layer(
     dst_crs: str,
     method: str = "nearest",
 ) -> DataFrame:
-    """Warp a tiled layer into a different CRS + layout (nearest neighbor,
-    the reference default). Plan: decode pass emits per-(src tile, dst key)
-    patches of inverse-mapped pixels -> one groupBy(dst key) paste."""
+    """Warp a tiled layer into a different CRS + layout. method='nearest'
+    (the reference default) needs no buffering — every dst pixel maps into
+    exactly one src tile. method='bilinear' uses the BufferTiles path
+    (reproject_layer_bilinear): 1-px margins make the 4-tap gathers
+    tile-local, exactly TileRDDReproject.scala's bufferedTile warp.
+    Plan (both): decode pass emits per-(src tile, dst key) patches of
+    inverse-mapped pixels -> one groupBy(dst key) paste."""
+    if method == "bilinear":
+        return reproject_layer_bilinear(
+            layer, src_layout, dst_layout, dst_zoom, src_crs, dst_crs
+        )
     if method != "nearest":
-        raise ValueError("only nearest-neighbor warp is implemented")
+        raise ValueError(f"unsupported warp method {method!r}")
     fwd = _fwd(src_crs, dst_crs)
     inv = _fwd(dst_crs, src_crs)
     smt = src_layout.map_transform
@@ -160,3 +168,135 @@ def reproject_layer(
         )
 
     return parts.groupBy("zoom", "col", "row").applyInPandas(paste, LAYER_SCHEMA)
+
+
+def reproject_layer_bilinear(
+    layer: DataFrame,
+    src_layout: LayoutDefinition,
+    dst_layout: LayoutDefinition,
+    dst_zoom: int,
+    src_crs: str,
+    dst_crs: str,
+) -> DataFrame:
+    """Bilinear warp via buffered tiles (TileRDDReproject.scala:84-121):
+    bufferTiles(1) gives each src tile its 1-px margins, so every dst
+    pixel whose top-left tap falls in this tile gathers all 4 taps
+    locally. Ownership rule: dst pixel belongs to the src tile containing
+    floor(fx), floor(fy) (the top-left tap), so patches never overlap.
+    Taps outside the global grid clamp to the edge (resample_bilinear's
+    clamping rule)."""
+    from .focal import _assemble, buffer_parts
+
+    fwd = _fwd(src_crs, dst_crs)
+    inv = _fwd(dst_crs, src_crs)
+    dmt = dst_layout.map_transform
+    smt = src_layout.map_transform
+    dtl = dst_layout.tile_layout
+    th, tw = dtl.tile_rows, dtl.tile_cols
+    sxmin, symax = src_layout.extent.xmin, src_layout.extent.ymax
+    scw, sch = src_layout.cell_width, src_layout.cell_height
+    stl = src_layout.tile_layout
+    ncx, ncy = stl.layout_cols * stl.tile_cols, stl.layout_rows * stl.tile_rows
+    dst_world = dst_layout.extent
+
+    parts = buffer_parts(layer, 1)
+
+    def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble(pdf, 1)
+        empty = pd.DataFrame(
+            {c: [] for c in
+             ("zoom", "col", "row", "cell", "part", "py0", "px0", "ph", "pw")}
+        )
+        if asm is None:
+            return empty
+        buf, h, w = asm
+        first = pdf.iloc[0]
+        col, row = int(first["tcol"]), int(first["trow"])
+        sext = smt.extent_for_key(col, row)
+        with np.errstate(divide="ignore", over="ignore"):
+            (x0, x1), (y0, y1) = fwd(
+                np.array([sext.xmin, sext.xmax]), np.array([sext.ymin, sext.ymax])
+            )
+        box = Extent(
+            max(min(x0, x1), dst_world.xmin), max(min(y0, y1), dst_world.ymin),
+            min(max(x0, x1), dst_world.xmax), min(max(y0, y1), dst_world.ymax),
+        )
+        if box.width <= 0 or box.height <= 0:
+            return empty
+        gb = dmt.gridbounds_for_extent(box)
+        gx0, gy0 = col * stl.tile_cols, row * stl.tile_rows
+        rows_out = []
+        for dc in range(max(gb.col_min, 0), min(gb.col_max, dtl.layout_cols - 1) + 1):
+            for dr in range(max(gb.row_min, 0), min(gb.row_max, dtl.layout_rows - 1) + 1):
+                dext = dmt.extent_for_key(dc, dr)
+                dcw, dch = dext.width / tw, dext.height / th
+                cx = dext.xmin + (np.arange(tw) + 0.5) * dcw
+                cy = dext.ymax - (np.arange(th) + 0.5) * dch
+                lon, lat = inv(
+                    np.broadcast_to(cx, (th, tw)).ravel(), np.repeat(cy, tw)
+                )
+                fx = ((lon - sxmin) / scw - 0.5).reshape(th, tw)
+                fy = ((symax - lat) / sch - 0.5).reshape(th, tw)
+                # ownership by the grid-clamped top-left tap, so dst pixels
+                # just outside the grid edge belong to the edge tile
+                ix = np.clip(np.floor(fx).astype(np.int64), 0, ncx - 1)
+                iy = np.clip(np.floor(fy).astype(np.int64), 0, ncy - 1)
+                mine = (
+                    (ix >= gx0) & (ix < gx0 + stl.tile_cols)
+                    & (iy >= gy0) & (iy < gy0 + stl.tile_rows)
+                )
+                if not mine.any():
+                    continue
+                ys, xs = np.nonzero(mine)
+                wy0, wy1 = int(ys.min()), int(ys.max())
+                wx0, wx1 = int(xs.min()), int(xs.max())
+                patch = np.full((wy1 - wy0 + 1, wx1 - wx0 + 1), np.nan)
+                sub = mine[wy0 : wy1 + 1, wx0 : wx1 + 1]
+                sfx = fx[wy0 : wy1 + 1, wx0 : wx1 + 1][sub]
+                sfy = fy[wy0 : wy1 + 1, wx0 : wx1 + 1][sub]
+                # 4 taps, clamped to the GLOBAL grid then shifted into the
+                # buffered array (margin offset +1); edge-of-world margins
+                # are NaN in buf, but global clamping keeps taps in-grid
+                tx0 = np.clip(np.floor(sfx).astype(np.int64), 0, ncx - 1)
+                ty0 = np.clip(np.floor(sfy).astype(np.int64), 0, ncy - 1)
+                tx1 = np.clip(tx0 + 1, 0, ncx - 1)
+                ty1 = np.clip(ty0 + 1, 0, ncy - 1)
+                wxf = np.clip(sfx - tx0, 0.0, 1.0)
+                wyf = np.clip(sfy - ty0, 0.0, 1.0)
+                bx0, bx1 = tx0 - gx0 + 1, tx1 - gx0 + 1
+                by0, by1 = ty0 - gy0 + 1, ty1 - gy0 + 1
+                top = buf[by0, bx0] * (1 - wxf) + buf[by0, bx1] * wxf
+                bot = buf[by1, bx0] * (1 - wxf) + buf[by1, bx1] * wxf
+                patch[sub] = top * (1 - wyf) + bot * wyf
+                rows_out.append(
+                    (dst_zoom, dc, dr, int(z2_encode(dc, dr)),
+                     codec.raw_encode(patch), wy0, wx0,
+                     patch.shape[0], patch.shape[1])
+                )
+        if not rows_out:
+            return empty
+        return pd.DataFrame(
+            rows_out,
+            columns=["zoom", "col", "row", "cell", "part", "py0", "px0", "ph", "pw"],
+        )
+
+    warped = parts.groupBy("zoom", "tcol", "trow").applyInPandas(warp_group, _PARTS)
+
+    def paste(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.full((th, tw), np.nan)
+        for t in pdf.itertuples(index=False):
+            patch = codec.decode_tile(bytes(t.part), "raw")
+            y0, x0 = int(t.py0), int(t.px0)
+            win = acc[y0 : y0 + patch.shape[0], x0 : x0 + patch.shape[1]]
+            m = np.isnan(win) & ~np.isnan(patch)
+            win[m] = patch[m]
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [first["zoom"]], "col": [first["col"]], "row": [first["row"]],
+                "cell": [first["cell"]], "tile": [codec.raw_encode(acc)],
+                "h": [th], "w": [tw], "fmt": ["raw"],
+            }
+        )
+
+    return warped.groupBy("zoom", "col", "row").applyInPandas(paste, LAYER_SCHEMA)

@@ -304,7 +304,11 @@ def vectorize_merged(
         if changed == 0:
             break
 
-    out = (
+    # NOTE: `rows` stays persisted — the returned plan still reads frags
+    # from it; unpersisting here would silently re-run the decode pass
+    # when the caller executes the result. The cache is compact (fragment
+    # + border rows, no tile bytes) and LRU-evictable.
+    return (
         frags.join(labels, "rkey")
         .groupBy("lbl")
         .agg(
@@ -318,8 +322,6 @@ def vectorize_merged(
         )
         .drop("lbl")
     )
-    rows.unpersist()
-    return out
 
 
 def raster_to_points(layer: DataFrame, layout: LayoutDefinition) -> DataFrame:
