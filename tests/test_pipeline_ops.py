@@ -380,6 +380,47 @@ class TestVectorOps:
         rings = wkb_decode(bytes(out.iloc[0].wkb))
         assert polygon_area(rings[0]) == pytest.approx(8.0)
 
+    def test_vectorize_merged_wkb_stitches_geometry(self, spark):
+        """Merged WKB: a value-5 square spanning all four tiles of a 2x2
+        block becomes ONE polygon ring; the background polygon gets an
+        exterior ring plus a hole. Shoelace areas match pixel counts."""
+        import tilegrid.codec as codec
+        from tilegrid.cell import z2_encode
+        from tilegrid.geometry import polygon_area, wkb_decode
+        from tilegrid.grid import Extent, LayoutDefinition, TileLayout
+        from tilegrid.operators import LAYER_SCHEMA
+        from tilegrid.operators.vectorize import vectorize_merged_wkb
+
+        layout = LayoutDefinition(Extent(0.0, 0.0, 16.0, 16.0), TileLayout(2, 2, 8, 8))
+        grid = np.zeros((16, 16))
+        grid[6:10, 6:10] = 5.0  # crosses all 4 tiles
+        rows = []
+        for c in range(2):
+            for r in range(2):
+                arr = grid[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8]
+                rows.append((1, c, r, int(z2_encode(c, r)),
+                             codec.raw_encode(np.ascontiguousarray(arr)), 8, 8, "raw"))
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile",
+                                        "h", "w", "fmt"]),
+            schema=LAYER_SCHEMA,
+        )
+        out = vectorize_merged_wkb(layer, layout).toPandas()
+        assert len(out) == 2
+        inner = out[out.value == 5.0].iloc[0]
+        assert inner.n_fragments == 4 and inner.n_pixels == 16
+        assert inner.n_rings == 1
+        rings = wkb_decode(bytes(inner.wkb))
+        # 4x4-pixel square, cell size 1 map unit -> area 16, 4 corners
+        assert polygon_area(rings[0]) == pytest.approx(16.0)
+        assert len(rings[0]) == 4
+        outer = out[out.value == 0.0].iloc[0]
+        assert outer.n_rings == 2  # exterior + the hole around the square
+        orings = wkb_decode(bytes(outer.wkb))
+        areas = sorted(polygon_area(r) for r in orings)
+        assert areas == [pytest.approx(16.0), pytest.approx(256.0)]
+        assert outer.n_pixels == 256 - 16
+
     def test_simplify_rings_roundtrip(self, spark):
         from tilegrid.geometry import regular_ngon, wkb_decode, wkb_encode_polygon
         from tilegrid.operators.vector import simplify_rings

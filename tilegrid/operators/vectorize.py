@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import codec
 from ..geometry import wkb_encode_polygon
@@ -223,19 +223,10 @@ def _fragments_and_borders(layout: LayoutDefinition):
     return run
 
 
-def vectorize_merged(
-    layer: DataFrame, layout: LayoutDefinition, max_rounds: int = 32
-) -> DataFrame:
-    """Cross-tile vectorize: global connected regions of equal value
-    (Vectorize.scala:30-148 whole-raster semantics, distributed).
-
-    Plan: one decode pass emits per-tile fragments + border-pixel rows; a
-    self-join on the boundary key (equal values) yields the fragment
-    adjacency graph; hash-min label propagation converges in O(max region
-    diameter in tiles) rounds (each a bounded equi-join on the tiny fragment
-    graph, not the pixel data); final groupBy aggregates pixels/bbox per
-    global region. Output: (value, n_pixels, n_fragments, xmin, ymin,
-    xmax, ymax)."""
+def _merged_labels(layer: DataFrame, layout: LayoutDefinition, max_rounds: int):
+    """Shared cross-tile CC machinery: returns (frags, labels) — per-tile
+    fragment rows and the converged global label per fragment key. Both
+    read from a persisted compact intermediate (no tile bytes)."""
     fn = _fragments_and_borders(layout)
 
     # run the decode pass once, emitting both row kinds through a tagged
@@ -304,10 +295,27 @@ def vectorize_merged(
         if changed == 0:
             break
 
-    # NOTE: `rows` stays persisted — the returned plan still reads frags
+    # NOTE: `rows` stays persisted — downstream plans still read frags
     # from it; unpersisting here would silently re-run the decode pass
     # when the caller executes the result. The cache is compact (fragment
     # + border rows, no tile bytes) and LRU-evictable.
+    return frags, labels
+
+
+def vectorize_merged(
+    layer: DataFrame, layout: LayoutDefinition, max_rounds: int = 32
+) -> DataFrame:
+    """Cross-tile vectorize: global connected regions of equal value
+    (Vectorize.scala:30-148 whole-raster semantics, distributed).
+
+    Plan: one decode pass emits per-tile fragments + border-pixel rows; a
+    self-join on the boundary key (equal values) yields the fragment
+    adjacency graph; hash-min label propagation converges in O(max region
+    diameter in tiles) rounds (each a bounded equi-join on the tiny fragment
+    graph, not the pixel data); final groupBy aggregates pixels/bbox per
+    global region. Output: (value, n_pixels, n_fragments, xmin, ymin,
+    xmax, ymax)."""
+    frags, labels = _merged_labels(layer, layout, max_rounds)
     return (
         frags.join(labels, "rkey")
         .groupBy("lbl")
@@ -321,6 +329,149 @@ def vectorize_merged(
             F.max("ymax").alias("ymax"),
         )
         .drop("lbl")
+    )
+
+
+def _fragment_edges(layout: LayoutDefinition):
+    """Per tile: each fragment's boundary pixel-edges in GLOBAL pixel-corner
+    coords, directed with the region interior on a consistent side (the
+    same convention as _region_outline, globalized). Internal edges shared
+    by two fragments of one region appear twice with opposite directions
+    and cancel at the parity filter."""
+    from ..cell import z2_encode
+
+    def run(it):
+        for pdf in it:
+            out = {k: [] for k in ("rkey", "x1", "y1", "x2", "y2")}
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                labels = region_group(arr)
+                h, w = arr.shape
+                col, row = int(t.col), int(t.row)
+                gx0, gy0 = col * w, row * h
+                base = int(z2_encode(col, row)) << 20
+                lab = labels
+                pad = np.full((h + 2, w + 2), -2, dtype=np.int64)
+                pad[1:-1, 1:-1] = lab
+                for rid in range(int(lab.max()) + 1 if lab.size else 0):
+                    m = lab == rid
+                    if not m.any():
+                        continue
+                    rk = base | rid
+                    # north edges: (gx, gy) -> (gx+1, gy)
+                    ii, jj = np.nonzero(m & (pad[:-2, 1:-1] != rid))
+                    for i, j in zip(ii, jj):
+                        out["rkey"].append(rk)
+                        out["x1"].append(gx0 + j); out["y1"].append(gy0 + i)
+                        out["x2"].append(gx0 + j + 1); out["y2"].append(gy0 + i)
+                    # south: (gx+1, gy+1) -> (gx, gy+1)
+                    ii, jj = np.nonzero(m & (pad[2:, 1:-1] != rid))
+                    for i, j in zip(ii, jj):
+                        out["rkey"].append(rk)
+                        out["x1"].append(gx0 + j + 1); out["y1"].append(gy0 + i + 1)
+                        out["x2"].append(gx0 + j); out["y2"].append(gy0 + i + 1)
+                    # west: (gx, gy+1) -> (gx, gy)
+                    ii, jj = np.nonzero(m & (pad[1:-1, :-2] != rid))
+                    for i, j in zip(ii, jj):
+                        out["rkey"].append(rk)
+                        out["x1"].append(gx0 + j); out["y1"].append(gy0 + i + 1)
+                        out["x2"].append(gx0 + j); out["y2"].append(gy0 + i)
+                    # east: (gx+1, gy) -> (gx+1, gy+1)
+                    ii, jj = np.nonzero(m & (pad[1:-1, 2:] != rid))
+                    for i, j in zip(ii, jj):
+                        out["rkey"].append(rk)
+                        out["x1"].append(gx0 + j + 1); out["y1"].append(gy0 + i)
+                        out["x2"].append(gx0 + j + 1); out["y2"].append(gy0 + i + 1)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def vectorize_merged_wkb(
+    layer: DataFrame, layout: LayoutDefinition, max_rounds: int = 32
+) -> DataFrame:
+    """Cross-tile vectorize with TRUE merged geometry: per global region, a
+    WKB polygon whose rings (exterior + holes, even-odd) are stitched from
+    the fragments' boundary edges. Internal edges (shared by two fragments
+    of one region at a tile border) appear exactly twice as an undirected
+    pair and are dropped by a parity filter; the survivors form closed
+    cycles traced per region in applyInPandas. Output: (value, n_pixels,
+    n_fragments, n_rings, wkb)."""
+    frags, labels = _merged_labels(layer, layout, max_rounds)
+    edges = layer.mapInPandas(
+        _fragment_edges(layout),
+        "rkey long, x1 int, y1 int, x2 int, y2 int",
+    )
+    ledges = edges.join(labels, "rkey")
+    # canonical undirected key; keep edges whose undirected key is unique
+    # within the region (parity filter drops interior tile-border pairs)
+    keyed = ledges.withColumn(
+        "ekey",
+        F.expr(
+            "concat(least(concat(x1, ':', y1), concat(x2, ':', y2)), '|', "
+            "greatest(concat(x1, ':', y1), concat(x2, ':', y2)))"
+        ),
+    )
+    w = F.count("*").over(Window.partitionBy("lbl", "ekey"))
+    survivors = keyed.withColumn("_n", w).where("_n = 1").drop("_n", "ekey", "rkey")
+
+    agg = (
+        frags.join(labels, "rkey")
+        .groupBy("lbl")
+        .agg(
+            F.min("value").alias("value"),
+            F.sum("n_pixels").cast("long").alias("n_pixels"),
+            F.count("*").cast("long").alias("n_fragments"),
+        )
+    )
+    e = layout.extent
+    cw = layout.cell_width
+    ch = layout.cell_height
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        nxt: dict[tuple, list] = {}
+        for t in pdf.itertuples(index=False):
+            nxt.setdefault((int(t.x1), int(t.y1)), []).append((int(t.x2), int(t.y2)))
+        rings = []
+        while any(nxt.values()):
+            start = min(k for k, v in nxt.items() if v)
+            ring = [start]
+            cur = start
+            prev = None
+            while True:
+                outs = nxt[cur]
+                cand = [o for o in outs if o != prev] or outs
+                nv = cand[0]
+                outs.remove(nv)
+                if nv == start:
+                    break
+                ring.append(nv)
+                prev, cur = cur, nv
+            r = np.asarray(ring, dtype=np.float64)
+            # collapse collinear runs of unit edges (axis-aligned: keep a
+            # vertex only where the direction turns)
+            d_in = r - np.roll(r, 1, axis=0)
+            d_out = np.roll(r, -1, axis=0) - r
+            turn = (d_in[:, 0] * d_out[:, 1] - d_in[:, 1] * d_out[:, 0]) != 0
+            r = r[turn]
+            mapped = np.stack(
+                [e.xmin + r[:, 0] * cw, e.ymax - r[:, 1] * ch], axis=1
+            )
+            rings.append(mapped)
+        lbl = int(pdf.iloc[0]["lbl"])
+        return pd.DataFrame(
+            {
+                "lbl": [lbl],
+                "n_rings": [len(rings)],
+                "wkb": [wkb_encode_polygon(rings)],
+            }
+        )
+
+    geom = survivors.groupBy("lbl").applyInPandas(
+        trace, "lbl long, n_rings int, wkb binary"
+    )
+    return agg.join(geom, "lbl").select(
+        "value", "n_pixels", "n_fragments", "n_rings", "wkb"
     )
 
 
