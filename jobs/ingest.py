@@ -106,6 +106,10 @@ def main() -> int:
         print(f"[resume] zoom {args.zoom} already done", file=sys.stderr)
     else:
         imgs = spark.read.parquet(args.corpus)
+        # the input_hint schema names the image column `bytes`; the tiler
+        # reads `tile` — accept either
+        if "bytes" in imgs.columns and "tile" not in imgs.columns:
+            imgs = imgs.withColumnRenamed("bytes", "tile")
         parallelism = spark.sparkContext.defaultParallelism
         imgs = imgs.repartition(parallelism * 2, "image_id")
         placed = with_extent_from_center(imgs, layout, "lon", "lat")

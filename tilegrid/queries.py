@@ -1621,14 +1621,12 @@ def q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val", F.round("val", 4))
 
 
-def _o_slope() -> str:
-    import math
-
+def _o_horn_cte() -> str:
+    """Shared oracle CTE chain: dense grid -> 3x3 neighbor pivot -> Horn
+    derivatives d(gx, gy, dzdx, dzdy) with the edge-substitution rule."""
     d8x = repr(8.0 * LR.cell_width)
     d8y = repr(8.0 * LR.cell_height)
-    deg = repr(math.degrees(1.0))
-    return f"""
-WITH {_o_dense_grid()},
+    return f"""{_o_dense_grid()},
 nbr AS (
   SELECT a.gx, a.gy, a.cnt,
          max(CASE WHEN b.gx = a.gx-1 AND b.gy = a.gy-1 THEN b.cnt END) AS nw_,
@@ -1652,12 +1650,117 @@ d AS (
      - COALESCE(nw_, cnt) - 2 * COALESCE(n_, cnt) - COALESCE(ne_, cnt))
       / CAST({d8y} AS DOUBLE) AS dzdy
   FROM nbr
+)"""
+
+
+_PIX5 = (
+    "CAST(3 AS INT) AS zoom, CAST(gx // 32 AS INT) AS col, "
+    "CAST(gy // 32 AS INT) AS row, CAST(gx % 32 AS INT) AS px, "
+    "CAST(gy % 32 AS INT) AS py"
 )
-SELECT CAST(3 AS INT) AS zoom,
-       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
-       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+
+
+def _o_slope() -> str:
+    import math
+
+    deg = repr(math.degrees(1.0))
+    return f"""
+WITH {_o_horn_cte()}
+SELECT {_PIX5},
        round(atan(sqrt(dzdx * dzdx + dzdy * dzdy)) * CAST({deg} AS DOUBLE), 4) AS val
 FROM d WHERE NOT (dzdx = 0.0 AND dzdy = 0.0)
+"""
+
+
+def q_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect in degrees [0, 360) (SurfacePoint.aspect): atan2 over the
+    Horn derivatives; flat cells are NaN (dropped by the pixel explode) —
+    both engines round to 4 decimals."""
+    from .operators.focal import aspect
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(
+        aspect(dense, cell_size=(LR.cell_width, LR.cell_height))
+    ).withColumn("val", F.round("val", 4))
+
+
+def _o_aspect() -> str:
+    import math
+
+    deg = repr(math.degrees(1.0))
+    twopi = repr(2 * math.pi)
+    return f"""
+WITH {_o_horn_cte()},
+aa AS (
+  SELECT gx, gy, dzdx, dzdy, atan2(dzdy, -dzdx) AS a FROM d
+  WHERE NOT (dzdx = 0.0 AND dzdy = 0.0)
+),
+a2 AS (
+  SELECT gx, gy,
+         CASE WHEN a < 0 THEN a + CAST({twopi} AS DOUBLE) ELSE a END AS a
+  FROM aa
+),
+a3 AS (
+  SELECT gx, gy,
+         CASE WHEN a = CAST({twopi} AS DOUBLE) THEN 0.0 ELSE a END AS a
+  FROM a2
+)
+SELECT {_PIX5}, round(a * CAST({deg} AS DOUBLE), 4) AS val
+FROM a3 WHERE a * CAST({deg} AS DOUBLE) <> 0.0
+"""
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade 0..127 (Hillshade.scala direct path, azimuth 315 /
+    altitude 45) over the count raster. The illumination value is already
+    integer-rounded by the operator; fully-shadowed (0) pixels drop on
+    both sides."""
+    from .operators.focal import hillshade
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(
+        hillshade(dense, cell_size=(LR.cell_width, LR.cell_height))
+    )
+
+
+def _o_hillshade() -> str:
+    import math
+
+    az = math.radians(90.0 - 315.0)
+    ze = math.radians(90.0 - 45.0)
+    caz, saz = repr(math.cos(az)), repr(math.sin(az))
+    cze, sze = repr(math.cos(ze)), repr(math.sin(ze))
+    return f"""
+WITH {_o_horn_cte()},
+m AS (
+  SELECT gx, gy, dzdx, dzdy,
+         sqrt(dzdx * dzdx + dzdy * dzdy) AS mag,
+         sqrt(dzdx * dzdx + dzdy * dzdy + 1.0) AS denom
+  FROM d
+),
+asp AS (
+  SELECT gx, gy, mag, denom,
+    CASE WHEN dzdx = 0.0
+         THEN (CASE WHEN dzdy = 0.0 THEN -1.0 ELSE 0.0 END)
+         ELSE (CASE WHEN dzdy = 0.0
+                    THEN (CASE WHEN dzdx < 0.0 THEN 1.0 ELSE -1.0 END)
+                    ELSE -dzdx / mag END) END AS cos_aspect,
+    CASE WHEN dzdy = 0.0 THEN 0.0
+         ELSE (CASE WHEN dzdx = 0.0
+                    THEN CAST(sign(dzdy) AS DOUBLE)
+                    ELSE dzdy / mag END) END AS sin_aspect
+  FROM m
+),
+v AS (
+  SELECT gx, gy,
+    round(127.0 * greatest(0.0,
+      CAST({cze} AS DOUBLE) * (1.0 / denom)
+      + CAST({sze} AS DOUBLE) * (mag / denom)
+        * (CAST({caz} AS DOUBLE) * cos_aspect
+           + CAST({saz} AS DOUBLE) * sin_aspect))) AS val
+  FROM asp
+)
+SELECT {_PIX5}, val FROM v WHERE val <> 0.0
 """
 
 
@@ -1972,6 +2075,8 @@ QUERIES = {
     "zoom_resample_bilinear": q_zoom_resample_bilinear,
     "merge_layers": q_merge_layers,
     "slope": q_slope,
+    "aspect": q_aspect,
+    "hillshade": q_hillshade,
     "vectorize": q_vectorize,
     "render_png": q_render_png,
     "hist_equalization": q_hist_equalization,
@@ -2028,6 +2133,8 @@ ORACLES = {
     "zoom_resample_bilinear": _o_zoom_resample_bilinear(),
     "merge_layers": _o_merge_layers(),
     "slope": _o_slope(),
+    "aspect": _o_aspect(),
+    "hillshade": _o_hillshade(),
     "vectorize": _o_vectorize(),
     "render_png": _o_render_png(),
     "hist_equalization": _o_hist_equalization(),
