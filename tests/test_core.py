@@ -355,6 +355,79 @@ class TestOracle:
         assert out == [["a", "b"]]
 
 
+class TestTriangulation:
+    def test_grid_triangulation_counts_and_area(self):
+        from tilegrid.geometry import convex_hull
+        from tilegrid.triangulation import delaunay
+
+        gx, gy = np.meshgrid(np.arange(6, dtype=float), np.arange(5, dtype=float))
+        pts_in = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        # jitter breaks cocircular grid degeneracy (deterministic)
+        rng = np.random.default_rng(4)
+        pts_in = pts_in + rng.random(pts_in.shape) * 1e-3
+        pts, tris = delaunay(pts_in)
+        n = len(pts)
+        h = len(convex_hull(pts))
+        # Euler: triangles = 2n - 2 - hull_vertices
+        assert len(tris) == 2 * n - 2 - h
+        # triangulation tiles the hull: areas sum to the hull area
+        a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+        areas = 0.5 * np.abs(
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        )
+        from tilegrid.geometry import polygon_area
+
+        assert areas.sum() == pytest.approx(polygon_area(convex_hull(pts)))
+        assert (areas > 0).all()
+
+    def test_empty_circumcircle_property(self):
+        from tilegrid.triangulation import _circumcircle, delaunay
+
+        rng = np.random.default_rng(17)
+        pts_in = rng.random((60, 2)) * 100
+        pts, tris = delaunay(pts_in)
+        for a, b, c in tris:
+            ux, uy, r2 = _circumcircle(*pts[a], *pts[b], *pts[c])
+            d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+            inside = d2 < r2 * (1 - 1e-9)
+            inside[[a, b, c]] = False
+            assert not inside.any()
+
+    def test_voronoi_edges_perpendicular_bisectors(self):
+        from tilegrid.triangulation import voronoi_edges
+
+        rng = np.random.default_rng(23)
+        pts = rng.random((40, 2)) * 10
+        segs = voronoi_edges(pts)
+        assert len(segs) > 0
+        # every finite Voronoi vertex (segment endpoint) is equidistant
+        # from >= 3 sites (it is a circumcenter)
+        for x1, y1, _, _ in segs[:10]:
+            d = np.sort(np.hypot(pts[:, 0] - x1, pts[:, 1] - y1))
+            assert d[2] - d[0] < 1e-6 * max(1.0, d[0])
+
+    def test_delaunay_per_group(self, spark):
+        import pandas as pd
+
+        from tilegrid.operators.vector import delaunay_per_group
+
+        rng = np.random.default_rng(31)
+        rows = []
+        for g in (1, 2):
+            for p in rng.random((25, 2)) * 10 + g * 100:
+                rows.append((g, float(p[0]), float(p[1])))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "y"]))
+        out = delaunay_per_group(df, "g").toPandas()
+        assert set(out.g) == {1, 2}
+        # group separation: triangle vertices stay within their group's box
+        for g in (1, 2):
+            sub = out[out.g == g]
+            assert len(sub) > 20
+            for col in ("ax", "bx", "cx"):
+                assert ((sub[col] >= g * 100) & (sub[col] <= g * 100 + 10)).all()
+
+
 class TestAltIndexes:
     def test_rowmajor(self):
         from tilegrid.cell import rowmajor_encode

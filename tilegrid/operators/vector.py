@@ -82,6 +82,45 @@ def convex_hull_envelope(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame
     return side(upper, True).unionByName(side(lower, False))
 
 
+def delaunay_per_group(
+    df: DataFrame,
+    group_col: str,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-group Delaunay triangulation (triangulation.delaunay inside
+    applyInPandas): each group (tile cell, region, ...) triangulates its
+    own points — the TIN-per-partition shape. Output rows: (group, ax, ay,
+    bx, by, cx, cy) — one row per triangle, vertices in map coords."""
+    from ..triangulation import delaunay
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts, tris = delaunay(pdf[[x, y]].values)
+        g = pdf.iloc[0][group_col]
+        if len(tris) == 0:
+            return pd.DataFrame(
+                {c: [] for c in (group_col, "ax", "ay", "bx", "by", "cx", "cy")}
+            )
+        a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(tris),
+                "ax": a[:, 0], "ay": a[:, 1],
+                "bx": b[:, 0], "by": b[:, 1],
+                "cx": c[:, 0], "cy": c[:, 1],
+            }
+        )
+
+    gt = dict(zip(df.schema.fieldNames(), df.schema.fields))[
+        group_col
+    ].dataType.simpleString()
+    return df.groupBy(group_col).applyInPandas(
+        tri,
+        f"{group_col} {gt}, ax double, ay double, bx double, by double, "
+        "cx double, cy double",
+    )
+
+
 def clip_rings(
     df: DataFrame, clip_ring: np.ndarray, wkb_col: str = "wkb"
 ) -> DataFrame:
