@@ -1,0 +1,78 @@
+"""Kriging: variogram fit, exact interpolation, held-out accuracy, and the
+per-tile distributed surface."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilegrid.kriging import (
+    empirical_variogram, fit_spherical, ordinary_kriging, spherical_model,
+)
+
+
+def _field(p):
+    return np.sin(p[:, 0] / 20.0) * 10.0 + p[:, 1] * 0.2
+
+
+class TestKrigingKernel:
+    def setup_method(self):
+        rng = np.random.default_rng(7)
+        self.pts = rng.random((120, 2)) * 100
+        self.vals = _field(self.pts)
+        h, g = empirical_variogram(self.pts, self.vals)
+        self.model = fit_spherical(h, g)
+
+    def test_variogram_monotone_start_and_fit(self):
+        h, g = empirical_variogram(self.pts, self.vals)
+        assert len(h) >= 6 and (np.diff(h) > 0).all()
+        nugget, sill, rng_ = self.model
+        assert 0 <= nugget < sill and rng_ > 0
+        # fitted curve tracks the empirical one
+        resid = spherical_model(h, *self.model) - g
+        assert np.abs(resid).mean() < g.mean()
+
+    def test_exact_at_samples(self):
+        pred, var = ordinary_kriging(self.pts, self.vals, self.pts[:20], self.model)
+        np.testing.assert_allclose(pred, self.vals[:20], atol=1e-8)
+        assert (var < 1e-8).all()
+
+    def test_held_out_accuracy(self):
+        rng = np.random.default_rng(8)
+        q = rng.random((40, 2)) * 100
+        pred, var = ordinary_kriging(self.pts, self.vals, q, self.model)
+        rmse = float(np.sqrt(((pred - _field(q)) ** 2).mean()))
+        assert rmse < 0.1 * float(_field(q).std())
+        assert (var >= 0).all()
+
+    def test_duplicate_samples_handled(self):
+        pts = np.vstack([self.pts, self.pts[:5]])
+        vals = np.concatenate([self.vals, self.vals[:5]])
+        pred, _ = ordinary_kriging(pts, vals, self.pts[:5], self.model)
+        np.testing.assert_allclose(pred, self.vals[:5], atol=1e-8)
+
+
+class TestKrigingGrid:
+    def test_per_tile_surface(self, spark):
+        from tilegrid.grid import Extent, LayoutDefinition, TileLayout
+        from tilegrid.operators.interpolate import kriging_grid
+
+        layout = LayoutDefinition(Extent(0.0, 0.0, 100.0, 100.0), TileLayout(4, 4, 8, 8))
+        rng = np.random.default_rng(5)
+        pts = rng.random((600, 2)) * 100
+        vals = _field(pts)
+        h, g = empirical_variogram(pts[:150], vals[:150])
+        model = fit_spherical(h, g)
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1], "value": vals})
+        )
+        out = kriging_grid(df, layout, 0, model, buffer_cells=6.0).toPandas()
+        assert len(out) > 0
+        # reconstruct pixel-center coords and compare with the true field
+        cw = layout.cell_width
+        ch = layout.cell_height
+        cx = out.col * layout.tile_width + (out.px + 0.5) * cw
+        cy = 100.0 - out.row * layout.tile_height - (out.py + 0.5) * ch
+        true = _field(np.stack([cx.values, cy.values], axis=1))
+        rmse = float(np.sqrt(((out.val.values - true) ** 2).mean()))
+        assert rmse < 0.15 * float(true.std())
+        assert (out.kvar.values >= 0).all()

@@ -17,6 +17,8 @@ window terms, absorbed by round(6).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..grid import LayoutDefinition
@@ -76,4 +78,77 @@ def idw_grid(
         F.expr(
             "round(CASE WHEN n0 IS NOT NULL THEN sv0 / n0 ELSE num / den END, 6)"
         ).alias("val"),
+    )
+
+
+def kriging_grid(
+    points: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    model: tuple[float, float, float],
+    x: str = "x",
+    y: str = "y",
+    value_col: str = "value",
+    buffer_cells: float = 4.0,
+    max_samples_per_tile: int = 400,
+) -> DataFrame:
+    """Ordinary-kriging surface at pixel resolution, per tile: each sample
+    point explodes to the tiles within `buffer_cells` pixels of it (the
+    CutTiles-style Catalyst explode), and each tile solves the kriging
+    system against its local buffered sample set at its pixel centers
+    (tilegrid.kriging.ordinary_kriging). `model` = (nugget, sill, range),
+    typically fit once on a driver-side sample via fit_spherical.
+
+    Per-tile cost is O(min(samples, max_samples_per_tile)^3) — hot tiles
+    subsample deterministically (sorted by value hash) to bound the solve.
+    Output: (col, row, px, py, val, kvar) for tiles holding >= 3 samples."""
+    from ..kriging import ordinary_kriging
+    from .tiler import explode_covering_keys
+
+    cw, ch = layout.cell_width, layout.cell_height
+    r = buffer_cells
+    df = (
+        points.withColumn("xmin", F.col(x) - F.lit(r * cw))
+        .withColumn("xmax", F.col(x) + F.lit(r * cw))
+        .withColumn("ymin", F.col(y) - F.lit(r * ch))
+        .withColumn("ymax", F.col(y) + F.lit(r * ch))
+    )
+    exploded = explode_covering_keys(df, layout, zoom).select(
+        "zoom", "col", "row", x, y, value_col
+    )
+    mt = layout.map_transform
+    tc, tr = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
+
+    def krige(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        col, row = int(first["col"]), int(first["row"])
+        if len(pdf) < 3:
+            return pd.DataFrame(
+                {c: [] for c in ("col", "row", "px", "py", "val", "kvar")}
+            )
+        if len(pdf) > max_samples_per_tile:
+            pdf = pdf.sort_values([x, y]).iloc[
+                :: max(1, len(pdf) // max_samples_per_tile)
+            ].iloc[:max_samples_per_tile]
+        ext = mt.extent_for_key(col, row)
+        cxs = ext.xmin + (np.arange(tc) + 0.5) * cw
+        cys = ext.ymax - (np.arange(tr) + 0.5) * ch
+        gx, gy = np.meshgrid(cxs, cys)
+        q = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        pred, var = ordinary_kriging(
+            pdf[[x, y]].values, pdf[value_col].values, q, model
+        )
+        return pd.DataFrame(
+            {
+                "col": np.full(q.shape[0], col, np.int32),
+                "row": np.full(q.shape[0], row, np.int32),
+                "px": np.tile(np.arange(tc, dtype=np.int32), tr),
+                "py": np.repeat(np.arange(tr, dtype=np.int32), tc),
+                "val": pred,
+                "kvar": var,
+            }
+        )
+
+    return exploded.groupBy("zoom", "col", "row").applyInPandas(
+        krige, "col int, row int, px int, py int, val double, kvar double"
     )
