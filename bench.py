@@ -63,6 +63,9 @@ HEADLINE = [
     "zoom_resample_bilinear",
     "temporal_mean",
     "embed_dups",
+    "idw",
+    "hillshade",
+    "hist_matching",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))
