@@ -305,6 +305,7 @@ def _morans_parts(layer: DataFrame, size: int, mean: float, var: float) -> DataF
 def morans_i(layer: DataFrame, size: int = 1) -> DataFrame:
     """Focal (local) Moran's I layer (Moran.scala TileMoransICalculation):
     two passes — global mean/variance, then the buffered stencil."""
+    layer = layer.persist()
     _, mean, var = _layer_scalar_stats(layer)
     return _morans_parts(layer, size, mean, var).drop("wtile")
 
@@ -315,6 +316,7 @@ def morans_i_global(layer: DataFrame, size: int = 1) -> DataFrame:
     Returns a 1-row DataFrame (morans_i double)."""
     import pyspark.sql.functions as F
 
+    layer = layer.persist()
     _, mean, var = _layer_scalar_stats(layer)
     parts = _morans_parts(layer, size, mean, var)
 

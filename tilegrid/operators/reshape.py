@@ -235,6 +235,7 @@ def histogram_matching(
     tv = np.asarray(target_values, dtype=np.float64)
     tc = np.asarray(target_cdf, dtype=np.float64)
     slopes = (tv[1:] - tv[:-1]) / (tc[1:] - tc[:-1])
+    layer = layer.persist()  # 3 passes: min/max, bucket counts, transfer
     mm = min_max(layer).collect()[0]
     lo, hi = float(mm["vmin"]), float(mm["vmax"])
     if hi <= lo:
@@ -276,6 +277,7 @@ def sigmoidal_contrast(
     rounded oracle."""
     from .summary import min_max
 
+    layer = layer.persist()  # 2 passes: min/max, transfer
     mm = min_max(layer).collect()[0]
     lo, hi = float(mm["vmin"]), float(mm["vmax"])
     if hi <= lo:
@@ -311,6 +313,7 @@ def histogram_equalization(layer: DataFrame, num_buckets: int = 256) -> DataFram
     transfer is bit-identical to the SQL oracle twin."""
     from .summary import min_max
 
+    layer = layer.persist()  # 3 passes: min/max, bucket counts, transfer
     mm = min_max(layer).collect()[0]
     lo, hi = float(mm["vmin"]), float(mm["vmax"])
     if hi <= lo:
