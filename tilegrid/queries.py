@@ -466,6 +466,70 @@ HAVING sum(b.cnt) > 0
 """
 
 
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3x3 median (FocalTileLayerRDDMethods focalMedian): NumPy's
+    linear interpolation for even window sizes averages the two middle
+    integer counts — exactly DuckDB's median() — so the query is
+    hash-exact with no rounding."""
+    from .operators.focal import focal_median
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(focal_median(dense, size=1))
+
+
+def _o_focal_median() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(a.gx // 32 AS INT) AS col, CAST(a.gy // 32 AS INT) AS row,
+       CAST(a.gx % 32 AS INT) AS px, CAST(a.gy % 32 AS INT) AS py,
+       median(b.cnt) AS val
+FROM dense a JOIN dense b
+  ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+GROUP BY a.gx, a.gy
+HAVING median(b.cnt) <> 0.0
+"""
+
+
+def q_focal_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3x3 max over the count raster (focalMax)."""
+    from .operators.focal import focal_max
+
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(focal_max(dense, size=1))
+
+
+def _o_focal_max() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(a.gx // 32 AS INT) AS col, CAST(a.gy // 32 AS INT) AS row,
+       CAST(a.gx % 32 AS INT) AS px, CAST(a.gy % 32 AS INT) AS py,
+       max(b.cnt) AS val
+FROM dense a JOIN dense b
+  ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+GROUP BY a.gx, a.gy
+HAVING max(b.cnt) <> 0.0
+"""
+
+
+def q_hist_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-value histogram (FastMapHistogram analogue) of the
+    dense count raster."""
+    from .operators.summary import histogram_exact_int
+
+    dense = _count_raster(spark, sf_dir)
+    return histogram_exact_int(dense).withColumnRenamed("count", "n_px")
+
+
+def _o_hist_exact() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(cnt AS BIGINT) AS value, CAST(count(*) AS BIGINT) AS n_px
+FROM dense GROUP BY 1
+"""
+
+
 def q_pyramid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pyramid.up (Pyramid.scala:45-238): zoom 3 -> 2, 2x2 sum decimation."""
     dense = _count_raster(spark, sf_dir)
@@ -2051,6 +2115,9 @@ QUERIES = {
     "rasterize_count": q_rasterize_count,
     "local_add": q_local_add,
     "focal_sum": q_focal_sum,
+    "focal_median": q_focal_median,
+    "focal_max": q_focal_max,
+    "hist_exact": q_hist_exact,
     "pyramid_sum": q_pyramid_sum,
     "idw": q_idw,
     "morans_local": q_morans_local,
@@ -2109,6 +2176,9 @@ ORACLES = {
     "rasterize_count": _o_rasterize_count(),
     "local_add": _o_local_add(),
     "focal_sum": _o_focal_sum(),
+    "focal_median": _o_focal_median(),
+    "focal_max": _o_focal_max(),
+    "hist_exact": _o_hist_exact(),
     "pyramid_sum": _o_pyramid_sum(),
     "idw": _o_idw(),
     "morans_local": _o_morans_local(),
