@@ -259,6 +259,25 @@ class TestReshape:
         np.testing.assert_allclose(arr[0, 0], src[0, 0])
         np.testing.assert_allclose(arr[0, 1], src[0, 0])  # NN upsample repeats
 
+    def test_cell_filter_pushdown_reaches_scan(self, spark, tmp_path):
+        """The LayerQuery cell-range predicate must reach the parquet scan
+        (PushedFilters on `cell`) — the data-skipping contract behind the
+        SFC-sorted write path."""
+        root = str(tmp_path / "layers")
+        df = layer_df(spark, "increasing")
+        IO.write_layer(df, root, "inc", 8, meta=make_meta())
+        q = IO.read_layer(
+            spark, root, "inc", 8, where=[IO.Intersects(key_bounds=(2, 2, 3, 3))]
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # the plan printer truncates long filter lists, so match the line
+        pushed = re.findall(r"PushedFilters: \[[^\n]*", plan)
+        assert pushed and any(
+            "GreaterThanOrEqual(cell" in p or "cell" in p for p in pushed
+        ), plan[:800]
+
     def test_histogram_matching_hits_target_range(self, spark):
         from tilegrid.operators import reshape as RS2
 
