@@ -249,7 +249,9 @@ def main() -> None:
         "tilegrid-bench", cores=CPUS, shuffle_partitions=max(64, CPUS * 2),
         **{"spark.local.dir": "/dev/shm/tilegrid-shuffle"},
     )
-    log(f"bench: cores={CPUS} sf_dir={SF_DIR} images={N_IMAGES}")
+    load_before = os.getloadavg()
+    log(f"bench: cores={CPUS} sf_dir={SF_DIR} images={N_IMAGES} "
+        f"loadavg_before={load_before}")
 
     flag = flagship_pipeline(spark)
     log(f"flagship: {flag}")
@@ -264,6 +266,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cores": CPUS,
         "flagship": flag,
+        # external-load context: 1/5/15-min loadavg sampled before the run —
+        # the box has noisy co-tenants, so a regressed number with
+        # loadavg >> cores-in-use is noise, not a plan regression
+        "loadavg_before": list(load_before),
+        "loadavg_after": list(os.getloadavg()),
     }
     print(json.dumps(result), flush=True)
 

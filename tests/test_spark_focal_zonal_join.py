@@ -226,14 +226,18 @@ class TestPipJoin:
 
 
 class TestKnn:
-    def test_knn_join_matches_bruteforce(self, spark):
+    def test_knn_join_df_straggler_exhaustive(self, spark):
+        """max_rounds=1 exhausts before the ring covers the layout: every
+        query is a straggler and must still get exact results through the
+        unconditional post-loop exhaustive round (no silent drops)."""
         pts = to_xy(fixtures.points_table(500))
         queries = to_xy(fixtures.points_table(12)).rename(
             columns={"point_id": "query_id"}
         )
         df = spark.createDataFrame(pts[["point_id", "x", "y"]])
+        qdf = spark.createDataFrame(queries[["query_id", "x", "y"]])
         k = 5
-        got = J.knn_join(df, queries[["query_id", "x", "y"]], LAYOUT, ZOOM, k=k).toPandas()
+        got = J.knn_join_df(df, qdf, LAYOUT, ZOOM, k=k, max_rounds=1).toPandas()
         want = oracle.knn(
             queries.x.values, queries.y.values,
             pts.x.values, pts.y.values, pts.point_id.tolist(), k,

@@ -111,7 +111,7 @@ class TestSummaries:
 
     def test_class_breaks_quartiles(self, spark):
         a = layer_df(spark, "increasing")
-        br = S.class_breaks(a, 4)
+        br = S.class_breaks(a, 4, exact=True)  # small-int domain: exact opt-in
         src = np.sort(stitched(fixtures.tile_layer_table("increasing")).ravel())
         want = [src[int(q * len(src)) - 1] for q in (0.25, 0.5, 0.75, 1.0)]
         np.testing.assert_allclose(br, want, atol=1.0)

@@ -12,21 +12,47 @@ through one tiny shim instead.
 from __future__ import annotations
 
 import os
+import sys
+
+
+def _is_remote(path: str) -> bool:
+    """True for scheme-qualified non-local paths (hdfs://, s3a://, ...)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme not in ("", "file")
 
 
 def _hadoop_fs(path: str):
-    """Return (fs, jvm_path) or None when no active Spark JVM is available."""
-    try:
-        from pyspark.sql import SparkSession
+    """Return (fs, jvm_path), or None when no active Spark JVM is available.
 
-        spark = SparkSession.getActiveSession()
-        if spark is None:
-            return None
+    Only falls back to driver-local `os` IO when there is genuinely no
+    active session (unit tests, tools). A failing Hadoop FS call for a
+    scheme-qualified path (hdfs://, s3a://) PROPAGATES — silently writing a
+    checkpoint marker to a literal local './hdfs:...' directory would break
+    resume across nodes while looking like success."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        if _is_remote(path):
+            print(
+                f"tilegrid.fsutil: no active SparkSession; falling back to "
+                f"local os IO for remote-looking path {path!r}",
+                file=sys.stderr,
+            )
+        return None
+    try:
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs, p
     except Exception:
+        if _is_remote(path):
+            raise  # never mask remote-FS failures with local writes
+        print(
+            f"tilegrid.fsutil: Hadoop FS unavailable for local path {path!r};"
+            " falling back to os IO",
+            file=sys.stderr,
+        )
         return None
 
 

@@ -80,7 +80,9 @@ def _decode_polygon_body(data: bytes, pos: int):
 # (reference: vector/src/main/scala/geotrellis/vector/io/wkt/)
 
 def _fmt_coord(x: float, y: float) -> str:
-    return f"{x!r} {y!r}"
+    # force Python floats: repr(np.float64(1.5)) is 'np.float64(1.5)' under
+    # NumPy >= 2.0, which would corrupt the WKT
+    return f"{float(x)!r} {float(y)!r}"
 
 
 def wkt_encode_point(x: float, y: float) -> str:

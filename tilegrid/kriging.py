@@ -31,6 +31,14 @@ def empirical_variogram(
     gam = 0.5 * (vals[:, None] - vals[None, :])[iu] ** 2
     if max_dist is None:
         max_dist = float(dist.max()) * 0.6
+    if max_dist <= 0.0:
+        # all points coincident (dist.max() == 0): no spatial structure to
+        # bin — fail loudly instead of letting fit_spherical crash on an
+        # empty h array downstream
+        raise ValueError(
+            "empirical_variogram: all sample points are coincident "
+            "(max pairwise distance is 0); cannot fit a variogram"
+        )
     edges = np.linspace(0.0, max_dist, n_bins + 1)
     centers, gammas = [], []
     for i in range(n_bins):

@@ -100,7 +100,7 @@ def kriging_grid(
     typically fit once on a driver-side sample via fit_spherical.
 
     Per-tile cost is O(min(samples, max_samples_per_tile)^3) — hot tiles
-    subsample deterministically (sorted by value hash) to bound the solve.
+    subsample deterministically (sorted by (x, y)) to bound the solve.
     Output: (col, row, px, py, val, kvar) for tiles holding >= 3 samples."""
     from ..kriging import ordinary_kriging
     from .tiler import explode_covering_keys

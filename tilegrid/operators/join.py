@@ -238,7 +238,7 @@ def knn_join_df(
     pending-set emptiness check), so 10^6 queries scale like any other
     join.
 
-    Exactness bound (same as knn_join): candidates within Chebyshev cell
+    Exactness bound: candidates within Chebyshev cell
     ring r are complete for distances <= d_safe = r * min(tile_w, tile_h)
     - max(tile_w, tile_h); a query finishes when its k-th candidate lies
     within d_safe, else the ring doubles; stragglers get one exhaustive
@@ -263,9 +263,27 @@ def knn_join_df(
     out_cols = [query_id, point_id, "dist", "rank"]
     results: list[DataFrame] = []
     w = Window.partitionBy(query_id).orderBy("dist", point_id)
+
+    def exhaustive(pend: DataFrame) -> DataFrame:
+        # final exhaustive round for stragglers: broadcast the (small)
+        # residual query set against all points
+        cand = keyed.crossJoin(
+            F.broadcast(pend.select(query_id, "_qx", "_qy"))
+        ).withColumn(
+            "dist",
+            F.sqrt((F.col("_px") - F.col("_qx")) ** 2
+                   + (F.col("_py") - F.col("_qy")) ** 2),
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(*out_cols)
+        )
+
     # smallest ring whose safety bound is positive (skip provably-unfinishable
     # rounds: d_safe = r*min(tw,th) - max(tw,th) <= 0 can never complete)
     r = int(max(tile_w, tile_h) / safe_unit) + 1
+    finished = False
     for _ in range(max_rounds):
         cells = (
             pending.withColumn(
@@ -310,142 +328,20 @@ def knn_join_df(
             results.append(topk.join(done, query_id))
             pending = pending.join(done, query_id, "left_anti").persist()
         if pending.limit(1).count() == 0:
+            finished = True
             break
         r *= 2
         if r >= max(tl.layout_cols, tl.layout_rows):
-            # exhaustive final round for stragglers: broadcast the (small)
-            # residual query set against all points
-            cand = keyed.crossJoin(
-                F.broadcast(pending.select(query_id, "_qx", "_qy"))
-            ).withColumn(
-                "dist",
-                F.sqrt((F.col("_px") - F.col("_qx")) ** 2
-                       + (F.col("_py") - F.col("_qy")) ** 2),
-            )
-            results.append(
-                cand.withColumn("rank", F.row_number().over(w).cast("long"))
-                .where(F.col("rank") <= k)
-                .select(*out_cols)
-            )
+            results.append(exhaustive(pending))
+            finished = True
             break
+    if not finished:
+        # max_rounds exhausted with queries still pending: never drop
+        # stragglers silently — run the exhaustive broadcast round for them
+        results.append(exhaustive(pending))
     if not results:
         return spark.createDataFrame([], f"{query_id} long, {point_id} string, dist double, rank long")
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)
     return out
-
-
-def knn_join(
-    points: DataFrame,
-    queries: pd.DataFrame,
-    layout: LayoutDefinition,
-    zoom: int,
-    k: int,
-    x: str = "x",
-    y: str = "y",
-    query_id: str = "query_id",
-    point_id: str = "point_id",
-    max_rounds: int = 8,
-) -> DataFrame:
-    """Exact multi-center kNN via cell-ring expansion (our from-scratch
-    replacement for the reference's single-aggregate priority queues,
-    KNearestRDD.scala:93-115 — that approach serializes all centers through
-    one reduce; ours scales with |queries| x ring cells).
-
-    Exactness: candidates within Chebyshev cell ring r around the query's
-    cell are complete for any distance <= r * min(tile_w, tile_h) minus the
-    query's offset inside its own cell — we keep the conservative bound
-    d_safe = r * min(tile_w, tile_h) - max_offset_inside_cell. The ring grows
-    (doubling) until >= k candidates lie within d_safe, then one window
-    top-k (ties broken by (dist, point_id)) finishes it.
-
-    `queries` is a small pandas frame [query_id, x, y] (driver-side ring
-    bookkeeping, broadcast candidate-cell lists)."""
-    spark = points.sparkSession
-    mt = layout.map_transform
-    tl = layout.tile_layout
-    tile_w, tile_h = layout.tile_width, layout.tile_height
-    safe_unit = min(tile_w, tile_h)
-
-    qx = queries[x].values.astype(np.float64)
-    qy = queries[y].values.astype(np.float64)
-    qc, qr = mt.keys_for_points(qx, qy)
-    n_q = len(queries)
-
-    keyed = with_key_columns(points, layout, x, y, zoom).persist()
-
-    pending = np.ones(n_q, dtype=bool)
-    results: list[pd.DataFrame] = []
-    r = 1
-    for _round in range(max_rounds):
-        if not pending.any():
-            break
-        # candidate cells for pending queries at ring radius r
-        ids, cells = [], []
-        for i in np.where(pending)[0]:
-            c0, c1 = max(0, qc[i] - r), min(tl.layout_cols - 1, qc[i] + r)
-            r0, r1 = max(0, qr[i] - r), min(tl.layout_rows - 1, qr[i] + r)
-            cc, rr = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
-            zz = z2_encode(cc.ravel(), rr.ravel())
-            ids.extend([queries[query_id].iloc[i]] * len(zz))
-            cells.extend(int(v) for v in zz)
-        qcells = spark.createDataFrame(
-            pd.DataFrame({query_id: ids, "cell": np.array(cells, np.int64)})
-        )
-        qmeta = spark.createDataFrame(
-            queries.loc[pending, [query_id, x, y]].rename(columns={x: "_qx", y: "_qy"})
-        )
-        cand = (
-            keyed.join(F.broadcast(qcells), "cell")
-            .join(F.broadcast(qmeta), query_id)
-            .withColumn(
-                "dist",
-                F.sqrt((F.col(x) - F.col("_qx")) ** 2 + (F.col(y) - F.col("_qy")) ** 2),
-            )
-        )
-        w = Window.partitionBy(query_id).orderBy("dist", point_id)
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(query_id, point_id, "dist", "rank")
-            .toPandas()
-        )
-        d_safe = r * safe_unit - max(tile_w, tile_h)  # conservative: query may
-        # sit anywhere inside its cell (offset < one tile)
-        done_ids = []
-        for q, grp in topk.groupby(query_id):
-            if len(grp) >= k and (d_safe > 0) and grp["dist"].max() <= d_safe:
-                results.append(grp)
-                done_ids.append(q)
-        id_to_idx = {v: i for i, v in enumerate(queries[query_id])}
-        for q in done_ids:
-            pending[id_to_idx[q]] = False
-        if not pending.any():
-            break
-        r *= 2
-        if r >= max(tl.layout_cols, tl.layout_rows):
-            # final exhaustive round for stragglers: all cells
-            rem = queries.loc[pending, [query_id, x, y]].rename(
-                columns={x: "_qx", y: "_qy"}
-            )
-            qmeta = spark.createDataFrame(rem)
-            cand = keyed.crossJoin(F.broadcast(qmeta)).withColumn(
-                "dist",
-                F.sqrt((F.col(x) - F.col("_qx")) ** 2 + (F.col(y) - F.col("_qy")) ** 2),
-            )
-            w = Window.partitionBy(query_id).orderBy("dist", point_id)
-            topk = (
-                cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select(query_id, point_id, "dist", "rank")
-                .toPandas()
-            )
-            results.append(topk)
-            pending[:] = False
-            break
-    keyed.unpersist()
-    out = pd.concat(results, ignore_index=True) if results else pd.DataFrame(
-        {query_id: [], point_id: [], "dist": [], "rank": []}
-    )
-    return spark.createDataFrame(out[[query_id, point_id, "dist", "rank"]])

@@ -89,17 +89,18 @@ def min_max(layer: DataFrame) -> DataFrame:
     return part.agg(F.min("tmin").alias("vmin"), F.max("tmax").alias("vmax"))
 
 
-def class_breaks(layer: DataFrame, n: int, exact: bool = True,
+def class_breaks(layer: DataFrame, n: int, exact: bool = False,
                  num_buckets: int = 4096) -> list[float]:
     """Quantile breaks from a histogram CDF
     (StatsTileRDDMethods.scala:85-100).
 
+    The DEFAULT (exact=False) is the scale-safe path: a fixed `num_buckets`
+    bucketed histogram (driver traffic bounded at num_buckets rows
+    regardless of domain), returning bucket upper edges as approximate
+    quantiles — the same trade the reference's StreamingHistogram makes.
     exact=True collects the exact integer-value histogram — bounded by the
-    layer's value DOMAIN, which is unbounded for float layers. exact=False
-    is the scale-safe path: a fixed `num_buckets` bucketed histogram
-    (driver traffic bounded at num_buckets rows regardless of domain),
-    returning bucket upper edges as approximate quantiles — the same
-    trade the reference's StreamingHistogram makes."""
+    layer's value DOMAIN, which is unbounded for float layers: opt in only
+    when the domain is known-small (classified / small-int rasters)."""
     if exact:
         hist = histogram_exact_int(layer).orderBy("value").collect()
         values = np.array([r["value"] for r in hist], dtype=np.float64)

@@ -42,15 +42,24 @@ def convex_hull_points(df: DataFrame, x: str = "x", y: str = "y") -> pd.DataFram
     return pd.DataFrame({x: h[:, 0], y: h[:, 1]})
 
 
-def convex_hull_envelope(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+def convex_hull_envelope(
+    df: DataFrame, x: str = "x", y: str = "y", prereduce: bool = True
+) -> DataFrame:
     """Exact convex hull as a DataFrame op: rows (hull_side 'U'|'L', x, y).
 
-    Stage 1 (distributed, one shuffle): per distinct x keep max-y (upper
-    candidates) and min-y (lower candidates) — every hull vertex must be
-    extremal for its x, so candidates shrink to <= #distinct x. Stage 2
-    (tiny): pairwise slopes among candidates with min/max aggregates; p is
-    an upper-hull vertex iff min_left(p) > max_right(p) (endpoints always
-    in). No collect, no UDF, no transcendentals."""
+    Stage 0 (prereduce, distributed, no shuffle): one mapInPandas pass
+    replaces every partition with its own hull vertices — hull(S) =
+    hull(union of partition hulls), so the survivors are a superset of the
+    global hull vertices but at most O(P * h) rows. Without this the per-x
+    extremal stage keeps ~N candidates for continuous coordinates and the
+    pairwise-slope join below goes quadratic in N.
+    Stage 1 (one shuffle): per distinct x keep max-y (upper candidates) and
+    min-y (lower candidates) — every hull vertex must be extremal for its
+    x. Stage 2 (tiny, O((P*h)^2) pairs): pairwise slopes among candidates
+    with min/max aggregates; p is an upper-hull vertex iff min_left(p) >
+    max_right(p) (endpoints always in). No collect, no transcendentals;
+    coordinates pass through the prereduce bit-exact, so the relational
+    envelope test still matches the all-points SQL oracle."""
 
     def side(cand: DataFrame, is_upper: bool) -> DataFrame:
         a = cand.select(F.col(x).alias("ax"), F.col(y).alias("ay"))
@@ -76,7 +85,17 @@ def convex_hull_envelope(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame
             )
         )
 
-    pts = df.select(x, y).distinct()
+    pts = df.select(x, y)
+    if prereduce:
+        def partial(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                h = convex_hull(pdf[[x, y]].values)
+                yield pd.DataFrame({x: h[:, 0], y: h[:, 1]})
+
+        pts = pts.mapInPandas(partial, f"{x} double, {y} double")
+    pts = pts.distinct()
     upper = pts.groupBy(x).agg(F.max(y).alias(y))
     lower = pts.groupBy(x).agg(F.min(y).alias(y))
     return side(upper, True).unionByName(side(lower, False))

@@ -29,8 +29,8 @@ def shp_decode(data: bytes) -> list:
         pos += 8
         end = pos + content_words * 2
         (stype,) = struct.unpack_from("<i", data, pos)
-        if stype == 0:  # null shape
-            pass
+        if stype == 0:  # null shape: a valid record with no geometry
+            pass  # (shapefile spec 3.1.1) — deliberately skipped, not an error
         elif stype == 1:
             x, y = struct.unpack_from("<dd", data, pos + 4)
             out.append((x, y))
