@@ -324,3 +324,164 @@ def tile_assignments(
         ]
         out.append(keys)
     return out
+
+
+# ------------------------------------------- iterative propagation oracles
+# Reference-faithful whole-raster loops (deliberately UNvectorized and
+# structurally unlike operators/terrain.py, so engine and oracle can only
+# agree by computing the same thing).
+
+_DIR_BITS = [  # Greenlee bits (FlowDirection.scala:61-71); drow grows south
+    (1, 1, 0), (2, 1, 1), (4, 0, 1), (8, -1, 1),
+    (16, -1, 0), (32, -1, -1), (64, 0, -1), (128, 1, -1),
+]
+_SQRT2 = 1.4142135623730951
+
+
+def fill_ref(arr: np.ndarray, threshold: float = 20.0) -> np.ndarray:
+    """Fill.scala:46-70 double path (neighbor mean when every in-bounds
+    neighbor differs by more than threshold)."""
+    h, w = arr.shape
+    out = arr.astype(np.float64).copy()
+    for r in range(h):
+        for c in range(w):
+            cv = arr[r, c]
+            if np.isnan(cv):
+                continue
+            vals = []
+            for _, dc, dr in _DIR_BITS:
+                cc, rr = c + dc, r + dr
+                if 0 <= cc < w and 0 <= rr < h and not np.isnan(arr[rr, cc]):
+                    vals.append(arr[rr, cc])
+            if vals and all(abs(v - cv) > threshold for v in vals):
+                out[r, c] = sum(vals) / len(vals)
+    return out
+
+
+def flow_direction_ref(arr: np.ndarray) -> np.ndarray:
+    """FlowDirection.scala:36-106: max-drop D8 with tie bit-sums; sinks and
+    NoData -> NaN."""
+    h, w = arr.shape
+    out = np.full((h, w), np.nan)
+    for r in range(h):
+        for c in range(w):
+            cv = arr[r, c]
+            if np.isnan(cv):
+                continue
+            drops = {}
+            for bit, dc, dr in _DIR_BITS:
+                cc, rr = c + dc, r + dr
+                if 0 <= cc < w and 0 <= rr < h and not np.isnan(arr[rr, cc]):
+                    dist = _SQRT2 if dc != 0 and dr != 0 else 1.0
+                    drops[bit] = (cv - arr[rr, cc]) / dist
+            if not drops:
+                continue
+            mx = max(drops.values())
+            if mx < 0:
+                continue  # sink -> NODATA
+            out[r, c] = float(sum(b for b, v in drops.items() if v == mx))
+    return out
+
+
+def flow_accumulation_ref(dirs: np.ndarray) -> np.ndarray:
+    """Accumulation.scala:29-216 recurrence acc(c) = sum over inflowing
+    neighbors n of (acc(n) + 1), memoized recursion over the flow DAG."""
+    h, w = dirs.shape
+    acc = np.full((h, w), -1.0)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, h * w + 100))
+
+    def rec(r: int, c: int) -> float:
+        if acc[r, c] >= 0:
+            return acc[r, c]
+        acc[r, c] = 0.0  # mark (DAG: no cycles with distinct elevations)
+        s = 0.0
+        for bit, dc, dr in _DIR_BITS:
+            cc, rr = c - dc, r - dr  # neighbor that would flow ALONG bit
+            if 0 <= cc < w and 0 <= rr < h and not np.isnan(dirs[rr, cc]):
+                if int(dirs[rr, cc]) & bit:
+                    s += rec(rr, cc) + 1.0
+        acc[r, c] = s
+        return s
+
+    for r in range(h):
+        for c in range(w):
+            rec(r, c)
+    sys.setrecursionlimit(old)
+    return acc
+
+
+def cost_distance_ref(
+    friction: np.ndarray, sources: list[tuple[int, int]]
+) -> np.ndarray:
+    """CostDistance.scala:43-66 converged fixpoint == single-source-set
+    Dijkstra with edge cost factor * (f_a + f_b) / 2 (sqrt(2) diagonal)."""
+    import heapq as _hq
+
+    h, w = friction.shape
+    dist = np.full((h, w), np.inf)
+    pq = []
+    for c, r in sources:
+        dist[r, c] = 0.0
+        _hq.heappush(pq, (0.0, r, c))
+    while pq:
+        d, r, c = _hq.heappop(pq)
+        if d > dist[r, c] or np.isnan(friction[r, c]):
+            continue
+        for _, dc, dr in _DIR_BITS:
+            rr, cc = r + dr, c + dc
+            if not (0 <= cc < w and 0 <= rr < h) or np.isnan(friction[rr, cc]):
+                continue
+            factor = _SQRT2 if dc != 0 and dr != 0 else 1.0
+            nd = d + factor * (friction[r, c] + friction[rr, cc]) / 2.0
+            if nd < dist[rr, cc]:
+                dist[rr, cc] = nd
+                _hq.heappush(pq, (nd, rr, cc))
+    return np.where(np.isinf(dist), np.nan, dist)
+
+
+def viewshed_ref(dem: np.ndarray, start_col: int, start_row: int) -> np.ndarray:
+    """Viewshed.scala:26-126 verbatim double loops (required-height sweeps,
+    exact-int interpolation branch, height >= required - 0.5 test)."""
+    h, w = dem.shape
+    height0 = dem[start_row, start_col]
+    out = np.zeros((h, w))
+    for row in range(h):
+        for col in range(w):
+            height = dem[row, col]
+            if np.isnan(height):
+                continue  # required = NaN -> not visible
+            mx = -np.inf
+            if start_row != row:
+                lo, hi = (start_row + 1, row) if start_row < row else (row + 1, start_row)
+                for y in range(lo, hi + 1):
+                    if y == row:
+                        continue  # reference: 0-div -> NaN -> skipped
+                    x = (y - start_row) / (row - start_row) * (col - start_col) + start_col
+                    xi = int(np.floor(x))
+                    if x == xi:
+                        z = dem[y, xi]
+                    else:
+                        z = (xi + 1 - x) * dem[y, xi] + (x - xi) * dem[y, xi + 1]
+                    req = (start_row - row) / (y - row) * (z - height) + height
+                    if req > mx:
+                        mx = req
+            if start_col != col:
+                lo, hi = (start_col + 1, col) if start_col < col else (col + 1, start_col)
+                for x in range(lo, hi + 1):
+                    if x == col:
+                        continue
+                    y = (x - start_col) / (col - start_col) * (row - start_row) + start_row
+                    yi = int(np.floor(y))
+                    if y == yi:
+                        z = dem[yi, x]
+                    else:
+                        z = (yi + 1 - y) * dem[yi, x] + (y - yi) * dem[yi + 1, x]
+                    req = (start_col - col) / (x - col) * (z - height) + height
+                    if req > mx:
+                        mx = req
+            if height0 >= mx - 0.5:
+                out[row, col] = 1.0
+    return out
