@@ -479,11 +479,16 @@ def viewshed_array(dem: np.ndarray, sc: int, sr: int) -> np.ndarray:
         valid = (T[None, :] >= lo) & (T[None, :] <= hi) & (T[None, :] != P[:, None])
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = (T[None, :] - p0) / (P[:, None] - p0)      # (P, T)
-        x = frac[:, None, :] * (C[None, :, None] - c0) + c0   # (P, C, T)
-        xi = np.floor(x)
-        exact = x == xi
-        xi0 = np.clip(xi.astype(np.int64), 0, cross_len - 1)
-        xi1 = np.clip(xi0 + 1, 0, cross_len - 1)
+            x = frac[:, None, :] * (C[None, :, None] - c0) + c0  # (P, C, T)
+            xi = np.floor(x)
+            exact = x == xi
+            # rows with target-primary == viewpoint-primary are masked out by
+            # `valid` below; squash their NaN/inf indices to 0 first so the
+            # int cast stays defined
+            xi0 = np.clip(
+                np.nan_to_num(xi, nan=0.0, posinf=0.0, neginf=0.0).astype(np.int64),
+                0, cross_len - 1)
+            xi1 = np.clip(xi0 + 1, 0, cross_len - 1)
         t_idx = np.broadcast_to(np.arange(primary_len)[None, None, :], x.shape)
         z0 = grid[t_idx, xi0]
         z1 = grid[t_idx, xi1]

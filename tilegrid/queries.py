@@ -2104,6 +2104,336 @@ WHERE max_left IS NULL OR min_right IS NULL OR max_left < min_right
 
 # ================================================== registry
 
+
+# ----------------------------------------------- iterative propagation (2.17)
+# All six queries operate on deterministic rasters derived from the SAME
+# per-pixel event-count grid the rasterize/focal queries already verify
+# (engine: kernel_density; oracle: the pc CTE), over the 64x64 crop covering
+# tiles (0..1, 0..1) at zoom 3 so cross-tile propagation is exercised with a
+# bounded oracle. DEM formulas are pure integer-exact arithmetic, so every
+# float op (sum orders, divisions, sqrt(2) drops, path folds) is bit-identical
+# between NumPy and DuckDB.
+
+SQRT2_LIT = "1.4142135623730951"
+
+# Greenlee offsets (FlowDirection.scala:61-71) as a DuckDB VALUES CTE
+_O_OFFS = f"""o(bit, dc, dr, dist) AS (VALUES
+  (1, 1, 0, CAST(1.0 AS DOUBLE)), (2, 1, 1, {SQRT2_LIT}),
+  (4, 0, 1, 1.0), (8, -1, 1, {SQRT2_LIT}),
+  (16, -1, 0, 1.0), (32, -1, -1, {SQRT2_LIT}),
+  (64, 0, -1, 1.0), (128, 1, -1, {SQRT2_LIT}))"""
+
+DEM_SPIKY = "cnt * 30.0 + CAST((gx + gy) % 3 AS DOUBLE)"
+DEM_DISTINCT = "cnt * 262144.0 + CAST(gy * 64 + gx AS DOUBLE)"
+DEM_FRICTION = "1.0 + CAST(CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS DOUBLE)"
+COST_SOURCES = [(3, 3), (40, 50), (20, 33)]
+
+
+def _o_grid64(dem_expr: str) -> str:
+    """Oracle CTEs: 64x64 crop of the global count grid + derived DEM."""
+    return f"""{_o_pixel_counts()},
+g64 AS (SELECT CAST(a.range AS INT) AS gx, CAST(b.range AS INT) AS gy
+        FROM range(0, 64) a, range(0, 64) b),
+c64 AS (
+  SELECT g.gx, g.gy, COALESCE(pc.cnt, 0.0) AS cnt
+  FROM g64 g LEFT JOIN pc
+    ON pc.col * 32 + pc.px = g.gx AND pc.row * 32 + pc.py = g.gy
+),
+dem AS (SELECT gx, gy, {dem_expr} AS e FROM c64)"""
+
+
+_PROP_OUT = """SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py"""
+
+
+def _dem_layer(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Engine twin of _o_grid64: the 2x2-tile crop of the count raster
+    mapped to a deterministic DEM (spiky / distinct / friction)."""
+    base = _count_raster(spark, sf_dir).where("col < 2 AND row < 2")
+
+    def run(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                h, w = arr.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                gx = t.col * w + xx
+                gy = t.row * h + yy
+                if kind == "spiky":
+                    out = arr * 30.0 + ((gx + gy) % 3).astype(np.float64)
+                elif kind == "distinct":
+                    out = arr * 262144.0 + (gy * 64 + gx).astype(np.float64)
+                elif kind == "friction":
+                    out = 1.0 + (arr > 0).astype(np.float64)
+                else:
+                    raise ValueError(kind)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "zoom": [int(t.zoom)], "col": [int(t.col)],
+                            "row": [int(t.row)], "cell": [int(t.cell)],
+                            "tile": [codec.raw_encode(np.ascontiguousarray(out))],
+                            "h": [h], "w": [w], "fmt": ["raw"],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return base.mapInPandas(run, LAYER_SCHEMA)
+
+
+def q_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hydrology sink fill (Fill.scala:37-99) over the spiky count DEM —
+    one BufferTiles pass; neighbor-mean where all 8 neighbors differ by
+    more than the threshold."""
+    from .operators.terrain import fill
+
+    return _layer_pixels(
+        fill(_dem_layer(spark, sf_dir, "spiky"), threshold=20.0), keep_zero=True
+    )
+
+
+def _o_fill() -> str:
+    return f"""
+WITH {_o_grid64(DEM_SPIKY)},
+{_O_OFFS},
+nb AS (
+  SELECT c.gx, c.gy, c.e AS ce, n.e AS ne
+  FROM dem c JOIN o ON TRUE
+  JOIN dem n ON n.gx = c.gx + o.dc AND n.gy = c.gy + o.dr
+),
+ag AS (
+  SELECT gx, gy, ce, count(*) AS nn, sum(ne) AS s,
+         bool_and(abs(ne - ce) > 20.0) AS alld
+  FROM nb GROUP BY gx, gy, ce
+)
+{_PROP_OUT},
+       CASE WHEN alld THEN s / nn ELSE ce END AS val
+FROM ag
+"""
+
+
+def q_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (FlowDirection.scala:36-106) over a
+    strictly-distinct DEM; sinks are NODATA and drop out of the pixel
+    rows."""
+    from .operators.terrain import flow_direction
+
+    return _layer_pixels(flow_direction(_dem_layer(spark, sf_dir, "distinct")))
+
+
+def _o_dir_ctes() -> str:
+    """Shared oracle CTEs: DEM -> per-neighbor drops -> Greenlee bitmask."""
+    return f"""{_o_grid64(DEM_DISTINCT)},
+{_O_OFFS},
+nb AS (
+  SELECT c.gx, c.gy, o.bit, (c.e - n.e) / o.dist AS drop
+  FROM dem c JOIN o ON TRUE
+  JOIN dem n ON n.gx = c.gx + o.dc AND n.gy = c.gy + o.dr
+),
+mx AS (SELECT gx, gy, max(drop) AS m FROM nb GROUP BY gx, gy),
+dir AS (
+  SELECT n.gx, n.gy, CAST(sum(n.bit) AS DOUBLE) AS code
+  FROM nb n JOIN mx ON mx.gx = n.gx AND mx.gy = n.gy AND n.drop = mx.m
+  WHERE mx.m >= 0
+  GROUP BY n.gx, n.gy
+)"""
+
+
+def _o_flow_direction() -> str:
+    return f"""
+WITH {_o_dir_ctes()}
+{_PROP_OUT}, code AS val FROM dir
+"""
+
+
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (Accumulation.scala:29-216): iterative per-tile
+    Kahn sweeps exchanging boundary contributions across the 2x2-tile crop
+    until the cross-tile fixpoint."""
+    from .operators.terrain import flow_accumulation, flow_direction
+
+    dirs = flow_direction(_dem_layer(spark, sf_dir, "distinct"))
+    return _layer_pixels(flow_accumulation(dirs))
+
+
+def _o_flow_accumulation() -> str:
+    # acc(c) = number of upstream cells whose flow path reaches c == number
+    # of downstream walks ending at c (path counting == the reference's
+    # acc(n)+1 recurrence)
+    return f"""
+WITH RECURSIVE {_o_dir_ctes()},
+edges AS (
+  SELECT d.gx, d.gy, d.gx + o.dc AS tx, d.gy + o.dr AS ty
+  FROM dir d JOIN o ON (CAST(d.code AS BIGINT) & o.bit) <> 0
+  WHERE d.gx + o.dc BETWEEN 0 AND 63 AND d.gy + o.dr BETWEEN 0 AND 63
+),
+walks AS (
+  SELECT gx AS sx, gy AS sy, tx AS cx, ty AS cy FROM edges
+  UNION ALL
+  SELECT w.sx, w.sy, e.tx, e.ty
+  FROM walks w JOIN edges e ON e.gx = w.cx AND e.gy = w.cy
+),
+acc AS (
+  SELECT cx AS gx, cy AS gy, CAST(count(*) AS DOUBLE) AS a
+  FROM walks GROUP BY cx, cy
+)
+{_PROP_OUT}, a AS val FROM acc
+"""
+
+
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated-cost surface (CostDistance.scala:43-66) over a {{1,2}}
+    friction raster from 3 sources — block Dijkstra across the 2x2-tile
+    crop (boundary-offer exchange to the global fixpoint)."""
+    from .operators.terrain import cost_distance
+
+    fr = _dem_layer(spark, sf_dir, "friction")
+    return _layer_pixels(cost_distance(fr, COST_SOURCES, LR), keep_zero=True)
+
+
+def _o_cost_distance() -> str:
+    # Synchronous Bellman-Ford sweeps to the same shortest-path fixpoint
+    # Dijkstra reaches; both fold edge costs along the optimal path in path
+    # order, so the converged values are bit-identical. 160 sweeps is a
+    # rigorous bound: max octile hop-distance from the nearest source is
+    # < 50 on this grid, max edge cost sqrt(2)*2, min edge cost 1 ->
+    # every shortest path has < 142 edges.
+    src = " OR ".join(f"(gx = {gx} AND gy = {gy})" for gx, gy in COST_SOURCES)
+    return f"""
+WITH RECURSIVE {_o_grid64(DEM_FRICTION)},
+o9(dc, dr, factor) AS (VALUES
+  (0, 0, CAST(0.0 AS DOUBLE)), (1, 0, 1.0), (1, 1, {SQRT2_LIT}),
+  (0, 1, 1.0), (-1, 1, {SQRT2_LIT}), (-1, 0, 1.0),
+  (-1, -1, {SQRT2_LIT}), (0, -1, 1.0), (1, -1, {SQRT2_LIT})),
+d AS (
+  SELECT 0 AS it, gx, gy,
+         CASE WHEN {src} THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(1e300 AS DOUBLE) END AS dist
+  FROM dem
+  UNION ALL
+  SELECT d.it + 1, tf.gx, tf.gy,
+         min(d.dist + o9.factor * (sf.e + tf.e) / 2.0) AS dist
+  FROM d
+  JOIN dem sf ON sf.gx = d.gx AND sf.gy = d.gy
+  JOIN o9 ON TRUE
+  JOIN dem tf ON tf.gx = d.gx + o9.dc AND tf.gy = d.gy + o9.dr
+  WHERE d.it < 160
+  GROUP BY d.it, tf.gx, tf.gy
+)
+{_PROP_OUT}, dist AS val FROM d WHERE it = 160
+"""
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile viewshed (Viewshed.scala:26-126), viewpoint at each tile's
+    center pixel (16,16); emits the visible cells."""
+    from .operators.terrain import viewshed
+
+    return _layer_pixels(viewshed(_dem_layer(spark, sf_dir, "spiky")))
+
+
+def _o_viewshed() -> str:
+    # Both reference sweeps verbatim: intermediates t in
+    # [min(vp,target)+1, max(vp,target)] excluding t == target (the
+    # reference's 0-division NaN no-op), linear interpolation between the
+    # two straddling cells with the exact-integer branch, then
+    # visible iff vp_elevation >= max(required) - 0.5.
+    def sweep(name: str, p: str, c: str) -> str:
+        # p = primary target coord column, c = cross target coord column
+        return f"""
+st{name} AS (
+  SELECT l.tc, l.tr, l.px, l.py, l.e, CAST(s.range AS INT) AS t
+  FROM loc l JOIN range(0, 32) s
+    ON s.range >= least(16, l.{p}) + 1 AND s.range <= greatest(16, l.{p})
+   AND s.range <> l.{p}
+),
+x{name} AS (
+  SELECT *, (CAST(t AS DOUBLE) - 16.0) / (CAST({p} AS DOUBLE) - 16.0)
+            * (CAST({c} AS DOUBLE) - 16.0) + 16.0 AS x
+  FROM st{name}
+),
+req{name} AS (
+  SELECT b.tc, b.tr, b.px, b.py,
+         (16.0 - CAST(b.{p} AS DOUBLE)) / (CAST(b.t AS DOUBLE) - CAST(b.{p} AS DOUBLE))
+         * ((CASE WHEN b.x = floor(b.x) THEN d0.e
+                  ELSE (floor(b.x) + 1.0 - b.x) * d0.e
+                       + (b.x - floor(b.x)) * d1.e END) - b.e) + b.e AS req
+  FROM x{name} b
+  JOIN loc d0 ON d0.tc = b.tc AND d0.tr = b.tr
+             AND d0.{"py" if p == "py" else "px"} = b.t
+             AND d0.{"px" if p == "py" else "py"} = CAST(floor(b.x) AS INT)
+  LEFT JOIN loc d1 ON d1.tc = b.tc AND d1.tr = b.tr
+             AND d1.{"py" if p == "py" else "px"} = b.t
+             AND d1.{"px" if p == "py" else "py"} = CAST(floor(b.x) AS INT) + 1
+)"""
+
+    return f"""
+WITH {_o_grid64(DEM_SPIKY)},
+loc AS (
+  SELECT CAST(gx // 32 AS INT) AS tc, CAST(gy // 32 AS INT) AS tr,
+         CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py, e
+  FROM dem
+),
+vp AS (SELECT tc, tr, e AS ve FROM loc WHERE px = 16 AND py = 16),
+{sweep("r", "py", "px")},
+{sweep("c", "px", "py")},
+allreq AS (SELECT * FROM reqr UNION ALL SELECT * FROM reqc),
+mx AS (SELECT tc, tr, px, py, max(req) AS m FROM allreq GROUP BY tc, tr, px, py)
+SELECT CAST(3 AS INT) AS zoom, l.tc AS col, l.tr AS row, l.px, l.py,
+       CAST(1.0 AS DOUBLE) AS val
+FROM loc l
+JOIN vp ON vp.tc = l.tc AND vp.tr = l.tr
+LEFT JOIN mx ON mx.tc = l.tc AND mx.tr = l.tr AND mx.px = l.px AND mx.py = l.py
+WHERE mx.m IS NULL OR vp.ve >= mx.m - 0.5
+"""
+
+
+def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-transform raster (EuclideanDistanceTile.scala:26-46):
+    pixel-center distance to the nearest of a deterministic event
+    subsample, over all 64 zoom-3 tiles."""
+    from .operators.terrain import euclidean_distance
+
+    pts = (
+        _events_points(spark, sf_dir)
+        .where("event_id % 1009 = 0")
+        .select(F.col("lon").alias("x"), F.col("lat").alias("y"))
+        .toPandas()
+    )
+    tmpl = _const_layer(spark, lambda c, r: 0.0)
+    return _layer_pixels(euclidean_distance(tmpl, pts, LR), keep_zero=True)
+
+
+def _o_euclidean_distance() -> str:
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH srcs AS (
+  SELECT {LON_E} AS lon, {LAT_E} AS lat FROM events WHERE event_id % 1009 = 0
+),
+g AS (SELECT CAST(a.range AS INT) AS gx, CAST(b.range AS INT) AS gy
+      FROM range(0, 256) a, range(0, 256) b),
+ctr AS (
+  SELECT gx, gy,
+         (-180.0 + CAST(gx // 32 AS DOUBLE) * {tw})
+           + ((CAST(gx % 32 AS DOUBLE) + 0.5) * {cw}) AS cx,
+         (90.0 - CAST(gy // 32 AS DOUBLE) * {th})
+           - ((CAST(gy % 32 AS DOUBLE) + 0.5) * {ch}) AS cy
+  FROM g
+),
+d AS (
+  SELECT gx, gy,
+         sqrt(min((cx - lon) * (cx - lon) + (cy - lat) * (cy - lat))) AS val
+  FROM ctr JOIN srcs ON TRUE GROUP BY gx, gy
+)
+{_PROP_OUT}, val FROM d
+"""
+
+
 # NOTE on ordering: the driver's correctness sweep checks at most ~50
 # registry entries per round in dict order (CORRECTNESS_r02 recorded exactly
 # the first 50 of 58). Entries that got no row last round therefore go FIRST,
@@ -2119,6 +2449,13 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
+    # --- new in round 3: iterative propagation family (SURVEY 2.17)
+    "fill": q_fill,
+    "flow_direction": q_flow_direction,
+    "flow_accumulation": q_flow_accumulation,
+    "cost_distance": q_cost_distance,
+    "viewshed": q_viewshed,
+    "euclidean_distance": q_euclidean_distance,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2173,6 +2510,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fill": _o_fill(),
+    "flow_direction": _o_flow_direction(),
+    "flow_accumulation": _o_flow_accumulation(),
+    "cost_distance": _o_cost_distance(),
+    "viewshed": _o_viewshed(),
+    "euclidean_distance": _o_euclidean_distance(),
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
