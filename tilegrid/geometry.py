@@ -595,3 +595,233 @@ def simplify_dp(ring: np.ndarray, tolerance: float) -> np.ndarray:
             stack.append((i, ki))
             stack.append((ki, j))
     return pts[keep]
+
+
+# ------------------------------------------- general polygon boolean ops
+# (reference: vector/src/main/scala/geotrellis/vector/Polygon.scala:153-406
+# delegates intersection/union/difference to JTS; rebuilt from scratch here
+# as overlay by edge-fragment classification — split every edge at
+# edge-edge intersections, classify each fragment's midpoint even-odd
+# against the other polygon, select fragments per op, stitch rings.
+# Handles concave polygons and holes; polygons are flat ring lists with
+# even-odd semantics (same convention as points_in_polygon). Degenerate
+# shared-boundary fragments are resolved by direction matching, so
+# dissolve (union of edge-adjacent polygons) comes out clean.)
+
+_SNAP = 9  # decimal digits for endpoint snapping when stitching
+
+
+def _snap_pt(x: float, y: float) -> tuple[float, float]:
+    return (round(float(x), _SNAP), round(float(y), _SNAP))
+
+
+def _edge_list(rings: list[np.ndarray]) -> list[tuple[float, float, float, float]]:
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, np.float64)
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        for i in range(len(r)):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % len(r)]
+            if x1 != x2 or y1 != y2:
+                out.append((float(x1), float(y1), float(x2), float(y2)))
+    return out
+
+
+def _split_params(edge, others) -> list[tuple[float, float, float]]:
+    """(t, x, y) split points of `edge` against every edge in `others`:
+    proper crossings (intersection point computed once, so both polygons
+    share the exact floats) plus collinear-overlap endpoints."""
+    x1, y1, x2, y2 = edge
+    rx, ry = x2 - x1, y2 - y1
+    rlen2 = rx * rx + ry * ry
+    pts: list[tuple[float, float, float]] = []
+    for ox1, oy1, ox2, oy2 in others:
+        sx, sy = ox2 - ox1, oy2 - oy1
+        denom = rx * sy - ry * sx
+        qpx, qpy = ox1 - x1, oy1 - y1
+        if denom != 0.0:
+            t = (qpx * sy - qpy * sx) / denom
+            u = (qpx * ry - qpy * rx) / denom
+            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                pts.append((t, x1 + t * rx, y1 + t * ry))
+        else:
+            # parallel: collinear iff q - p is parallel to r
+            if qpx * ry - qpy * rx != 0.0:
+                continue
+            for px_, py_ in ((ox1, oy1), (ox2, oy2)):
+                t = ((px_ - x1) * rx + (py_ - y1) * ry) / rlen2 if rlen2 else -1.0
+                if 0.0 < t < 1.0:
+                    pts.append((t, px_, py_))
+    return pts
+
+
+def _fragments(rings, other_edges):
+    """Split every edge of `rings` at its intersections with `other_edges`;
+    yield (x1, y1, x2, y2) directed fragments."""
+    frags = []
+    for edge in _edge_list(rings):
+        x1, y1, x2, y2 = edge
+        cuts = sorted(
+            {(0.0, x1, y1), (1.0, x2, y2)}
+            | {c for c in _split_params(edge, other_edges)}
+        )
+        seen = {}
+        path = []
+        for t, px_, py_ in cuts:
+            key = _snap_pt(px_, py_)
+            if key in seen:
+                continue
+            seen[key] = True
+            path.append((px_, py_))
+        for a, b in zip(path, path[1:]):
+            frags.append((a[0], a[1], b[0], b[1]))
+    return frags
+
+
+def _on_boundary(px_: float, py_: float, edges, eps: float = 1e-9):
+    """Edge of `edges` containing point (within eps), else None."""
+    for x1, y1, x2, y2 in edges:
+        rx, ry = x2 - x1, y2 - y1
+        rlen2 = rx * rx + ry * ry
+        if rlen2 == 0.0:
+            continue
+        t = ((px_ - x1) * rx + (py_ - y1) * ry) / rlen2
+        if t < -eps or t > 1.0 + eps:
+            continue
+        dx = px_ - (x1 + t * rx)
+        dy = py_ - (y1 + t * ry)
+        if dx * dx + dy * dy <= eps * eps * max(rlen2, 1.0):
+            return (x1, y1, x2, y2)
+    return None
+
+
+def _stitch(frags) -> list[np.ndarray]:
+    """Walk directed fragments into closed rings (unclosed chains are
+    degenerate leftovers and dropped)."""
+    from collections import defaultdict
+
+    by_start = defaultdict(list)
+    for f in frags:
+        by_start[_snap_pt(f[0], f[1])].append(f)
+    used = set()
+    rings = []
+    for f0 in frags:
+        if id(f0) in used:
+            continue
+        ring = [(f0[0], f0[1])]
+        cur = f0
+        used.add(id(cur))
+        closed = False
+        for _ in range(len(frags) + 1):
+            end = _snap_pt(cur[2], cur[3])
+            if end == _snap_pt(f0[0], f0[1]):
+                closed = True
+                break
+            nxt = None
+            for cand in by_start.get(end, ()):  # any unused continuation
+                if id(cand) not in used:
+                    nxt = cand
+                    break
+            if nxt is None:
+                break
+            ring.append((nxt[0], nxt[1]))
+            used.add(id(nxt))
+            cur = nxt
+        if closed and len(ring) >= 3:
+            rings.append(np.asarray(ring, np.float64))
+    return rings
+
+
+def _ring_signed_area(ring: np.ndarray) -> float:
+    r = np.asarray(ring, np.float64)
+    x, y = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(0.5 * np.sum(x * y2 - x2 * y))
+
+
+def _normalize_orientation(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Even-odd ring sets are winding-free, but fragment stitching needs
+    boundary direction to encode which side the interior is on: orient each
+    ring CCW at even nesting depth (outer) and CW at odd depth (hole)."""
+    out = []
+    for i, ring in enumerate(rings):
+        depth = 0
+        vx, vy = float(ring[0, 0]), float(ring[0, 1])
+        for j, other in enumerate(rings):
+            if j != i and bool(
+                points_in_ring(np.array([vx]), np.array([vy]), other)[0]
+            ):
+                depth += 1
+        ccw = _ring_signed_area(ring) > 0
+        want_ccw = depth % 2 == 0
+        out.append(ring if ccw == want_ccw else ring[::-1])
+    return out
+
+
+def polygon_overlay(
+    a_rings: list[np.ndarray],
+    b_rings: list[np.ndarray],
+    op: str,
+) -> list[np.ndarray]:
+    """Boolean overlay of two even-odd polygons (each a flat ring list,
+    holes included): op in {intersection, union, difference}. Returns the
+    result's rings (even-odd; may be multiple disjoint parts / holes).
+
+    Shared-boundary fragments resolve by direction: a fragment of A lying
+    on B's boundary survives intersection/union iff B's boundary runs the
+    SAME way there (interiors on the same side) and difference iff
+    OPPOSITE (B's interior on the far side) — so union of edge-adjacent
+    polygons drops the internal edge and A - A is empty."""
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(op)
+    a_rings = _normalize_orientation(a_rings)
+    b_rings = _normalize_orientation(b_rings)
+    a_edges = _edge_list(a_rings)
+    b_edges = _edge_list(b_rings)
+    a_frags = _fragments(a_rings, b_edges)
+    b_frags = _fragments(b_rings, a_edges)
+
+    def same_dir(frag, edge) -> bool:
+        return (frag[2] - frag[0]) * (edge[2] - edge[0]) + (
+            frag[3] - frag[1]
+        ) * (edge[3] - edge[1]) > 0
+
+    keep = []
+    for f in a_frags:
+        mx, my = (f[0] + f[2]) / 2.0, (f[1] + f[3]) / 2.0
+        onb = _on_boundary(mx, my, b_edges)
+        if onb is not None:
+            want_same = op in ("intersection", "union")
+            if same_dir(f, onb) == want_same:
+                keep.append(f)
+            continue
+        inside_b = bool(points_in_polygon(np.array([mx]), np.array([my]), b_rings)[0])
+        if (op == "intersection" and inside_b) or (
+            op in ("union", "difference") and not inside_b
+        ):
+            keep.append(f)
+    for f in b_frags:
+        mx, my = (f[0] + f[2]) / 2.0, (f[1] + f[3]) / 2.0
+        if _on_boundary(mx, my, a_edges) is not None:
+            continue  # A's copy (if any) already covers shared boundary
+        inside_a = bool(points_in_polygon(np.array([mx]), np.array([my]), a_rings)[0])
+        if op == "intersection" and inside_a:
+            keep.append(f)
+        elif op == "union" and not inside_a:
+            keep.append(f)
+        elif op == "difference" and inside_a:
+            keep.append((f[2], f[3], f[0], f[1]))  # reversed: hole boundary
+    return _stitch(keep)
+
+
+def dissolve_rings(polys: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Union-fold many polygons into one even-odd ring set
+    (vector/.../dissolve analogue built on polygon_overlay)."""
+    if not polys:
+        return []
+    acc = polys[0]
+    for rings in polys[1:]:
+        acc = polygon_overlay(acc, rings, "union")
+    return acc

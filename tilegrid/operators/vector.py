@@ -191,3 +191,66 @@ def simplify_rings(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def overlay(
+    df: DataFrame,
+    other_rings: list[np.ndarray],
+    op: str,
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Boolean overlay of every row's polygon against a fixed polygon
+    (concave / holed both sides — geometry.polygon_overlay; reference
+    Polygon.scala:153-406 via JTS). Rows whose result is empty are
+    dropped; the result polygon replaces `wkb_col`."""
+    from ..geometry import polygon_overlay, wkb_decode, wkb_encode_polygon
+
+    schema = df.schema
+
+    def run(it):
+        for pdf in it:
+            out = pdf.copy()
+            new, keep = [], []
+            for raw in out[wkb_col]:
+                res = polygon_overlay(wkb_decode(bytes(raw)), other_rings, op)
+                if res:
+                    new.append(wkb_encode_polygon(res) if len(res) else None)
+                    keep.append(True)
+                else:
+                    new.append(None)
+                    keep.append(False)
+            out[wkb_col] = pd.Series(new, index=out.index, dtype=object)
+            yield out[keep]
+
+    return df.mapInPandas(run, schema)
+
+
+def dissolve(
+    df: DataFrame,
+    group_col: str,
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Per-group polygon union (the reference's vector/dissolve): fold
+    geometry.dissolve_rings over each group's polygons inside
+    applyInPandas. Output: (group, wkb) with one merged even-odd ring set
+    per group. Groups are the unit of parallelism — pre-bucket inputs by a
+    spatial key so each group stays small at scale."""
+    from ..geometry import dissolve_rings, wkb_decode, wkb_encode_polygon
+
+    gt = dict(zip(df.schema.fieldNames(), df.schema.fields))[
+        group_col
+    ].dataType.simpleString()
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = [wkb_decode(bytes(raw)) for raw in pdf[wkb_col]]
+        merged = dissolve_rings(polys)
+        return pd.DataFrame(
+            {
+                group_col: [pdf.iloc[0][group_col]],
+                wkb_col: [wkb_encode_polygon(merged)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        run, f"{group_col} {gt}, {wkb_col} binary"
+    )

@@ -2434,6 +2434,111 @@ d AS (
 """
 
 
+
+# --------------------------------------------------- polygon boolean overlay
+
+# Axis-parallel concave test polygons (holes included). Axis-parallel edges
+# make the even-odd ray-cast xint EXACT (vertical edges contribute their own
+# x; horizontal edges never satisfy the straddle test), so classifying
+# against the overlay RESULT (whose edges are fragments of these) is
+# bit-identical to classifying against the inputs — the FP-parity trick the
+# whole query rests on. Vertices sit at *.03 offsets; event lon/lat are
+# multiples of 0.1, so no point ever lies on an edge.
+OVL_A = [
+    np.array([(-20.03, -10.03), (30.03, -10.03), (30.03, 25.03),
+              (10.03, 25.03), (10.03, 5.03), (-0.03, 5.03),
+              (-0.03, 25.03), (-20.03, 25.03)]),
+    np.array([(-15.03, -5.03), (-5.03, -5.03), (-5.03, 15.03),
+              (-15.03, 15.03)]),  # hole in the left arm
+]
+OVL_B = [
+    np.array([(-10.03, -20.03), (40.03, -20.03), (40.03, 15.03),
+              (20.03, 15.03), (20.03, 35.03), (-10.03, 35.03)]),
+]
+
+
+def q_polygon_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon boolean ops (Polygon.scala:153-406 via JTS in the
+    reference; geometry.polygon_overlay here): intersection / union /
+    difference of a concave holed polygon with a concave polygon, verified
+    by classifying every event point against the RESULT polygon (even-odd
+    PIP) — inside-rows per op."""
+    from .geometry import points_in_polygon
+    from .operators.vector import overlay
+
+    a_df = spark.createDataFrame(
+        pd.DataFrame({"pid": ["a"], "wkb": [wkb_encode_polygon(OVL_A)]})
+    )
+    results = {}
+    for op in ("intersection", "union", "difference"):
+        row = overlay(a_df, OVL_B, op).collect()[0]
+        from .geometry import wkb_decode
+
+        results[op] = wkb_decode(bytes(row["wkb"]))
+    bc = spark.sparkContext.broadcast(results)
+    pts = _events_points(spark, sf_dir)
+
+    def classify(it):
+        polys = bc.value
+        for pdf in it:
+            outs = []
+            for op, rings in polys.items():
+                m = points_in_polygon(pdf["lon"].values, pdf["lat"].values, rings)
+                if m.any():
+                    outs.append(pd.DataFrame(
+                        {"op": op, "event_id": pdf["event_id"].values[m]}
+                    ))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return pts.select("event_id", "lon", "lat").mapInPandas(
+        classify, "op string, event_id long"
+    )
+
+
+def _edges_values(rings) -> str:
+    rows = []
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            rows.append(
+                f"(CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE), "
+                f"CAST({x2!r} AS DOUBLE), CAST({y2!r} AS DOUBLE))"
+            )
+    return ",\n  ".join(rows)
+
+
+def _o_polygon_overlay() -> str:
+    return f"""
+WITH pts AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events),
+ea(x1, y1, x2, y2) AS (VALUES
+  {_edges_values(OVL_A)}),
+eb(x1, y1, x2, y2) AS (VALUES
+  {_edges_values(OVL_B)}),
+a AS (
+  SELECT p.event_id
+  FROM pts p JOIN ea ON (ea.y1 > p.lat) <> (ea.y2 > p.lat)
+   AND p.lon < (ea.x2 - ea.x1) * (p.lat - ea.y1) / (ea.y2 - ea.y1) + ea.x1
+  GROUP BY p.event_id HAVING count(*) % 2 = 1
+),
+b AS (
+  SELECT p.event_id
+  FROM pts p JOIN eb ON (eb.y1 > p.lat) <> (eb.y2 > p.lat)
+   AND p.lon < (eb.x2 - eb.x1) * (p.lat - eb.y1) / (eb.y2 - eb.y1) + eb.x1
+  GROUP BY p.event_id HAVING count(*) % 2 = 1
+)
+SELECT 'intersection' AS op, a.event_id FROM a JOIN b ON a.event_id = b.event_id
+UNION ALL
+SELECT 'union' AS op, event_id
+FROM (SELECT event_id FROM a UNION SELECT event_id FROM b)
+UNION ALL
+SELECT 'difference' AS op, a.event_id
+FROM a LEFT JOIN b ON a.event_id = b.event_id WHERE b.event_id IS NULL
+"""
+
+
 # NOTE on ordering: the driver's correctness sweep checks at most ~50
 # registry entries per round in dict order (CORRECTNESS_r02 recorded exactly
 # the first 50 of 58). Entries that got no row last round therefore go FIRST,
@@ -2456,6 +2561,7 @@ QUERIES = {
     "cost_distance": q_cost_distance,
     "viewshed": q_viewshed,
     "euclidean_distance": q_euclidean_distance,
+    "polygon_overlay": q_polygon_overlay,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2516,6 +2622,7 @@ ORACLES = {
     "cost_distance": _o_cost_distance(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
+    "polygon_overlay": _o_polygon_overlay(),
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
