@@ -139,3 +139,86 @@ class TestGeoTiffIngest:
         assert len(layer) > 0
         arr = codec.decode_tile(bytes(layer.iloc[0].tile), layer.iloc[0].fmt)
         assert arr.shape == (256, 256)
+
+
+class TestLZWAndPredictors:
+    """LZW (compression 5) + horizontal/floating-point predictors —
+    LZWDecompression.scala / HorizontalPredictor.scala /
+    FloatingPointPredictor.scala parity surface."""
+
+    def _rt(self, arr, **kw):
+        got, _ = tiff_decode(tiff_encode(arr, **kw))
+        np.testing.assert_array_equal(got, arr)
+
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32", "float64"])
+    def test_lzw_roundtrip(self, dtype):
+        rng = np.random.RandomState(7)
+        arr = (rng.rand(40, 53) * 200).astype(dtype)
+        self._rt(arr, compress="lzw")
+
+    def test_lzw_roundtrip_rgb(self):
+        rng = np.random.RandomState(11)
+        arr = (rng.rand(31, 47, 3) * 255).astype(np.uint8)
+        self._rt(arr, compress="lzw")
+
+    def test_lzw_code_width_growth_and_dictionary_flush(self):
+        # high-entropy bytes force the table through 9->10->11->12 bits and
+        # past the 4094 flush point
+        rng = np.random.RandomState(3)
+        arr = rng.randint(0, 256, size=(160, 160), dtype=np.uint8)
+        self._rt(arr, compress="lzw")
+
+    def test_handbuilt_lzw_stream_decodes(self):
+        # TIFF6-spec encoding of b"ABABABABA", packed by hand in this test
+        # (independent of _lzw_encode): Clear, 'A', 'B', AB(258), ABA(260),
+        # BA(259), EOI at 9 bits each — A+B+AB+ABA+BA = 9 chars
+        from tilegrid.geotiff import _lzw_decode
+
+        codes = [256, 65, 66, 258, 260, 259, 257]
+        buf = nbuf = 0
+        out = bytearray()
+        for c in codes:
+            buf = (buf << 9) | c
+            nbuf += 9
+            while nbuf >= 8:
+                out.append((buf >> (nbuf - 8)) & 0xFF)
+                nbuf -= 8
+            buf &= (1 << nbuf) - 1
+        if nbuf:
+            out.append((buf << (8 - nbuf)) & 0xFF)
+        assert _lzw_decode(bytes(out)) == b"ABABABABA"
+
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16"])
+    @pytest.mark.parametrize("bands", [1, 3])
+    def test_horizontal_predictor(self, dtype, bands):
+        rng = np.random.RandomState(5)
+        shape = (24, 37) if bands == 1 else (24, 37, bands)
+        # smooth-ish ramp + noise: the shape predictor 2 is built for
+        base = np.cumsum(rng.randint(0, 3, size=shape), axis=1)
+        arr = (base % np.iinfo(dtype).max).astype(dtype)
+        self._rt(arr, compress="lzw", predictor=2)
+        self._rt(arr, compress="deflate", predictor=2)
+
+    @pytest.mark.parametrize("dtype", ["float32", "float64"])
+    @pytest.mark.parametrize("bands", [1, 3])
+    def test_floating_point_predictor(self, dtype, bands):
+        rng = np.random.RandomState(9)
+        shape = (19, 29) if bands == 1 else (19, 29, bands)
+        arr = (rng.rand(*shape) * 1000 - 500).astype(dtype)
+        self._rt(arr, compress="lzw", predictor=3)
+        self._rt(arr, compress="deflate", predictor=3)
+
+    def test_predictor_kind_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            tiff_encode(np.zeros((4, 4), np.float32), predictor=2)
+        with pytest.raises(ValueError):
+            tiff_encode(np.zeros((4, 4), np.uint8), predictor=3)
+
+    def test_geo_tags_survive_lzw(self):
+        arr = (np.arange(64, dtype=np.uint8).reshape(8, 8))
+        ext = Extent(10.0, 20.0, 18.0, 28.0)
+        got, gext = tiff_decode(tiff_encode(arr, extent=ext, compress="lzw",
+                                            predictor=2))
+        np.testing.assert_array_equal(got, arr)
+        assert gext is not None
+        assert abs(gext.xmin - 10.0) < 1e-9 and abs(gext.ymax - 28.0) < 1e-9

@@ -5,12 +5,18 @@ full format matrix). This module implements the working subset a tiled
 ingest actually needs — enough to read/write real georeferenced rasters:
 
   read:  little/big-endian classic TIFF; striped or tiled layout;
-         uncompressed (1), Deflate (8/32946), PackBits (32773);
+         uncompressed (1), LZW (5), Deflate (8/32946), PackBits (32773);
+         horizontal-differencing (2) and floating-point (3) predictors;
          8/16-bit unsigned + 32/64-bit float samples; 1 band (gray) or
          N bands pixel-interleaved (RGB); GeoTiff georeferencing via
          ModelPixelScale (33550) + ModelTiepoint (33922) -> Extent.
-  write: little-endian, striped, Deflate or uncompressed, same sample
-         types, with the two geo tags.
+  write: little-endian, striped, LZW / Deflate / uncompressed, optional
+         predictor 2 / 3, same sample types, with the two geo tags.
+
+LZW follows the TIFF6 early-change convention the reference decodes
+(LZWDecompression.scala:95-99: the decoder widens its code size when its
+next table index reaches 511/1023/2047, one code earlier than GIF); the
+writer flushes the dictionary with a ClearCode at 4094 like libtiff.
 
 Unsupported shapes (JPEG-in-TIFF, YCbCr, planar bands, BigTIFF) raise
 ValueError with the tag that triggered it — honest partial coverage,
@@ -31,6 +37,7 @@ _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR = 284
+_PREDICTOR = 317
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SAMPLE_FMT = 339
 _PIXEL_SCALE, _TIEPOINT = 33550, 33922
@@ -69,9 +76,168 @@ def _read_ifd(data: bytes, bo: str):
     return tags
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW (compression 5), early-change convention: the code width
+    grows when the decoder's next table index reaches 511/1023/2047
+    (LZWDecompression.scala:95-99)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    nbits = 9
+    buf = nbuf = pos = 0
+    n = len(data)
+    prev: bytes | None = None
+    while True:
+        while nbuf < nbits and pos < n:
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbuf += 8
+        if nbuf < nbits:
+            break
+        code = (buf >> (nbuf - nbits)) & ((1 << nbits) - 1)
+        nbuf -= nbits
+        buf &= (1 << nbuf) - 1
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) in (511, 1023, 2047) and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer paired with _lzw_decode: widths grow at the writer's
+    next_code 512/1024/2048 (one ahead of the reader's 511/... — the writer
+    table leads by one entry), dictionary flushed at 4094."""
+    out = bytearray()
+    buf = 0
+    nbuf = 0
+    nbits = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int):
+        nonlocal buf, nbuf
+        buf = (buf << nbits) | code
+        nbuf += nbits
+        while nbuf >= 8:
+            out.append((buf >> (nbuf - 8)) & 0xFF)
+            nbuf -= 8
+        buf &= (1 << nbuf) - 1
+
+    emit(_LZW_CLEAR)
+    omega = b""
+    for b in data:
+        k = omega + bytes([b])
+        if k in table:
+            omega = k
+            continue
+        emit(table[omega])
+        table[k] = next_code
+        next_code += 1
+        if next_code in (512, 1024, 2048):
+            nbits += 1
+        omega = bytes([b])
+        if next_code == 4094:
+            emit(table[omega])
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+            omega = b""
+    if omega:
+        emit(table[omega])
+    emit(_LZW_EOI)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
+
+
+def _chunk_to_array(
+    raw: bytes, predictor: int, dt: np.dtype, rows: int, width: int, spp: int
+) -> np.ndarray:
+    """Decompressed chunk bytes -> (rows, width, spp) array, applying the
+    TIFF predictor inverse. predictor 2 = horizontal differencing per
+    row/band (HorizontalPredictor.scala); 3 = floating-point byte-delta +
+    plane-deinterleave (FloatingPointPredictor.scala)."""
+    if predictor == 1:
+        return np.frombuffer(raw, dtype=dt, count=rows * width * spp).reshape(
+            rows, width, spp
+        )
+    if predictor == 2:
+        arr = np.frombuffer(raw, dtype=dt, count=rows * width * spp)
+        acc = arr.reshape(rows, width, spp).astype(np.int64)
+        acc = np.cumsum(acc, axis=1)
+        mod = 1 << (dt.itemsize * 8)
+        return (acc % mod).astype(dt.newbyteorder("=")).reshape(rows, width, spp)
+    if predictor == 3:
+        bps = dt.itemsize
+        by = np.frombuffer(raw, dtype=np.uint8, count=rows * width * spp * bps)
+        # byte differencing runs with stride = bandCount
+        # (FloatingPointPredictor.scala:56-58): undo by cumsum down each
+        # stride lane
+        lanes = by.reshape(rows, bps * width * spp // spp, spp).astype(np.int64)
+        lanes = (np.cumsum(lanes, axis=1) % 256).astype(np.uint8)
+        by = lanes.reshape(rows, bps * width * spp)
+        # row layout after delta-undo: bps planes of (width*spp) bytes,
+        # plane 0 = most significant byte of each sample
+        planes = by.reshape(rows, bps, width * spp)
+        sample_bytes = np.transpose(planes, (0, 2, 1))  # (rows, samples, bps)
+        be = np.dtype(">" + {4: "f4", 8: "f8"}[bps])
+        vals = np.frombuffer(np.ascontiguousarray(sample_bytes).tobytes(), dtype=be)
+        return vals.astype(dt.newbyteorder("=")).reshape(rows, width, spp)
+    raise ValueError(f"unsupported TIFF predictor {predictor}")
+
+
+def _apply_predictor(a: np.ndarray, predictor: int) -> bytes:
+    """Writer-side predictor transform of a (h, w, spp) array -> raw strip
+    bytes (little-endian samples for predictor 2, plane-interleaved deltas
+    for predictor 3)."""
+    h, w = a.shape[:2]
+    spp = a.shape[2] if a.ndim == 3 else 1
+    a3 = a.reshape(h, w, spp)
+    if predictor == 2:
+        mod = 1 << (a.dtype.itemsize * 8)
+        d = a3.astype(np.int64)
+        d = np.concatenate([d[:, :1], (d[:, 1:] - d[:, :-1]) % mod], axis=1)
+        return d.astype(a.dtype.newbyteorder("<")).tobytes()
+    if predictor == 3:
+        bps = a.dtype.itemsize
+        be = a3.astype(a3.dtype.newbyteorder(">"))
+        by = np.frombuffer(be.tobytes(), np.uint8).reshape(h, w * spp, bps)
+        planes = np.transpose(by, (0, 2, 1)).reshape(h, bps * w * spp)
+        # difference with stride = bandCount (mirror of the reader's lanes)
+        lanes = planes.reshape(h, bps * w, spp).astype(np.int64)
+        d = np.concatenate(
+            [lanes[:, :1], (lanes[:, 1:] - lanes[:, :-1]) % 256], axis=1
+        )
+        return d.astype(np.uint8).reshape(h, bps * w * spp).astype(np.uint8).tobytes()
+    raise ValueError(f"unsupported TIFF predictor {predictor}")
+
+
 def _decompress(chunk: bytes, comp: int) -> bytes:
     if comp == 1:
         return chunk
+    if comp == 5:
+        return _lzw_decode(chunk)
     if comp in (8, 32946):
         return zlib.decompress(chunk)
     if comp == 32773:  # PackBits
@@ -115,7 +281,7 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
     if tags.get(_PLANAR, [1])[0] != 1:
         raise ValueError("planar (band-separate) TIFF unsupported")
     dt = _dtype(bits, fmt, bo)
-    px_bytes = spp * bits // 8
+    predictor = tags.get(_PREDICTOR, [1])[0]
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
     if _TILE_OFF in tags:
         tw, th = tags[_TILE_W][0], tags[_TILE_H][0]
@@ -123,7 +289,7 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
         tiles_across = -(-w // tw)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o : o + c], comp)
-            arr = np.frombuffer(raw, dtype=dt, count=tw * th * spp).reshape(th, tw, spp)
+            arr = _chunk_to_array(raw, predictor, dt, th, tw, spp)
             ty, tx = (idx // tiles_across) * th, (idx % tiles_across) * tw
             out[ty : ty + th, tx : tx + tw] = arr[: min(th, h - ty), : min(tw, w - tx)]
     else:
@@ -133,7 +299,7 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
         for o, c in zip(offs, cnts):
             raw = _decompress(data[o : o + c], comp)
             rows = min(rps, h - y)
-            arr = np.frombuffer(raw, dtype=dt, count=rows * w * spp).reshape(rows, w, spp)
+            arr = _chunk_to_array(raw, predictor, dt, rows, w, spp)
             out[y : y + rows] = arr
             y += rows
     ext = None
@@ -150,10 +316,15 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
 
 
 def tiff_encode(
-    arr: np.ndarray, extent: Extent | None = None, compress: bool = True
+    arr: np.ndarray,
+    extent: Extent | None = None,
+    compress: bool | str = True,
+    predictor: int = 1,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) uint8/uint16/float32/float64 as a
-    little-endian striped (Geo)TIFF."""
+    little-endian striped (Geo)TIFF. compress: True/"deflate", "lzw",
+    False/"none". predictor: 1 (none), 2 (horizontal differencing, int
+    samples), 3 (floating-point)."""
     a = np.ascontiguousarray(arr)
     h, w = a.shape[:2]
     spp = a.shape[2] if a.ndim == 3 else 1
@@ -164,9 +335,22 @@ def tiff_encode(
         fmt, bits = 1, a.dtype.itemsize * 8
     else:
         raise ValueError(f"unsupported dtype {a.dtype}")
-    body = a.astype(a.dtype.newbyteorder("<")).tobytes()
-    comp = 8 if compress else 1
-    payload = zlib.compress(body, 6) if compress else body
+    if predictor == 1:
+        body = a.astype(a.dtype.newbyteorder("<")).tobytes()
+    else:
+        if predictor == 2 and kind != "u":
+            raise ValueError("predictor 2 requires integer samples")
+        if predictor == 3 and kind != "f":
+            raise ValueError("predictor 3 requires float samples")
+        body = _apply_predictor(a.reshape(h, w, spp), predictor)
+    if compress is True or compress == "deflate":
+        comp, payload = 8, zlib.compress(body, 6)
+    elif compress == "lzw":
+        comp, payload = 5, _lzw_encode(body)
+    elif compress is False or compress in (None, "none"):
+        comp, payload = 1, body
+    else:
+        raise ValueError(f"unknown compress {compress!r}")
 
     entries: list[tuple[int, int, int, bytes]] = []  # tag, type, count, value
     extra: list[bytes] = []
@@ -185,6 +369,8 @@ def tiff_encode(
     add(_ROWS_PER_STRIP, 4, [h], "I")
     add(_STRIP_CNT, 4, [len(payload)], "I")
     add(_SAMPLE_FMT, 3, [fmt] * spp, "H")
+    if predictor != 1:
+        add(_PREDICTOR, 3, [predictor], "H")
     if extent is not None:
         sx = extent.width / w
         sy = extent.height / h
