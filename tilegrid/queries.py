@@ -700,19 +700,56 @@ SELECT event_id, {cell3} AS cell3 FROM k ORDER BY cell3, event_id LIMIT 100
 
 def q_temporal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-valued temporal reduce (LocalTemporalStatistics.scala:34-60):
-    per-(key, day) count rasters -> per-pixel mean across the days present
-    for that key (one covering window) -> pixel rows. Integer sums over an
-    integer day count -> the division is bit-identical to the oracle."""
-    from .operators.summary import temporal_stats
+    per-pixel mean across the days present for each key.
 
+    FUSED plan (round-3 perf fix): mean over per-day count rasters is
+    sum-decomposable — sum of the day rasters == the total count raster —
+    so instead of materializing one raster per (key, day) and re-shuffling
+    tile bytes into a windowed reduce (two applyInPandas stages, tile-byte
+    shuffle ~ days x layer), build ONE total-count raster per key
+    (kernel_density, no day grouping) and divide by the per-key distinct
+    day count (a tiny Catalyst aggregate joined on the key). Integer sums
+    over an integer day count -> the division stays bit-identical to the
+    oracle. The general operator (temporal_stats) remains for
+    non-decomposable stats (median, windowed reduces)."""
     pts = _events_points(spark, sf_dir).withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
-    st = kernel_density(
-        pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
-    ).withColumn("ts", F.col("day"))
-    out = temporal_stats(st, window="36500 days", stat="mean")
-    return _layer_pixels(out)
+    total = kernel_density(pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat")
+    cx, rx = _keyed_sql("lon", "lat", LR)
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    ndays = (
+        pts.selectExpr("lon", "lat", "day", f"{cx} AS col", f"{rx} AS row")
+        .selectExpr(
+            "col", "row", "day",
+            f"CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px",
+            f"CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py",
+        )
+        .where("px BETWEEN 0 AND 31 AND py BETWEEN 0 AND 31")
+        .groupBy("col", "row")
+        .agg(F.countDistinct("day").alias("ndays"))
+    )
+    joined = total.join(F.broadcast(ndays), ["col", "row"])
+
+    def divide(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                mean = arr / float(t.ndays)
+                outs.append(pd.DataFrame(
+                    {
+                        "zoom": [int(t.zoom)], "col": [int(t.col)],
+                        "row": [int(t.row)], "cell": [int(t.cell)],
+                        "tile": [codec.raw_encode(np.ascontiguousarray(mean))],
+                        "h": [int(t.h)], "w": [int(t.w)], "fmt": ["raw"],
+                    }
+                ))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return _layer_pixels(joined.mapInPandas(divide, LAYER_SCHEMA))
 
 
 def _o_temporal_mean() -> str:
