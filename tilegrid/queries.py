@@ -2576,6 +2576,56 @@ FROM a LEFT JOIN b ON a.event_id = b.event_id WHERE b.event_id IS NULL
 """
 
 
+
+# ------------------------------------------------------------- streaming
+
+_STREAM_SINK_N = [0]
+
+
+def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming oracle tier (round-2 verdict item): replay the
+    events table through a real readStream file source -> the SAME
+    Catalyst key math as the batch tiler -> event-time 1-day windowed
+    per-cell counts (streaming.streaming_cell_counts) -> memory sink with
+    trigger availableNow. The final table must equal the batch/DuckDB
+    aggregate bit-for-bit — stream == batch == oracle."""
+    from .streaming import streaming_cell_counts
+
+    schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        # the file source wants a directory: stream the sf dir with a glob
+        # pinned to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP; the table stores TIMESTAMP_NTZ.
+        # Session tz is pinned UTC, so the cast keeps day boundaries
+        # identical to DuckDB's naive date_trunc
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("lon", F.expr(LON_E))
+        .withColumn("lat", F.expr(LAT_E))
+    )
+    counts = streaming_cell_counts(
+        stream, L5, 5, x="lon", y="lat", ts_col="ts",
+        window="1 day", watermark="0 seconds",
+    )
+    _STREAM_SINK_N[0] += 1
+    sink = f"tg_stream_counts_{_STREAM_SINK_N[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "col", "row",
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # NOTE on ordering: the driver's correctness sweep checks at most ~50
 # registry entries per round in dict order (CORRECTNESS_r02 recorded exactly
 # the first 50 of 58). Entries that got no row last round therefore go FIRST,
@@ -2599,6 +2649,7 @@ QUERIES = {
     "viewshed": q_viewshed,
     "euclidean_distance": q_euclidean_distance,
     "polygon_overlay": q_polygon_overlay,
+    "streaming_counts": q_streaming_counts,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2660,6 +2711,7 @@ ORACLES = {
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "polygon_overlay": _o_polygon_overlay(),
+    "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
