@@ -336,3 +336,15 @@ class TestRender:
         assert p.exists()
         img = codec.png_decode(p.read_bytes())
         assert img.shape == (16, 16, 4)
+
+    def test_color_ramp_presets(self):
+        # ColorRamps.scala presets: endpoints map to the ramp's first/last
+        # colors, NoData is transparent, every preset loads
+        for name, rgba in RD.COLOR_RAMPS.items():
+            cm = RD.ColorMap.preset(name, 0.0, 1.0)
+            out = cm.apply(np.array([[0.0, 1.0, np.nan]]))
+            first = ((rgba[0] >> 24) & 255, (rgba[0] >> 16) & 255, (rgba[0] >> 8) & 255)
+            last = ((rgba[-1] >> 24) & 255, (rgba[-1] >> 16) & 255, (rgba[-1] >> 8) & 255)
+            assert tuple(out[0, 0, :3]) == first, name
+            assert tuple(out[0, 1, :3]) == last, name
+            assert out[0, 2, 3] == 0, name

@@ -39,6 +39,62 @@ class ColorMap:
         colors = [(int(v), int(v), int(v)) for v in np.linspace(0, 255, n)]
         return ColorMap(breaks, colors)
 
+    @staticmethod
+    def preset(name: str, vmin: float, vmax: float) -> "ColorMap":
+        """Named color ramp over [vmin, vmax] (the reference's ColorRamps
+        presets, raster/.../render/ColorRamps.scala:19-112 — the RGBA
+        constants are the published ramp definitions)."""
+        rgba = COLOR_RAMPS[name]
+        colors = [((c >> 24) & 0xFF, (c >> 16) & 0xFF, (c >> 8) & 0xFF)
+                  for c in rgba]
+        breaks = np.linspace(vmin, vmax, len(colors)).tolist()
+        return ColorMap(breaks, colors)
+
+
+# ColorRamps.scala:19-112 preset palettes (0xRRGGBBAA)
+COLOR_RAMPS = {
+    "blue-to-orange": [
+        0x2586ABFF, 0x4EA3C8FF, 0x7FB8D4FF, 0xADD8EAFF, 0xC8E1E7FF,
+        0xEDECEAFF, 0xF0E7BBFF, 0xF5CF7DFF, 0xF9B737FF, 0xE68F2DFF,
+        0xD76B27FF,
+    ],
+    "light-yellow-to-orange": [
+        0x118C8CFF, 0x429D91FF, 0x61AF96FF, 0x75C59BFF, 0xA2CF9FFF,
+        0xC5DAA3FF, 0xE6E5A7FF, 0xE3D28FFF, 0xE0C078FF, 0xDDAD62FF,
+        0xD29953FF, 0xCA8746FF, 0xC2773BFF,
+    ],
+    "blue-to-red": [
+        0x2791C3FF, 0x5DA1CAFF, 0x83B2D1FF, 0xA8C5D8FF, 0xCCDBE0FF,
+        0xE9D3C1FF, 0xDCAD92FF, 0xD08B6CFF, 0xC66E4BFF, 0xBD4E2EFF,
+    ],
+    "green-to-red-orange": [
+        0x569543FF, 0x9EBD4DFF, 0xBBCA7AFF, 0xD9E2B2FF, 0xE4E7C4FF,
+        0xE6D6BEFF, 0xE3C193FF, 0xDFAC6CFF, 0xDB9842FF, 0xB96230FF,
+    ],
+    "light-to-dark-sunset": [
+        0xFFFFFFFF, 0xFBEDD1FF, 0xF7E0A9FF, 0xEFD299FF, 0xE8C58BFF,
+        0xE0B97EFF, 0xF2924DFF, 0xC97877FF, 0x946196FF, 0x2AB7D6FF,
+        0x474040FF,
+    ],
+    "light-to-dark-green": [
+        0xE8EDDBFF, 0xDCE8D4FF, 0xBEDBADFF, 0xA0CF88FF, 0x81C561FF,
+        0x4BAF48FF, 0x1CA049FF, 0x3A6D35FF,
+    ],
+    "heatmap-yellow-to-red": [
+        0xF7DA22FF, 0xECBE1DFF, 0xE77124FF, 0xD54927FF, 0xCF3A27FF,
+        0xA33936FF, 0x7F182AFF, 0x68101AFF,
+    ],
+    "heatmap-blue-to-yellow-to-red": [
+        0x2A2E7FFF, 0x3D5AA9FF, 0x4698D3FF, 0x39C6F0FF, 0x76C9B3FF,
+        0xA8D050FF, 0xF6EB14FF, 0xFCB017FF, 0xF16022FF, 0xEE2C24FF,
+        0x7D1416FF,
+    ],
+    "heatmap-dark-red-to-yellow-white": [
+        0x68101AFF, 0x7F182AFF, 0xA33936FF, 0xCF3A27FF, 0xD54927FF,
+        0xE77124FF, 0xECBE1DFF, 0xF7DA22FF, 0xF6EDB1FF, 0xFFFFFFFF,
+    ],
+}
+
 
 def render_png(layer: DataFrame, colormap: ColorMap | None = None) -> DataFrame:
     """Encode each tile to PNG bytes (Render.scala:35-90): grayscale clamp
