@@ -76,3 +76,64 @@ class TestKrigingGrid:
         rmse = float(np.sqrt(((out.val.values - true) ** 2).mean()))
         assert rmse < 0.15 * float(true.std())
         assert (out.kvar.values >= 0).all()
+
+
+class TestSimpleUniversal:
+    """Simple / Universal kriging (reference vector/.../interpolation/
+    {Simple,Universal}Kriging.scala semantics)."""
+
+    def _samples(self):
+        rng = np.random.RandomState(0)
+        pts = rng.rand(50, 2) * 10
+        vals = 2.0 + 0.5 * pts[:, 0] - 0.3 * pts[:, 1] + rng.rand(50) * 0.05
+        return pts, vals
+
+    def test_exact_at_samples(self):
+        from tilegrid.kriging import simple_kriging, universal_kriging
+
+        pts, vals = self._samples()
+        model = (0.01, 1.0, 5.0)
+        for fn, kw in ((simple_kriging, {}), (universal_kriging, {"degree": 1})):
+            pred, _ = fn(pts, vals, pts, model, **kw)
+            np.testing.assert_allclose(pred, vals, atol=1e-9)
+
+    def test_simple_relaxes_to_mean_far_away(self):
+        from tilegrid.kriging import simple_kriging
+
+        pts, vals = self._samples()
+        pred, var = simple_kriging(pts, vals, np.array([[1e4, 1e4]]),
+                                   (0.01, 1.0, 5.0))
+        assert abs(pred[0] - vals.mean()) < 1e-9
+        assert abs(var[0] - 1.0) < 1e-9  # full sill variance far out
+
+    def test_universal_extrapolates_linear_drift(self):
+        from tilegrid.kriging import ordinary_kriging, universal_kriging
+
+        pts, vals = self._samples()
+        q = np.array([[14.0, -3.0]])
+        truth = 2.0 + 0.5 * 14.0 - 0.3 * -3.0 + 0.025
+        pu, _ = universal_kriging(pts, vals, q, (0.01, 1.0, 5.0), degree=1)
+        po, _ = ordinary_kriging(pts, vals, q, (0.01, 1.0, 5.0))
+        assert abs(pu[0] - truth) < 0.2          # drift carried outward
+        assert abs(po[0] - truth) > abs(pu[0] - truth)  # ordinary cannot
+
+    def test_kriging_grid_methods(self, spark):
+        import pandas as pd
+
+        from tilegrid.grid import Extent, LayoutDefinition, TileLayout
+        from tilegrid.operators.interpolate import kriging_grid
+
+        layout = LayoutDefinition(
+            Extent(0.0, 0.0, 16.0, 16.0), TileLayout(2, 2, 8, 8)
+        )
+        pts, vals = self._samples()
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1], "value": vals})
+        )
+        for method in ("simple", "universal"):
+            out = kriging_grid(
+                df, layout, 1, (0.01, 1.0, 5.0), buffer_cells=16.0,
+                method=method,
+            ).toPandas()
+            assert len(out) > 0
+            assert np.isfinite(out.val).all()

@@ -124,3 +124,109 @@ def ordinary_kriging(
     pred = W[:, :n] @ vals
     var = np.maximum((W * B).sum(axis=1), 0.0)
     return pred, var
+
+
+def _dedupe(sample_pts: np.ndarray, sample_vals: np.ndarray):
+    sp = np.unique(
+        np.concatenate(
+            [np.asarray(sample_pts, np.float64),
+             np.asarray(sample_vals, np.float64)[:, None]], axis=1
+        ),
+        axis=0,
+    )
+    _, keep = np.unique(sp[:, :2], axis=0, return_index=True)
+    sp = sp[np.sort(keep)]
+    return sp[:, :2], sp[:, 2]
+
+
+def simple_kriging(
+    sample_pts: np.ndarray,
+    sample_vals: np.ndarray,
+    query_pts: np.ndarray,
+    model: tuple[float, float, float],
+    mean: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Simple kriging (reference vector/.../interpolation/SimpleKriging
+    .scala semantics): KNOWN constant mean — covariance system C w = c,
+    prediction mean + w . (z - mean), variance sill - w . c. Unlike
+    ordinary kriging there is no unbiasedness constraint, so far from the
+    samples predictions relax to `mean` (default: the sample mean)."""
+    pts, vals = _dedupe(sample_pts, sample_vals)
+    qp = np.asarray(query_pts, np.float64)
+    nugget, sill, rng = model
+    m = float(vals.mean()) if mean is None else float(mean)
+    d = np.sqrt(
+        (pts[:, None, 0] - pts[None, :, 0]) ** 2
+        + (pts[:, None, 1] - pts[None, :, 1]) ** 2
+    )
+    # covariance from the semivariogram: C(h) = sill - gamma(h); C(0) = sill
+    C = sill - spherical_model(d, nugget, sill, rng)
+    np.fill_diagonal(C, sill)
+    dq = np.sqrt(
+        (qp[:, None, 0] - pts[None, :, 0]) ** 2
+        + (qp[:, None, 1] - pts[None, :, 1]) ** 2
+    )
+    c = sill - spherical_model(dq, nugget, sill, rng)
+    c[dq == 0.0] = sill
+    try:
+        W = np.linalg.solve(C, c.T).T
+    except np.linalg.LinAlgError:
+        W = (np.linalg.pinv(C) @ c.T).T
+    pred = m + W @ (vals - m)
+    var = np.maximum(sill - (W * c).sum(axis=1), 0.0)
+    return pred, var
+
+
+def _drift_basis(pts: np.ndarray, degree: int) -> np.ndarray:
+    x, y = pts[:, 0], pts[:, 1]
+    cols = [np.ones(len(pts))]
+    if degree >= 1:
+        cols += [x, y]
+    if degree >= 2:
+        cols += [x * y, x * x, y * y]
+    return np.stack(cols, axis=1)
+
+
+def universal_kriging(
+    sample_pts: np.ndarray,
+    sample_vals: np.ndarray,
+    query_pts: np.ndarray,
+    model: tuple[float, float, float],
+    degree: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Universal kriging (reference vector/.../interpolation/Universal
+    Kriging.scala semantics): unknown polynomial drift of `degree` (1 =
+    linear, 2 = quadratic) estimated jointly — the augmented system
+    [[Gamma, F], [F^T, 0]] [w; b] = [gamma_q; f_q] where F is the drift
+    basis at the samples. Ordinary kriging is the degree-0 special case."""
+    pts, vals = _dedupe(sample_pts, sample_vals)
+    qp = np.asarray(query_pts, np.float64)
+    n = len(pts)
+    nugget, sill, rng = model
+    F = _drift_basis(pts, degree)
+    k = F.shape[1]
+    d = np.sqrt(
+        (pts[:, None, 0] - pts[None, :, 0]) ** 2
+        + (pts[:, None, 1] - pts[None, :, 1]) ** 2
+    )
+    G = spherical_model(d, nugget, sill, rng)
+    np.fill_diagonal(G, 0.0)
+    A = np.zeros((n + k, n + k))
+    A[:n, :n] = G
+    A[:n, n:] = F
+    A[n:, :n] = F.T
+    dq = np.sqrt(
+        (qp[:, None, 0] - pts[None, :, 0]) ** 2
+        + (qp[:, None, 1] - pts[None, :, 1]) ** 2
+    )
+    B = np.zeros((len(qp), n + k))
+    B[:, :n] = spherical_model(dq, nugget, sill, rng)
+    B[:, :n][dq == 0.0] = 0.0
+    B[:, n:] = _drift_basis(qp, degree)
+    try:
+        W = np.linalg.solve(A, B.T).T
+    except np.linalg.LinAlgError:
+        W = (np.linalg.pinv(A) @ B.T).T
+    pred = W[:, :n] @ vals
+    var = np.maximum((W * B).sum(axis=1), 0.0)
+    return pred, var

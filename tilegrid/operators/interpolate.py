@@ -91,19 +91,34 @@ def kriging_grid(
     value_col: str = "value",
     buffer_cells: float = 4.0,
     max_samples_per_tile: int = 400,
+    method: str = "ordinary",
+    degree: int = 1,
+    mean: float | None = None,
 ) -> DataFrame:
-    """Ordinary-kriging surface at pixel resolution, per tile: each sample
+    """Kriging surface at pixel resolution, per tile: each sample
     point explodes to the tiles within `buffer_cells` pixels of it (the
     CutTiles-style Catalyst explode), and each tile solves the kriging
-    system against its local buffered sample set at its pixel centers
-    (tilegrid.kriging.ordinary_kriging). `model` = (nugget, sill, range),
-    typically fit once on a driver-side sample via fit_spherical.
+    system against its local buffered sample set at its pixel centers.
+    `method` picks the estimator (reference vector/.../interpolation/):
+    "ordinary" (Lagrange-constrained, default), "simple" (known `mean`),
+    or "universal" (joint polynomial drift of `degree`). `model` =
+    (nugget, sill, range), typically fit once on a driver-side sample via
+    fit_spherical.
 
     Per-tile cost is O(min(samples, max_samples_per_tile)^3) — hot tiles
     subsample deterministically (sorted by (x, y)) to bound the solve.
     Output: (col, row, px, py, val, kvar) for tiles holding >= 3 samples."""
-    from ..kriging import ordinary_kriging
+    from ..kriging import ordinary_kriging, simple_kriging, universal_kriging
     from .tiler import explode_covering_keys
+
+    if method == "ordinary":
+        solver = lambda p, v, q: ordinary_kriging(p, v, q, model)
+    elif method == "simple":
+        solver = lambda p, v, q: simple_kriging(p, v, q, model, mean=mean)
+    elif method == "universal":
+        solver = lambda p, v, q: universal_kriging(p, v, q, model, degree=degree)
+    else:
+        raise ValueError(f"unknown kriging method {method!r}")
 
     cw, ch = layout.cell_width, layout.cell_height
     r = buffer_cells
@@ -135,9 +150,7 @@ def kriging_grid(
         cys = ext.ymax - (np.arange(tr) + 0.5) * ch
         gx, gy = np.meshgrid(cxs, cys)
         q = np.stack([gx.ravel(), gy.ravel()], axis=1)
-        pred, var = ordinary_kriging(
-            pdf[[x, y]].values, pdf[value_col].values, q, model
-        )
+        pred, var = solver(pdf[[x, y]].values, pdf[value_col].values, q)
         return pd.DataFrame(
             {
                 "col": np.full(q.shape[0], col, np.int32),
