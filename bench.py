@@ -66,6 +66,14 @@ HEADLINE = [
     "idw",
     "hillshade",
     "hist_matching",
+    # round-3 additions: propagation family + overlay + streaming
+    "cost_distance",
+    "flow_accumulation",
+    "viewshed",
+    "fill",
+    "euclidean_distance",
+    "polygon_overlay",
+    "streaming_counts",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -433,3 +433,57 @@ class TestPyramid:
         # bounds (1,1)-(6,7): z8=6x7=42 keys, z7 cols 0..3 rows 0..3 = 16,
         # z6 cols 0..1 rows 0..1 = 4, z5 = 1
         assert counts == {8: 42, 7: 16, 6: 4, 5: 1}
+
+
+class TestLayoutMerge:
+    def test_layout_merge_one_call(self, spark):
+        """RDDLayoutMerge (RDDLayoutMerge.scala:31-55): right layer on a
+        SHIFTED layout re-keys onto left's layout; left wins, right fills
+        left's NoData."""
+        import pandas as pd
+
+        from tilegrid import codec
+        from tilegrid.cell import z2_encode
+        from tilegrid.grid import Extent, LayoutDefinition, TileLayout
+        from tilegrid.operators.reshape import layout_merge
+
+        ts = 8
+        la = LayoutDefinition(Extent(0.0, 0.0, 16.0, 16.0), TileLayout(2, 2, ts, ts))
+        lb = LayoutDefinition(Extent(4.0, 4.0, 20.0, 20.0), TileLayout(2, 2, ts, ts))
+
+        def layer_of(layout, fn):
+            rows = []
+            for c in range(2):
+                for r in range(2):
+                    arr = np.asarray(
+                        [[fn(c * ts + px, r * ts + py) for px in range(ts)]
+                         for py in range(ts)], np.float64)
+                    rows.append({
+                        "zoom": np.int32(4), "col": np.int32(c), "row": np.int32(r),
+                        "cell": np.int64(z2_encode(c, r)),
+                        "tile": codec.raw_encode(arr), "h": np.int32(ts),
+                        "w": np.int32(ts), "fmt": "raw",
+                    })
+            return spark.createDataFrame(pd.DataFrame(rows))
+
+        # left: gx+gy, but NaN on a diagonal band; right: constant 99
+        left = layer_of(la, lambda gx, gy: np.nan if (gx + gy) % 5 == 0 else gx + gy)
+        right = layer_of(lb, lambda gx, gy: 99.0)
+        got_pdf = layout_merge(left, la, right, lb, 4).toPandas()
+        tiles = {(int(r["col"]), int(r["row"])):
+                 codec.decode_tile(bytes(r["tile"]), r["fmt"])
+                 for _, r in got_pdf.iterrows()}
+        # oracle over left's global grid: pixel center (gx+0.5, 15.5-gy);
+        # inside right's extent [4,20)x[4,20) the fill value is 99
+        for (c, r), arr in tiles.items():
+            for py in range(ts):
+                for px in range(ts):
+                    gx, gy = c * ts + px, r * ts + py
+                    want = np.nan if (gx + gy) % 5 == 0 else gx + gy
+                    cx_, cy_ = gx + 0.5, 16.0 - gy - 0.5
+                    if np.isnan(want) and 4.0 <= cx_ < 20.0 and 4.0 <= cy_ < 20.0:
+                        want = 99.0
+                    if np.isnan(want):
+                        assert np.isnan(arr[py, px]), (c, r, px, py)
+                    else:
+                        assert arr[py, px] == want, (c, r, px, py)

@@ -339,3 +339,98 @@ def histogram_equalization(layer: DataFrame, num_buckets: int = 256) -> DataFram
             yield pdf[["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]]
 
     return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
+def retile_to_layout(
+    layer: DataFrame,
+    src_layout: LayoutDefinition,
+    dst_layout: LayoutDefinition,
+    dst_zoom: int,
+) -> DataFrame:
+    """Re-key a layer onto a different LayoutDefinition: each tile's extent
+    (from its src key) is pasted NN-aligned into every dst tile it covers
+    (RDDLayoutMerge.scala:40-52's cut step — prototype + Tile.merge by
+    extents), then partial dst tiles combine with first-non-NoData wins."""
+    from ..cell import z2_encode
+
+    smt = src_layout.map_transform
+    dmt = dst_layout.map_transform
+    dtc = dst_layout.tile_layout.tile_cols
+    dtr = dst_layout.tile_layout.tile_rows
+    scw, sch = src_layout.cell_width, src_layout.cell_height
+    dcw, dch = dst_layout.cell_width, dst_layout.cell_height
+
+    def cut(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                sh, sw = arr.shape
+                sext = smt.extent_for_key(int(t.col), int(t.row))
+                gb = dmt.gridbounds_for_extent(sext)
+                for dc, dr in gb.coords():
+                    if not (0 <= dc < dst_layout.tile_layout.layout_cols
+                            and 0 <= dr < dst_layout.tile_layout.layout_rows):
+                        continue
+                    dext = dmt.extent_for_key(dc, dr)
+                    # dst pixel centers -> src pixel indices (NN, the
+                    # Tile.merge(extent, otherExtent, other) alignment)
+                    xs = dext.xmin + (np.arange(dtc) + 0.5) * dcw
+                    ys = dext.ymax - (np.arange(dtr) + 0.5) * dch
+                    sx = np.floor((xs - sext.xmin) / scw).astype(np.int64)
+                    sy = np.floor((sext.ymax - ys) / sch).astype(np.int64)
+                    mx = (sx >= 0) & (sx < sw)
+                    my = (sy >= 0) & (sy < sh)
+                    if not (mx.any() and my.any()):
+                        continue
+                    out = np.full((dtr, dtc), np.nan)
+                    yy, xx = np.meshgrid(sy.clip(0, sh - 1), sx.clip(0, sw - 1),
+                                         indexing="ij")
+                    vals = arr[yy, xx]
+                    out[np.ix_(my, mx)] = vals[np.ix_(my, mx)]
+                    outs.append(pd.DataFrame(
+                        {
+                            "zoom": [dst_zoom], "col": [int(dc)], "row": [int(dr)],
+                            "cell": [int(z2_encode(dc, dr))],
+                            "tile": [codec.raw_encode(out)],
+                            "h": [dtr], "w": [dtc], "fmt": ["raw"],
+                        }
+                    ))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    parts = layer.mapInPandas(cut, LAYER_SCHEMA)
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for t in pdf.itertuples(index=False):
+            arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+            if acc is None:
+                acc = arr
+            else:
+                m = np.isnan(acc)
+                acc[m] = arr[m]
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [int(first["zoom"])], "col": [int(first["col"])],
+                "row": [int(first["row"])], "cell": [int(first["cell"])],
+                "tile": [codec.raw_encode(acc)], "h": [int(first["h"])],
+                "w": [int(first["w"])], "fmt": ["raw"],
+            }
+        )
+
+    return parts.groupBy("zoom", "col", "row").applyInPandas(combine, LAYER_SCHEMA)
+
+
+def layout_merge(
+    left: DataFrame,
+    left_layout: LayoutDefinition,
+    right: DataFrame,
+    right_layout: LayoutDefinition,
+    zoom: int,
+) -> DataFrame:
+    """One-call RDDLayoutMerge (RDDLayoutMerge.scala:31-55): re-key `right`
+    onto `left`'s layout, then mosaic (left wins, right fills NoData)."""
+    cut = retile_to_layout(right, right_layout, left_layout, zoom)
+    return merge_layers(left, cut)
