@@ -2626,6 +2626,78 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- DE-9IM
+
+# integer-bound rectangles: the event grid is k/10-180 x m/10-85, so points
+# land EXACTLY on these edges (same double in Spark and DuckDB) and the
+# boundary branch of the matrix is genuinely exercised
+RELATE_ZONES = [
+    (1, -170.0, -80.0, -150.0, -60.0),
+    (2, -100.0, -40.0, -60.0, 0.0),
+    (3, 0.0, 10.0, 60.0, 40.0),
+]
+
+
+def q_relate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DE-9IM relate (JTS `relate`/predicates on the reference's Geometry
+    types — vector/.../Line.scala:322-393, Polygon.scala:236-330): compute
+    the full 9-char intersection matrix of every event point against three
+    zone polygons through the real classification path
+    (relate.relate_points_polygon == scalar relate()), then count per
+    (zone, matrix)."""
+    from .relate import relate_points_polygon
+
+    zones = {
+        zid: [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64
+        )]
+        for zid, x0, y0, x1, y1 in RELATE_ZONES
+    }
+    bc = spark.sparkContext.broadcast(zones)
+    pts = _events_points(spark, sf_dir)
+
+    def classify(it):
+        zs = bc.value
+        for pdf in it:
+            px, py = pdf["lon"].values, pdf["lat"].values
+            for zid, rings in zs.items():
+                yield pd.DataFrame({
+                    "zone_id": np.full(len(pdf), zid, np.int64),
+                    "matrix": relate_points_polygon(px, py, rings),
+                })
+
+    return (
+        pts.select("lon", "lat")
+        .mapInPandas(classify, "zone_id long, matrix string")
+        .groupBy("zone_id", "matrix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _o_relate_counts() -> str:
+    zone_rows = ",\n  ".join(
+        f"({zid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for zid, x0, y0, x1, y1 in RELATE_ZONES
+    )
+    return f"""
+WITH pts AS (SELECT {LON_E} AS lon, {LAT_E} AS lat FROM events),
+z(zone_id, xmin, ymin, xmax, ymax) AS (VALUES
+  {zone_rows}),
+rel AS (
+  SELECT z.zone_id,
+    CASE
+      WHEN ((lon = xmin OR lon = xmax) AND lat >= ymin AND lat <= ymax)
+        OR ((lat = ymin OR lat = ymax) AND lon >= xmin AND lon <= xmax)
+        THEN 'F0FFFF212'
+      WHEN lon > xmin AND lon < xmax AND lat > ymin AND lat < ymax
+        THEN '0FFFFF212'
+      ELSE 'FF0FFF212'
+    END AS matrix
+  FROM pts CROSS JOIN z)
+SELECT zone_id, matrix, COUNT(*) AS n FROM rel GROUP BY zone_id, matrix
+"""
+
+
 # NOTE on ordering: the driver's correctness sweep checks at most ~50
 # registry entries per round in dict order (CORRECTNESS_r02 recorded exactly
 # the first 50 of 58). Entries that got no row last round therefore go FIRST,
@@ -2650,6 +2722,7 @@ QUERIES = {
     "euclidean_distance": q_euclidean_distance,
     "polygon_overlay": q_polygon_overlay,
     "streaming_counts": q_streaming_counts,
+    "relate_counts": q_relate_counts,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2712,6 +2785,7 @@ ORACLES = {
     "euclidean_distance": _o_euclidean_distance(),
     "polygon_overlay": _o_polygon_overlay(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
+    "relate_counts": _o_relate_counts(),
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
