@@ -205,6 +205,55 @@ class TestAnn:
         pairs = A.cosine_dup_pairs(df, threshold=0.999, dim=8).toPandas()
         assert (0, 1) in set(zip(pairs.vec_a, pairs.vec_b))
 
+    def test_ivf_full_probe_equals_bruteforce(self, spark):
+        """n_probe == n_list degrades IVF to exact search: every list is
+        probed, so the result must equal brute-force cosine_topk."""
+        df, _ = _emb_df(spark)
+        q = df.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        ivf = (
+            A.ivf_topk(df, q, k=5, n_list=4, n_probe=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        bf = (
+            A.cosine_topk(df, q, k=5)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(ivf, bf, check_dtype=False)
+
+    def test_ivf_partial_probe_selfmatch_and_deterministic(self, spark):
+        df, _ = _emb_df(spark)
+        q = df.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        o1 = A.ivf_topk(df, q, k=3, n_list=4, n_probe=2).toPandas()
+        o2 = A.ivf_topk(df, q, k=3, n_list=4, n_probe=2).toPandas()
+        pd.testing.assert_frame_equal(
+            o1.sort_values(["query_id", "rank"]).reset_index(drop=True),
+            o2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        )
+        top1 = o1[o1["rank"] == 1].set_index("query_id").vec_id
+        for qid in (0, 1, 2):
+            # a query's own copy lives in its nearest list, which is the
+            # first list probed — so it always finds itself
+            assert top1.loc[qid] == qid
+
+    def test_ivf_lloyd_refinement_improves_objective(self, spark):
+        """Spherical k-means (cosine assign + mean recenter) is monotone in
+        the summed max-cosine objective; 3 Lloyd rounds must not make the
+        quantizer worse than the raw hash-sample."""
+        df, vecs = _emb_df(spark, n=60, dim=8)
+
+        def objective(cents):
+            c = np.array([v for _, v in cents], np.float64)
+            v = vecs.astype(np.float64)
+            sims = (v @ c.T) / np.outer(
+                np.linalg.norm(v, axis=1), np.linalg.norm(c, axis=1)
+            )
+            return sims.max(axis=1).mean()
+
+        base = A.train_ivf_centroids(df, 4)
+        refined = A.train_ivf_centroids(df, 4, lloyd_iters=3)
+        assert len(refined) == 4
+        assert objective(refined) >= objective(base) - 1e-12
+
     def test_mega_bucket_cap_bounds_pairs(self, spark, capfd):
         """Adversarial mega-bucket: thousands of identical vectors would
         produce O(n^2) pairs; the hot-bucket cap must drop the bucket,

@@ -229,3 +229,195 @@ def cosine_dup_pairs(
         .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def _lit_array(vals) -> str:
+    """SQL array literal of DOUBLE values (repr round-trips exactly)."""
+    return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_list: int,
+    cand_id: str = "vec_id",
+    emb: str = "embedding",
+    lloyd_iters: int = 0,
+) -> list:
+    """Coarse quantizer for an IVF index: ``n_list`` centroid vectors.
+
+    Base quantizer is a deterministic hash-ordered sample — the ``n_list``
+    smallest rows by ``md5(cast(id as string))``. Spark plans the
+    orderBy+limit as a distributed TakeOrdered (per-partition top-k +
+    driver merge of n_list rows), NOT a full sort, so this is O(N) scan +
+    O(n_list) driver state at any scale, and it is reproducible (no RNG) —
+    the same sample a SQL oracle computes with row_number()/QUALIFY.
+
+    ``lloyd_iters`` > 0 runs that many k-means (Lloyd) refinement rounds:
+    assignment is the same in-codegen argmax pass used by ``assign_lists``
+    (no shuffle), and the recenter step is a map-side partial (sum, count)
+    per list via mapInPandas followed by a driver combine of n_list
+    partials — the classic distributed k-means shape. Refined centroids
+    are no longer SQL-reproducible, so contract queries use iters=0.
+
+    Returns a list of (list_id, [float64 values]) on the driver (tiny:
+    n_list x dim), ready to broadcast or inline as literals.
+    """
+    base = (
+        df.select(F.col(cand_id), F.col(emb))
+        .orderBy(F.md5(F.col(cand_id).cast("string")), F.col(cand_id))
+        .limit(n_list)
+        .collect()
+    )
+    cents = [[float(x) for x in r[emb]] for r in base]
+    for _ in range(lloyd_iters):
+        import numpy as np
+
+        expr = _argmax_list_expr(emb, cents)
+        assigned = df.select(F.col(emb), F.expr(expr).alias("list_id"))
+
+        def partials(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[emb].values).astype(np.float64)
+                lid = pdf["list_id"].values
+                rows = []
+                for j in set(lid.tolist()):
+                    sel = m[lid == j]
+                    rows.append(
+                        {"list_id": j, "n": len(sel), "vsum": sel.sum(0).tolist()}
+                    )
+                yield pd.DataFrame(rows)
+
+        agg = assigned.mapInPandas(
+            partials, "list_id int, n long, vsum array<double>"
+        ).collect()
+        sums: dict = {}
+        counts: dict = {}
+        for r in agg:
+            j = r["list_id"]
+            counts[j] = counts.get(j, 0) + r["n"]
+            acc = sums.get(j)
+            sums[j] = (
+                [a + b for a, b in zip(acc, r["vsum"])] if acc else list(r["vsum"])
+            )
+        cents = [
+            [s / counts[j] for s in sums[j]] if j in sums else cents[j]
+            for j in range(len(cents))
+        ]
+    return list(enumerate(cents))
+
+
+def _sim_to_lit(emb: str, vals) -> str:
+    """Cosine similarity of column `emb` to a literal centroid, with the
+    same sequential f64 fold as dot_expr (bit-identical to the oracle)."""
+    lit = _lit_array(vals)
+    return f"{dot_expr(emb, lit)} / ({norm_expr(emb)} * {norm_expr(lit)})"
+
+
+def _argmax_list_expr(emb: str, cents) -> str:
+    """list_id of the nearest (max-cosine) centroid, ties to the smaller
+    list_id, as ONE codegen expression: greatest over (sim, -list_id)
+    structs — no join, no shuffle, no extra rows."""
+    cents = enumerate_cents(cents)
+    structs = ", ".join(
+        f"named_struct('s', {_sim_to_lit(emb, c)}, 'nid', {-j})"
+        for j, c in enumerate(cents)
+    )
+    return f"CAST(-greatest({structs}).nid AS INT)"
+
+
+def enumerate_cents(cents):
+    """Accept either [(list_id, vec), ...] or [vec, ...]."""
+    if cents and isinstance(cents[0], (tuple, list)) and len(cents[0]) == 2 \
+            and isinstance(cents[0][0], int):
+        return [v for _, v in cents]
+    return list(cents)
+
+
+def _probe_lists_expr(emb: str, cents, n_probe: int) -> str:
+    """Array of the n_probe nearest list_ids for a query vector, ordered by
+    (sim desc, list_id asc) — array_sort over (-sim, list_id) structs then
+    slice: pure codegen, no shuffle."""
+    cents = enumerate_cents(cents)
+    structs = ", ".join(
+        f"named_struct('ns', -({_sim_to_lit(emb, c)}), 'id', {j})"
+        for j, c in enumerate(cents)
+    )
+    return (
+        f"transform(slice(array_sort(array({structs})), 1, {n_probe}), x -> x.id)"
+    )
+
+
+def assign_lists(
+    df: DataFrame,
+    centroids,
+    cand_id: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: adds ``list_id`` = nearest centroid, computed
+    in one whole-stage-codegen projection (O(n_list*d) flops per row, zero
+    shuffle). At 100 TB this column doubles as the storage bucketing key —
+    write the corpus partitioned by list_id and probes become partition
+    pruning."""
+    return df.withColumn("list_id", F.expr(_argmax_list_expr(emb, centroids)))
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_list: int = 8,
+    n_probe: int = 2,
+    cand_id: str = "vec_id",
+    query_id: str = "query_id",
+    emb: str = "embedding",
+    centroids=None,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbours (the FAISS IVF shape,
+    re-expressed relationally): coarse-quantize candidates into n_list
+    inverted lists, probe each query's n_probe nearest lists only, exact
+    cosine refine + per-query top-k inside the probed lists.
+
+    Scale shape: assignment and probing are shuffle-free codegen passes;
+    the only join is candidates ⨝ broadcast(probes) on list_id — with the
+    corpus pre-bucketed by list_id this is a pruned scan of
+    n_probe/n_list of the data. n_probe = n_list degrades gracefully to
+    exact brute force (recall 1.0) — asserted in tests.
+    """
+    cents = centroids or train_ivf_centroids(
+        candidates, n_list, cand_id, emb, lloyd_iters
+    )
+    assigned = assign_lists(candidates, cents, cand_id, emb)
+    probes = (
+        queries.select(
+            F.col(query_id),
+            F.col(emb).alias("_qemb"),
+            F.explode(F.expr(_probe_lists_expr(emb, cents, n_probe))).alias(
+                "list_id"
+            ),
+        )
+    )
+    sim = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .withColumn(
+            "sim",
+            F.expr(
+                f"{dot_expr(emb, '_qemb')} / ({norm_expr(emb)} * {norm_expr('_qemb')})"
+            ),
+        )
+        .select(query_id, F.col(cand_id), "sim")
+    )
+    sim = sim.mapInPandas(_batch_topk(k, query_id, cand_id), sim.schema)
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(cand_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumn("sim", F.round("sim", 4))
+    )

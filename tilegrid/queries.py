@@ -1641,6 +1641,65 @@ FROM s QUALIFY rank <= 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (FAISS-style coarse quantize -> probe -> exact refine,
+    the scale path beside LSH): 8 inverted lists from a deterministic
+    hash-sample quantizer, 2 probed lists per query, exact cosine top-5
+    within the probed lists."""
+    cands = _read(spark, sf_dir, "embeddings")
+    return A.ivf_topk(
+        cands, _emb_queries(spark, sf_dir), k=5, n_list=8, n_probe=2
+    ).select("query_id", "vec_id", "rank", "sim")
+
+
+def _o_ann_ivf() -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"{_o_dot(a, b)} / (sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)}))"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS list_id
+  FROM embeddings
+  QUALIFY list_id < 8
+),
+asg AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.embedding', 'c.embedding')} DESC,
+                                       c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qemb, list_id FROM (
+    SELECT CAST(q.vec_id AS BIGINT) AS query_id, q.embedding AS qemb,
+           c.list_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos('q.embedding', 'c.embedding')} DESC,
+                                       c.list_id) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    CROSS JOIN cent c)
+  WHERE rn <= 2
+),
+s AS (
+  SELECT p.query_id, a.vec_id, {_o_dot('a.embedding', 'p.qemb')}
+           / (sqrt({_o_dot('a.embedding', 'a.embedding')})
+              * sqrt({_o_dot('p.qemb', 'p.qemb')})) AS sim
+  FROM asg a JOIN probes p USING (list_id)
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+            AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM s QUALIFY rank <= 5
+"""
+
+
 # ================================================== relational breadth
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2723,6 +2782,7 @@ QUERIES = {
     "polygon_overlay": q_polygon_overlay,
     "streaming_counts": q_streaming_counts,
     "relate_counts": q_relate_counts,
+    "ann_ivf": q_ann_ivf,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2786,6 +2846,7 @@ ORACLES = {
     "polygon_overlay": _o_polygon_overlay(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
     "relate_counts": _o_relate_counts(),
+    "ann_ivf": _o_ann_ivf(),
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
