@@ -1641,6 +1641,34 @@ FROM s QUALIFY rank <= 5
 """
 
 
+def q_split_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split (Split.scala:57-88 / spark Split.scala:29-51): cut each 32x32
+    count tile into a 2x2 grid of 16x16 subtiles keyed on the finer grid,
+    then integer pixel sum + nonzero-pixel count per subtile."""
+    from .operators.split import split_layer
+
+    dense = _count_raster(spark, sf_dir)
+    sub = split_layer(dense, factor=2)
+    px = _layer_pixels(sub)
+    return px.groupBy(
+        F.col("col").alias("scol"), F.col("row").alias("srow")
+    ).agg(
+        F.sum(F.col("val").cast("long")).alias("vsum"),
+        F.count(F.lit(1)).alias("npix"),
+    )
+
+
+def _o_split_sum() -> str:
+    return f"""
+WITH {_o_pixel_counts()}
+SELECT CAST(col * 2 + px // 16 AS INT) AS scol,
+       CAST(row * 2 + py // 16 AS INT) AS srow,
+       CAST(sum(cnt) AS BIGINT) AS vsum,
+       CAST(count(*) AS BIGINT) AS npix
+FROM pc GROUP BY 1, 2
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (FAISS-style coarse quantize -> probe -> exact refine,
     the scale path beside LSH): 8 inverted lists from a deterministic
@@ -2783,6 +2811,7 @@ QUERIES = {
     "streaming_counts": q_streaming_counts,
     "relate_counts": q_relate_counts,
     "ann_ivf": q_ann_ivf,
+    "split_sum": q_split_sum,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2847,6 +2876,7 @@ ORACLES = {
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
     "relate_counts": _o_relate_counts(),
     "ann_ivf": _o_ann_ivf(),
+    "split_sum": _o_split_sum(),
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
