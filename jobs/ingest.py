@@ -118,9 +118,17 @@ def main() -> int:
         ).persist()
         t = time.time()
         n_tiles = layer.count()
+        meta = meta_for(layer, args.zoom, layout)
+        from tilegrid.cell import zranges
+
+        b = meta.bounds
         write_layer(
             layer, args.out, args.name, args.zoom,
-            meta=meta_for(layer, args.zoom, layout),
+            meta=meta,
+            # even-volume SFC breaks over the occupied key bounds: the base
+            # level is the bulk of the store; deterministic balanced splits
+            # beat repartitionByRange's sampling pass at this size
+            index_ranges=zranges(b.col_min, b.row_min, b.col_max, b.row_max),
         )
         metrics["levels"][args.zoom] = {
             "tiles": n_tiles, "sec": round(time.time() - t, 2),

@@ -157,6 +157,65 @@ class TestCellIndex:
             (0, 7), (10, 12),
         ]
 
+    def test_index_breaks_reference_semantics(self):
+        # ranges [(0,9)], count 3: cap = ceil(10/4) = 3 -> breaks at
+        # cumulative volumes 3, 6, 9 -> indices 2, 5, 8
+        assert cell.index_breaks([(0, 9)], 3) == [2, 5, 8]
+        # breaks land inside ranges, never in the [10, 99] gap
+        bs = cell.index_breaks([(0, 9), (100, 109)], 3)
+        assert bs == [4, 9, 104]  # cap = ceil(20/4) = 5
+        # count caps the output (break on very end of last range dropped)
+        assert cell.index_breaks([(0, 3)], 1) == [1]  # cap=2 -> vol 2 -> idx 1
+        with pytest.raises(ValueError):
+            cell.index_breaks([(0, 9)], 0)
+
+    def test_index_breaks_fold_parity(self):
+        # vectorized path == a direct fold over the published semantics
+        def fold_breaks(ranges, count):
+            total = sum(hi - lo + 1 for lo, hi in ranges)
+            cap = max(-(-total // (count + 1)), 1)
+            out, room = [], cap
+            for lo, hi in ranges:
+                rem = (lo, hi)
+                while rem[1] >= rem[0]:
+                    take = min(rem[1] - rem[0] + 1, room)
+                    if take == room:
+                        out.append(rem[0] + take - 1)
+                        room = cap
+                        rem = (rem[0] + take, rem[1])
+                    else:
+                        room -= take
+                        break
+            return out[:count]
+
+        rng = np.random.RandomState(7)
+        for _ in range(50):
+            n = rng.randint(1, 8)
+            starts = np.cumsum(rng.randint(1, 50, size=2 * n))
+            ranges = [
+                (int(starts[2 * i]), int(starts[2 * i + 1]) - 1)
+                for i in range(n)
+            ]
+            count = int(rng.randint(1, 20))
+            assert cell.index_breaks(ranges, count) == fold_breaks(ranges, count)
+
+    def test_bucket_sql_counts_breaks_below(self):
+        import duckdb
+
+        breaks = [4, 9, 104]
+        rows = duckdb.sql(
+            f"SELECT cell, {cell.bucket_sql(breaks)} AS b FROM "
+            "(SELECT unnest([0, 4, 5, 9, 10, 104, 105, 200]) AS cell)"
+        ).fetchall()
+        want = {0: 0, 4: 0, 5: 1, 9: 1, 10: 2, 104: 2, 105: 3, 200: 3}
+        for c, b in rows:
+            assert b == want[c], (c, b)
+
+    def test_partition_tokens_cover_all_partitions(self):
+        for n in (1, 5, 32):
+            toks = cell.partition_tokens(n)
+            assert sorted(cell.murmur3_int32(t) % n for t in toks) == list(range(n))
+
     def test_sql_expr_matches_numpy(self):
         import duckdb
 

@@ -76,6 +76,52 @@ class TestLayerIO:
         # resume: second write is skipped
         assert IO.write_layer(df, root, "ones", 8, resume=True) is False
 
+    def test_murmur3_matches_spark_hash(self, spark):
+        from tilegrid.cell import murmur3_int32
+
+        vals = [0, 1, 7, 42, 123456, 2**31 - 1, -5]
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], "v int")
+            .selectExpr("v", "hash(v) AS h")
+            .collect()
+        )
+        for r in rows:
+            assert murmur3_int32(r["v"]) == r["h"], r["v"]
+
+    def test_write_layer_even_volume_breaks(self, spark, tmp_path):
+        from tilegrid.cell import index_breaks, merge_ranges, zranges
+
+        root = str(tmp_path / "layers")
+        df = layer_df(spark, "increasing")
+        # SFC ranges of the occupied key bounds drive deterministic breaks
+        c0, r0, c1, r1 = fixtures.TEST_BOUNDS
+        ranges = zranges(c0, r0, c1, r1)
+        assert IO.write_layer(
+            df, root, "inc", 8, meta=make_meta(), target_partitions=4,
+            index_ranges=ranges,
+        )
+        back = IO.read_layer(spark, root, "inc", 8)
+        assert back.count() == 42
+        # each output file's cell span respects the break boundaries:
+        # file spans must not straddle a break (break = inclusive bin end)
+        m = AttributeStore(root).read_attr("inc", 8, "manifest")
+        breaks = index_breaks(merge_ranges(ranges), 3)
+        for f in m["files"]:
+            for b in breaks:
+                assert not (f["min_cell"] <= b < f["max_cell"]), (f, b)
+        # deterministic: a second write produces the identical manifest spans
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "_checkpoints"))
+        IO.write_layer(
+            df, root, "inc", 8, meta=make_meta(), target_partitions=4,
+            index_ranges=ranges,
+        )
+        m2 = AttributeStore(root).read_attr("inc", 8, "manifest")
+        spans = sorted((f["min_cell"], f["max_cell"], f["n_rows"]) for f in m["files"])
+        spans2 = sorted((f["min_cell"], f["max_cell"], f["n_rows"]) for f in m2["files"])
+        assert spans == spans2
+
     def test_pushdown_in_plan(self, spark, tmp_path):
         root = str(tmp_path / "layers")
         IO.write_layer(layer_df(spark, "all-ones"), root, "ones", 8, meta=make_meta())

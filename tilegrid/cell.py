@@ -422,6 +422,104 @@ def zranges(
     return ranges
 
 
+# ---- even-volume SFC breaks (reference io/index/KeyIndex.scala:29-72) ----
+
+def index_breaks(ranges: list[tuple[int, int]], count: int) -> list[int]:
+    """Divide the index space covered by sorted, disjoint, inclusive [lo, hi]
+    ranges into bins of (near-)equal VOLUME, returning up to `count` break
+    points. Every break point lies inside one of the ranges (never in a gap
+    between ranges — gap indices are never observed, so splitting there
+    would skew real bin loads). Reference semantics KeyIndex.scala:43-72:
+    bin capacity is max(ceil(total / (count+1)), 1); a break is emitted each
+    time the running volume fills a bin, i.e. at cumulative volumes
+    k*cap (k = 1, 2, ...); the final break falling on the very end of the
+    last range is dropped via the `count` cap.
+
+    Vectorized: cumulative range volumes + searchsorted instead of the
+    reference's per-range fold — same outputs, O(R + count) not O(R*count).
+    """
+    if count < 1:
+        raise ValueError("breaks count must be at least one")
+    if not ranges:
+        return []
+    lo = np.asarray([r[0] for r in ranges], dtype=np.int64)
+    hi = np.asarray([r[1] for r in ranges], dtype=np.int64)
+    lens = hi - lo + 1
+    cum = np.cumsum(lens)  # cum[i] = volume through range i
+    total = int(cum[-1])
+    cap = max(-(-total // (count + 1)), 1)
+    # target cumulative volumes k*cap that fit inside the total volume
+    vols = np.arange(cap, total + 1, cap, dtype=np.int64)
+    # range containing each target volume: first i with cum[i] >= vol
+    idx = np.searchsorted(cum, vols, side="left")
+    before = np.where(idx > 0, cum[np.minimum(idx - 1, len(cum) - 1)], 0)
+    breaks = lo[idx] + (vols - before) - 1
+    return [int(b) for b in breaks[:count]]
+
+
+def bucket_sql(breaks: list[int], col: str = "cell") -> str:
+    """SQL expression assigning a row to its even-volume bin: the number of
+    breaks strictly below `col` (break b is the inclusive END of its bin).
+    Emitted as a balanced binary-search CASE tree so codegen evaluates
+    log2(len(breaks)) comparisons per row instead of a linear filter() over
+    the whole break array (higher-order functions stay interpreted and
+    O(count) per row — wrong shape for thousands of partitions)."""
+    if not breaks:
+        return "0"
+
+    def rec(lo: int, hi: int) -> str:  # buckets [lo, hi] inclusive
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2  # cell <= breaks[mid] -> bucket in [lo, mid]
+        return (
+            f"(CASE WHEN {col} <= {breaks[mid]}"
+            f" THEN {rec(lo, mid)} ELSE {rec(mid + 1, hi)} END)"
+        )
+
+    return rec(0, len(breaks))
+
+
+def murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of a single int32 value, matching Spark's hash() for
+    IntegerType columns (public algorithm; Spark uses seed 42). Needed
+    driver-side to pre-image hash-partition placement (see
+    layer_io.write_layer's deterministic break-partitioning)."""
+    M = 0xFFFFFFFF
+    k = x & M
+    k = (k * 0xCC9E2D51) & M
+    k = ((k << 15) | (k >> 17)) & M
+    k = (k * 0x1B873593) & M
+    h = seed & M
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & M
+    h = (h * 5 + 0xE6546B64) & M
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h  # signed int32
+
+
+def partition_tokens(n: int) -> list[int]:
+    """For each target partition p in [0, n): the smallest non-negative int
+    token t with pmod(murmur3_int32(t), n) == p. Mapping bucket b ->
+    token[b] and calling df.repartition(n, token_col) places every bucket
+    EXACTLY in its own partition — hash partitioning becomes deterministic
+    identity placement with no RDD-level custom partitioner and no
+    repartitionByRange sampling pass over the data."""
+    tokens: list[int | None] = [None] * n
+    found, t = 0, 0
+    while found < n:
+        p = murmur3_int32(t) % n  # python % is already non-negative
+        if tokens[p] is None:
+            tokens[p] = t
+            found += 1
+        t += 1
+    return tokens  # type: ignore[return-value]
+
+
 # ---- geometry covers ----
 
 def cover_extent(layout: LayoutDefinition, extent: Extent) -> np.ndarray:

@@ -29,7 +29,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .. import fsutil
+from .. import cell as cell_mod, fsutil
 from ..cell import zranges_for_extent
 from ..grid import Extent
 from ..meta import AttributeStore, LayerMeta
@@ -110,9 +110,20 @@ def write_layer(
     meta: LayerMeta | None = None,
     target_partitions: int | None = None,
     resume: bool = False,
+    index_ranges: list[tuple[int, int]] | None = None,
 ) -> bool:
     """Write one zoom level sorted by cell; emit lineage manifest +
-    checkpoint marker. Returns False when skipped via resume."""
+    checkpoint marker. Returns False when skipped via resume.
+
+    When `index_ranges` (the layer's SFC index ranges, e.g. from
+    cell.zranges over its key bounds) is given, partition boundaries are
+    the reference's even-VOLUME breaks (KeyIndex.scala:29-72 semantics via
+    cell.index_breaks) instead of repartitionByRange's sampled quantiles:
+    deterministic splits that never land in never-observed index gaps, so
+    store splits stay balanced and reproducible across identical writes —
+    required for lineage-manifest comparison between runs. Placement is
+    exact: bucket -> mined murmur3 token (cell.partition_tokens) so hash
+    partitioning puts each break bin alone in its own output partition."""
     store = AttributeStore(root)
     ckpt = os.path.join(root, "_checkpoints", name, f"zoom={zoom}.done")
     # markers resolve through Hadoop FileSystem (fsutil) so --resume works
@@ -121,9 +132,21 @@ def write_layer(
         return False
     path = _layer_path(root, name, zoom)
     n = target_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    if index_ranges is not None and n > 1:
+        breaks = cell_mod.index_breaks(cell_mod.merge_ranges(index_ranges), n - 1)
+        toks = cell_mod.partition_tokens(len(breaks) + 1)
+        tok_arr = "array(" + ",".join(str(t) for t in toks) + ")"
+        bucketed = df.withColumn(
+            "_tok",
+            F.expr(
+                f"element_at({tok_arr}, {cell_mod.bucket_sql(breaks)} + 1)"
+            ).cast("int"),
+        )
+        out = bucketed.repartition(len(toks), "_tok").drop("_tok")
+    else:
+        out = df.repartitionByRange(n, "cell")
     (
-        df.repartitionByRange(n, "cell")
-        .sortWithinPartitions("cell")
+        out.sortWithinPartitions("cell")
         .write.mode("overwrite")
         .parquet(path)
     )
