@@ -117,6 +117,42 @@ class TestSimpleUniversal:
         assert abs(pu[0] - truth) < 0.2          # drift carried outward
         assert abs(po[0] - truth) > abs(pu[0] - truth)  # ordinary cannot
 
+    def test_geo_exact_at_samples_low_nugget(self):
+        from tilegrid.kriging import geo_kriging
+
+        pts, vals = self._samples()
+        pred, _ = geo_kriging(pts, vals, pts, degree=1)
+        # noise is 0.05-uniform; GLS kriging with a fitted (near-zero)
+        # nugget honors the data closely at the samples
+        assert float(np.abs(pred - vals).max()) < 0.05
+
+    def test_geo_beats_ols_drift_on_quadratic_field(self):
+        from tilegrid.kriging import geo_kriging
+
+        rng = np.random.RandomState(3)
+        pts = rng.rand(80, 2) * 10
+
+        def field(p):
+            return 1.0 + 0.4 * p[:, 0] - 0.2 * p[:, 1] + 0.05 * p[:, 0] * p[:, 1]
+
+        vals = field(pts) + rng.randn(80) * 0.02
+        q = rng.rand(30, 2) * 10
+        pred, err = geo_kriging(pts, vals, q, degree=2)
+        rmse = float(np.sqrt(((pred - field(q)) ** 2).mean()))
+        # pure OLS drift fit (no kriging correction) as the bar
+        F = np.stack(
+            [np.ones(80), pts[:, 0], pts[:, 1], pts[:, 0] * pts[:, 1],
+             pts[:, 0] ** 2, pts[:, 1] ** 2], axis=1
+        )
+        beta, *_ = np.linalg.lstsq(F, vals, rcond=None)
+        Fq = np.stack(
+            [np.ones(30), q[:, 0], q[:, 1], q[:, 0] * q[:, 1],
+             q[:, 0] ** 2, q[:, 1] ** 2], axis=1
+        )
+        ols_rmse = float(np.sqrt(((Fq @ beta - field(q)) ** 2).mean()))
+        assert rmse <= ols_rmse * 1.05
+        assert np.isfinite(err).all() and (err >= 0).all()
+
     def test_kriging_grid_methods(self, spark):
         import pandas as pd
 
@@ -130,7 +166,7 @@ class TestSimpleUniversal:
         df = spark.createDataFrame(
             pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1], "value": vals})
         )
-        for method in ("simple", "universal"):
+        for method in ("simple", "universal", "geo"):
             out = kriging_grid(
                 df, layout, 1, (0.01, 1.0, 5.0), buffer_cells=16.0,
                 method=method,

@@ -177,6 +177,91 @@ def simple_kriging(
     return pred, var
 
 
+def geo_kriging(
+    sample_pts: np.ndarray,
+    sample_vals: np.ndarray,
+    query_pts: np.ndarray,
+    degree: int = 2,
+    max_iter: int = 100,
+    tol: float = 1e-3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Geostatistical kriging (reference vector/.../interpolation/
+    GeoKriging.scala:85-260 semantics): universal kriging where the drift
+    coefficients and the residual variogram are estimated JOINTLY by
+    iterated GLS — fit variogram on OLS residuals, re-estimate beta by GLS
+    under that covariance, refit the variogram on the new residuals, repeat
+    until the relative beta change falls below `tol` (reference stops at
+    delta <= 0.001 or 100 rounds). Unlike universal_kriging (one augmented
+    solve, variogram supplied by the caller) the model here adapts to the
+    drift-removed residual field. Default drift basis is the reference's
+    (x, y, x^2, xy, y^2). Returns (predictions, standard errors) — the
+    error includes the drift-estimation uncertainty term f' (F'C^-1 F)^-1 f
+    like the reference's kVar."""
+    pts, vals = _dedupe(sample_pts, sample_vals)
+    qp = np.asarray(query_pts, np.float64)
+    n = len(pts)
+    F = _drift_basis(pts, degree)
+    # column scaling for conditioning (reference scales by max |column|)
+    col_scale = np.abs(F).max(axis=0)
+    col_scale[col_scale == 0.0] = 1.0
+    Fs = F / col_scale
+    beta, *_ = np.linalg.lstsq(Fs, vals, rcond=None)
+    beta = beta / col_scale
+    resid = vals - F @ beta
+    model = fit_spherical(*empirical_variogram(pts, resid))
+    d = np.sqrt(
+        (pts[:, None, 0] - pts[None, :, 0]) ** 2
+        + (pts[:, None, 1] - pts[None, :, 1]) ** 2
+    )
+    for _ in range(max_iter):
+        nugget, sill, rng = model
+        # covariance under the current residual model: C = sill - gamma(h),
+        # diagonal gets the nugget back (C(0) = sill + nugget, reference's
+        # sill*J - Gamma + nugget*I form)
+        C = sill - spherical_model(d, nugget, sill, rng)
+        np.fill_diagonal(C, sill + nugget)
+        try:
+            Ci = np.linalg.inv(C)
+        except np.linalg.LinAlgError:
+            Ci = np.linalg.inv(C + np.eye(n) * 1e-7)
+        FtCi = Fs.T @ Ci
+        new_beta, *_ = np.linalg.lstsq(FtCi @ Fs, FtCi @ vals, rcond=None)
+        new_beta = new_beta / col_scale
+        denom = np.where(new_beta == 0.0, 1.0, np.abs(new_beta))
+        delta = float(np.abs(new_beta - beta).max() / denom.max())
+        beta = new_beta
+        resid = vals - F @ beta
+        if delta <= tol:
+            break
+        model = fit_spherical(*empirical_variogram(pts, resid))
+    nugget, sill, rng = model
+    C = sill - spherical_model(d, nugget, sill, rng)
+    np.fill_diagonal(C, sill + nugget)
+    try:
+        Ci = np.linalg.inv(C)
+    except np.linalg.LinAlgError:
+        Ci = np.linalg.inv(C + np.eye(n) * 1e-7)
+    dq = np.sqrt(
+        (qp[:, None, 0] - pts[None, :, 0]) ** 2
+        + (qp[:, None, 1] - pts[None, :, 1]) ** 2
+    )
+    cq = sill - spherical_model(dq, nugget, sill, rng)  # (q, n)
+    cq[dq == 0.0] = sill + nugget  # exact-match: add nugget (reference loop)
+    Fq = _drift_basis(qp, degree)
+    pred = Fq @ beta + cq @ (Ci @ resid)
+    # drift-uncertainty term: u = f_q - F' C^-1 c_q; var += u' (F'C^-1F)^-1 u
+    FtCiF = F.T @ Ci @ F
+    try:
+        FtCiF_inv = np.linalg.inv(FtCiF)
+    except np.linalg.LinAlgError:
+        FtCiF_inv = np.linalg.pinv(FtCiF)
+    U = Fq - cq @ Ci @ F  # (q, k)
+    base = sill - np.einsum("qn,nm,qm->q", cq, Ci, cq)
+    drift_term = np.einsum("qk,kl,ql->q", U, FtCiF_inv, U)
+    var = np.sqrt(np.maximum(base + drift_term, 0.0))
+    return pred, var
+
+
 def _drift_basis(pts: np.ndarray, degree: int) -> np.ndarray:
     x, y = pts[:, 0], pts[:, 1]
     cols = [np.ones(len(pts))]

@@ -101,14 +101,18 @@ def kriging_grid(
     system against its local buffered sample set at its pixel centers.
     `method` picks the estimator (reference vector/.../interpolation/):
     "ordinary" (Lagrange-constrained, default), "simple" (known `mean`),
-    or "universal" (joint polynomial drift of `degree`). `model` =
+    "universal" (joint polynomial drift of `degree`), or "geo" (iterated-
+    GLS drift + per-tile residual variogram refit; ignores `model`).
+    `model` =
     (nugget, sill, range), typically fit once on a driver-side sample via
     fit_spherical.
 
     Per-tile cost is O(min(samples, max_samples_per_tile)^3) — hot tiles
     subsample deterministically (sorted by (x, y)) to bound the solve.
     Output: (col, row, px, py, val, kvar) for tiles holding >= 3 samples."""
-    from ..kriging import ordinary_kriging, simple_kriging, universal_kriging
+    from ..kriging import (
+        geo_kriging, ordinary_kriging, simple_kriging, universal_kriging,
+    )
     from .tiler import explode_covering_keys
 
     if method == "ordinary":
@@ -117,6 +121,10 @@ def kriging_grid(
         solver = lambda p, v, q: simple_kriging(p, v, q, model, mean=mean)
     elif method == "universal":
         solver = lambda p, v, q: universal_kriging(p, v, q, model, degree=degree)
+    elif method == "geo":
+        # model is refit per tile from the local residual field (iterated
+        # GLS), so the caller-supplied `model` is unused by design
+        solver = lambda p, v, q: geo_kriging(p, v, q, degree=degree)
     else:
         raise ValueError(f"unknown kriging method {method!r}")
 
