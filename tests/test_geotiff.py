@@ -103,6 +103,57 @@ class TestGeoTiffCodec:
         back, _ = tiff_decode(bytes(out))
         np.testing.assert_array_equal(back, arr)
 
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32", "float64"])
+    @pytest.mark.parametrize("compress", [False, "deflate", "lzw"])
+    def test_bigtiff_roundtrip(self, dtype, compress):
+        rng = np.random.default_rng(5)
+        arr = (rng.random((23, 41)) * 200).astype(dtype)
+        data = tiff_encode(arr, compress=compress, bigtiff=True)
+        assert data[:4] == b"II+\x00"  # version 43 magic
+        assert struct.unpack_from("<H", data, 4)[0] == 8  # 8-byte offsets
+        back, _ = tiff_decode(data)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_bigtiff_georef_and_rgb(self):
+        rng = np.random.default_rng(6)
+        arr = (rng.random((16, 24, 3)) * 255).astype(np.uint8)
+        e = Extent(3.0, -8.0, 27.0, 8.0)
+        back, ext = tiff_decode(tiff_encode(arr, extent=e, bigtiff=True))
+        np.testing.assert_array_equal(back, arr)
+        np.testing.assert_allclose(
+            [ext.xmin, ext.ymin, ext.xmax, ext.ymax],
+            [e.xmin, e.ymin, e.xmax, e.ymax],
+        )
+
+    def test_bigtiff_big_endian_read(self):
+        """Hand-built big-endian (MM) BigTIFF with LONG8 strip tags."""
+        arr = (np.arange(3 * 5, dtype=np.uint8) * 7 % 250).reshape(3, 5)
+        body = arr.tobytes()
+        ifd_off = 16
+        # 20-byte entries: tag u16, type u16, count u64, value 8 bytes
+        entries = [
+            (256, 4, 1, struct.pack(">I", 5) + b"\x00" * 4),
+            (257, 4, 1, struct.pack(">I", 3) + b"\x00" * 4),
+            (258, 3, 1, struct.pack(">H", 8) + b"\x00" * 6),
+            (259, 3, 1, struct.pack(">H", 1) + b"\x00" * 6),
+            (262, 3, 1, struct.pack(">H", 1) + b"\x00" * 6),
+            (277, 3, 1, struct.pack(">H", 1) + b"\x00" * 6),
+            (278, 4, 1, struct.pack(">I", 3) + b"\x00" * 4),
+            (279, 16, 1, struct.pack(">Q", len(body))),
+        ]
+        n = len(entries) + 1
+        strip_off = ifd_off + 8 + n * 20 + 8
+        entries.append((273, 16, 1, struct.pack(">Q", strip_off)))
+        entries.sort(key=lambda x: x[0])
+        out = bytearray(b"MM\x00+" + struct.pack(">HHQ", 8, 0, ifd_off))
+        out += struct.pack(">Q", n)
+        for tag, typ, cnt, raw in entries:
+            out += struct.pack(">HHQ", tag, typ, cnt) + raw[:8].ljust(8, b"\x00")
+        out += struct.pack(">Q", 0)
+        out += body
+        back, _ = tiff_decode(bytes(out))
+        np.testing.assert_array_equal(back, arr)
+
     def test_unsupported_raises(self):
         arr = np.zeros((4, 4), dtype=np.uint8)
         data = bytearray(tiff_encode(arr, compress=False))

@@ -4,23 +4,25 @@ Reference: raster/src/main/scala/geotrellis/raster/io/geotiff/ (~15k LoC,
 full format matrix). This module implements the working subset a tiled
 ingest actually needs — enough to read/write real georeferenced rasters:
 
-  read:  little/big-endian classic TIFF; striped or tiled layout;
+  read:  little/big-endian classic TIFF or BigTIFF (version 43, 64-bit
+         offsets, LONG8/SLONG8/IFD8 types); striped or tiled layout;
          uncompressed (1), LZW (5), Deflate (8/32946), PackBits (32773);
          horizontal-differencing (2) and floating-point (3) predictors;
          8/16-bit unsigned + 32/64-bit float samples; 1 band (gray) or
          N bands pixel-interleaved (RGB); GeoTiff georeferencing via
          ModelPixelScale (33550) + ModelTiepoint (33922) -> Extent.
   write: little-endian, striped, LZW / Deflate / uncompressed, optional
-         predictor 2 / 3, same sample types, with the two geo tags.
+         predictor 2 / 3, same sample types, with the two geo tags;
+         classic or BigTIFF layout (bigtiff=True for >4 GiB outputs).
 
 LZW follows the TIFF6 early-change convention the reference decodes
 (LZWDecompression.scala:95-99: the decoder widens its code size when its
 next table index reaches 511/1023/2047, one code earlier than GIF); the
 writer flushes the dictionary with a ClearCode at 4094 like libtiff.
 
-Unsupported shapes (JPEG-in-TIFF, YCbCr, planar bands, BigTIFF) raise
-ValueError with the tag that triggered it — honest partial coverage,
-not silent corruption.
+Unsupported shapes (JPEG-in-TIFF, YCbCr, planar bands) raise ValueError
+with the tag that triggered it — honest partial coverage, not silent
+corruption.
 """
 
 from __future__ import annotations
@@ -45,22 +47,43 @@ _PIXEL_SCALE, _TIEPOINT = 33550, 33922
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 
 
-def _read_ifd(data: bytes, bo: str):
-    (off,) = struct.unpack_from(bo + "I", data, 4)
-    (n,) = struct.unpack_from(bo + "H", data, off)
+def _read_ifd(data: bytes, bo: str, big: bool = False):
+    """Parse the first IFD. Classic TIFF: u32 IFD offset at byte 4, u16
+    entry count, 12-byte entries with a 4-byte inline-value window.
+    BigTIFF (version 43): u64 IFD offset at byte 8, u64 entry count,
+    20-byte entries (tag u16, type u16, count u64, value/offset 8 bytes)
+    with an 8-byte inline window and LONG8/SLONG8/IFD8 value types."""
+    if big:
+        (off,) = struct.unpack_from(bo + "Q", data, 8)
+        (n,) = struct.unpack_from(bo + "Q", data, off)
+        ent0, ent_sz, inline = off + 8, 20, 8
+    else:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        ent0, ent_sz, inline = off + 2, 12, 4
     tags: dict[int, list] = {}
     for i in range(n):
-        base = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, base)
-        size = _TYPE_SIZE.get(typ, 1) * cnt
-        if size <= 4:
-            vo = base + 8
+        base = ent0 + i * ent_sz
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", data, base)
+            (cnt,) = struct.unpack_from(bo + "Q", data, base + 4)
         else:
-            (vo,) = struct.unpack_from(bo + "I", data, base + 8)
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, base)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= inline:
+            vo = base + ent_sz - inline
+        else:
+            (vo,) = struct.unpack_from(
+                bo + ("Q" if big else "I"), data, base + ent_sz - inline
+            )
         if typ in (3,):
             vals = list(struct.unpack_from(bo + f"{cnt}H", data, vo))
         elif typ in (4,):
             vals = list(struct.unpack_from(bo + f"{cnt}I", data, vo))
+        elif typ in (16, 18):  # LONG8 / IFD8 (BigTIFF)
+            vals = list(struct.unpack_from(bo + f"{cnt}Q", data, vo))
+        elif typ == 17:  # SLONG8
+            vals = list(struct.unpack_from(bo + f"{cnt}q", data, vo))
         elif typ in (1,):
             vals = list(struct.unpack_from(bo + f"{cnt}B", data, vo))
         elif typ == 12:
@@ -265,14 +288,25 @@ def _dtype(bits: int, fmt: int, bo: str) -> np.dtype:
 
 
 def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
-    """Decode -> ((h, w) or (h, w, bands) array, Extent or None)."""
+    """Decode -> ((h, w) or (h, w, bands) array, Extent or None).
+    Accepts classic TIFF (version 42) and BigTIFF (version 43, 64-bit
+    offsets — the layout >4 GiB rasters are written in)."""
+    big = False
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
         bo = ">"
+    elif data[:4] == b"II+\x00":
+        bo, big = "<", True
+    elif data[:4] == b"MM\x00+":
+        bo, big = ">", True
     else:
-        raise ValueError("not a classic TIFF")
-    tags = _read_ifd(data, bo)
+        raise ValueError("not a TIFF (classic or BigTIFF)")
+    if big:
+        osz, pad = struct.unpack_from(bo + "HH", data, 4)
+        if osz != 8 or pad != 0:
+            raise ValueError(f"BigTIFF with offset size {osz} unsupported")
+    tags = _read_ifd(data, bo, big)
     w, h = tags[_W][0], tags[_H][0]
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])[0]
@@ -320,11 +354,14 @@ def tiff_encode(
     extent: Extent | None = None,
     compress: bool | str = True,
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) uint8/uint16/float32/float64 as a
     little-endian striped (Geo)TIFF. compress: True/"deflate", "lzw",
     False/"none". predictor: 1 (none), 2 (horizontal differencing, int
-    samples), 3 (floating-point)."""
+    samples), 3 (floating-point). bigtiff: version-43 layout with 64-bit
+    counts/offsets (strip offset/count as LONG8) — required once any
+    offset would exceed 2^32; enable for >4 GiB outputs."""
     a = np.ascontiguousarray(arr)
     h, w = a.shape[:2]
     spp = a.shape[2] if a.ndim == 3 else 1
@@ -360,6 +397,7 @@ def tiff_encode(
         raw = struct.pack("<" + pack * cnt, *vals)
         entries.append((tag, typ, cnt, raw))
 
+    off_t, off_c = ("Q", 16) if bigtiff else ("I", 4)
     add(_W, 4, [w], "I")
     add(_H, 4, [h], "I")
     add(_BITS, 3, [bits] * spp, "H")
@@ -367,7 +405,7 @@ def tiff_encode(
     add(_PHOTO, 3, [2 if spp >= 3 else 1], "H")
     add(_SPP, 3, [spp], "H")
     add(_ROWS_PER_STRIP, 4, [h], "I")
-    add(_STRIP_CNT, 4, [len(payload)], "I")
+    add(_STRIP_CNT, off_c, [len(payload)], off_t)
     add(_SAMPLE_FMT, 3, [fmt] * spp, "H")
     if predictor != 1:
         add(_PREDICTOR, 3, [predictor], "H")
@@ -376,33 +414,44 @@ def tiff_encode(
         sy = extent.height / h
         add(_PIXEL_SCALE, 12, [sx, sy, 0.0], "d")
         add(_TIEPOINT, 12, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0], "d")
-    add(_STRIP_OFF, 4, [0], "I")  # patched below
+    add(_STRIP_OFF, off_c, [0], off_t)  # patched below
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    ifd_off = 8
-    data_off = ifd_off + 2 + n * 12 + 4
+    # classic: 8-byte header, u16 count, 12-byte entries, 4-byte inline +
+    # next-IFD; BigTIFF: 16-byte header, u64 count, 20-byte entries,
+    # 8-byte inline + next-IFD
+    inline = 8 if bigtiff else 4
+    ent_sz = 20 if bigtiff else 12
+    ifd_off = 16 if bigtiff else 8
+    data_off = ifd_off + (8 if bigtiff else 2) + n * ent_sz + inline
     # lay out oversized values
     blobs = []
     for tag, typ, cnt, raw in entries:
-        if len(raw) > 4:
+        if len(raw) > inline:
             blobs.append((tag, data_off, raw))
             data_off += len(raw)
     strip_off = data_off
     blob_at = {t: o for t, o, _ in blobs}
 
     out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", ifd_off)
-    out += struct.pack("<H", n)
+    if bigtiff:
+        out += b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_off)
+        out += struct.pack("<Q", n)
+    else:
+        out += b"II*\x00" + struct.pack("<I", ifd_off)
+        out += struct.pack("<H", n)
+    cnt_fmt = "<HHQ" if bigtiff else "<HHI"
+    ptr_fmt = "<Q" if bigtiff else "<I"
     for tag, typ, cnt, raw in entries:
         if tag == _STRIP_OFF:
-            raw = struct.pack("<I", strip_off)
-        out += struct.pack("<HHI", tag, typ, cnt)
-        if len(raw) > 4:
-            out += struct.pack("<I", blob_at[tag])
+            raw = struct.pack("<" + off_t, strip_off)
+        out += struct.pack(cnt_fmt, tag, typ, cnt)
+        if len(raw) > inline:
+            out += struct.pack(ptr_fmt, blob_at[tag])
         else:
-            out += raw.ljust(4, b"\x00")
-    out += struct.pack("<I", 0)  # no next IFD
+            out += raw.ljust(inline, b"\x00")
+    out += struct.pack(ptr_fmt, 0)  # no next IFD
     for _, _, raw in blobs:
         out += raw
     out += payload
