@@ -266,6 +266,55 @@ class TestVectorize:
         ).sum()
         assert feats.n_pixels.sum() == burned
 
+    def test_region_group_layer_cross_tile(self, spark):
+        """Distributed per-pixel region ids match a whole-raster NumPy
+        union-find on a snake that crosses many tile boundaries + NoData."""
+        from tilegrid.cell import z2_encode
+        from tilegrid import codec as C
+
+        # 64x64 world, 4x4 tiles of 16: an S-snake of value 7 over a 0
+        # background, with a NoData moat splitting the background
+        g = np.zeros((64, 64), dtype=np.float64)
+        g[8:12, 4:60] = 7.0
+        g[12:40, 56:60] = 7.0
+        g[36:40, 4:60] = 7.0
+        g[20:24, 0:30] = np.nan  # moat cuts background partially
+        rows = []
+        for col in range(4):
+            for row in range(4):
+                sub = g[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
+                rows.append(
+                    (6, col, row, int(z2_encode(col, row)),
+                     C.raw_encode(sub), 16, 16, "raw")
+                )
+        pdf = pd.DataFrame(
+            rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]
+        )
+        layout = LayoutDefinition(
+            Extent(0.0, 0.0, 64.0, 64.0), TileLayout(4, 4, 16, 16)
+        )
+        layer = spark.createDataFrame(pdf)
+        out = V.region_group_layer(layer, layout).toPandas()
+        # NumPy oracle: whole-raster union-find via the per-tile kernel
+        labels = V.region_group(g)
+        assert len(out) == int((~np.isnan(g)).sum())
+        got = {}
+        for r in out.itertuples(index=False):
+            got[(r.gy, r.gx)] = r.region
+        # same-partition structure: two pixels share a distributed region
+        # iff they share a whole-raster label; region id = min gid
+        import collections
+
+        by_label = collections.defaultdict(list)
+        for (i, j), reg in got.items():
+            by_label[labels[i, j]].append((reg, i * 64 + j))
+        for lab, members in by_label.items():
+            regs = {m[0] for m in members}
+            assert len(regs) == 1, f"label {lab} split into {regs}"
+            assert regs.pop() == min(m[1] for m in members)
+        # distinct distributed regions == distinct oracle labels
+        assert len({v for v in got.values()}) == len(by_label)
+
     def test_raster_to_points(self, spark):
         a = layer_df(spark, "every-other-undefined")
         pts = V.raster_to_points(a, LAYOUT).toPandas()

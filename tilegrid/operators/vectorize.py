@@ -276,21 +276,28 @@ def _merged_labels(layer: DataFrame, layout: LayoutDefinition, max_rounds: int):
         edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
     ).distinct().persist()
 
-    labels = frags.select("rkey", F.col("rkey").alias("lbl")).persist()
+    # localCheckpoint (not persist) each round: persist truncates
+    # recomputation but NOT the logical plan, so an iterative loop's plan
+    # doubles per round (labels feeds both the union and the changed-join)
+    # and regions spanning >~10 tiles OOM the driver just *printing* the
+    # plan. Checkpointing materializes AND cuts lineage — plan size stays
+    # O(1) per round. (On a cluster with a checkpoint dir configured,
+    # checkpoint() would make rounds fault-tolerant too; the label table
+    # is fragment-sized, far smaller than the pixel data either way.)
+    labels = frags.select("rkey", F.col("rkey").alias("lbl")).localCheckpoint()
     for _ in range(max_rounds):
         prop = edges.join(
             labels.select(F.col("rkey").alias("kb"), "lbl"), "kb"
         ).select(F.col("ka").alias("rkey"), "lbl")
         new_labels = (
             labels.unionByName(prop).groupBy("rkey").agg(F.min("lbl").alias("lbl"))
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), "rkey")
             .where("lbl <> old")
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -329,6 +336,62 @@ def vectorize_merged(
             F.max("ymax").alias("ymax"),
         )
         .drop("lbl")
+    )
+
+
+def region_group_layer(
+    layer: DataFrame, layout: LayoutDefinition, max_rounds: int = 32
+) -> DataFrame:
+    """Distributed RegionGroup (reference raster/.../regiongroup/
+    RegionGroup.scala: per-raster connected components of equal-valued
+    cells, 4-connectivity, NoData unlabelled) producing PER-PIXEL global
+    region ids across tile boundaries. The reference labels one collected
+    raster with arbitrary dense ids; here the id is normalized to the
+    smallest row-major global pixel index in the region — deterministic
+    and implementation-independent, so an oracle can reproduce it.
+
+    Plan shape (no pixel-volume shuffle): the fragment/border machinery of
+    vectorize_merged resolves cross-tile fragment labels on the tiny
+    fragment graph; per-fragment min-gid aggregates map-side (a fragment
+    never spans tiles, so the partial combine collapses each to one row
+    before the shuffle); pixels receive their region via two broadcast
+    joins of fragment-count-sized maps. Output: (gx, gy, value, region)."""
+    from ..cell import z2_encode
+
+    frags, labels = _merged_labels(layer, layout, max_rounds)
+    tl = layout.tile_layout
+    W = tl.layout_cols * tl.tile_cols
+
+    def emit_px(it):
+        for pdf in it:
+            out = {k: [] for k in ("rkey", "gx", "gy", "value")}
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                lab = region_group(arr)
+                h, w = arr.shape
+                col, row = int(t.col), int(t.row)
+                base = int(z2_encode(col, row)) << 20
+                ii, jj = np.nonzero(lab >= 0)
+                out["rkey"].extend((base | lab[ii, jj]).tolist())
+                out["gx"].extend((col * w + jj).tolist())
+                out["gy"].extend((row * h + ii).tolist())
+                out["value"].extend(arr[ii, jj].tolist())
+            yield pd.DataFrame(out)
+
+    pixels = layer.mapInPandas(
+        emit_px, "rkey long, gx int, gy int, value double"
+    )
+    frag_min = pixels.groupBy("rkey").agg(
+        F.min(F.col("gy").cast("long") * W + F.col("gx")).alias("gid")
+    )
+    region_by_lbl = (
+        frag_min.join(labels, "rkey")
+        .groupBy("lbl")
+        .agg(F.min("gid").alias("region"))
+    )
+    rkey_region = labels.join(region_by_lbl, "lbl").select("rkey", "region")
+    return pixels.join(F.broadcast(rkey_region), "rkey").select(
+        "gx", "gy", "value", "region"
     )
 
 

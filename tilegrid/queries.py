@@ -1990,6 +1990,48 @@ FROM z GROUP BY value
 """
 
 
+def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RegionGroup (regiongroup/RegionGroup.scala semantics,
+    cross-tile): a 40px-block checkerboard over the 256x256 layer — block
+    boundaries at 40px cross the 32px tile grid in both axes, so every
+    interior region spans up to 4 tiles and must be stitched by the
+    fragment-graph label propagation. Region id is normalized to the
+    region's smallest row-major global pixel index, which the oracle
+    reproduces in closed form (regions are exactly the 40px blocks:
+    4-connectivity does not cross the value flip, diagonal corners do not
+    connect)."""
+    from .operators.vectorize import region_group_layer
+
+    rows = []
+    for col in range(8):
+        for row in range(8):
+            jj, ii = np.meshgrid(np.arange(32), np.arange(32))
+            gx, gy = col * 32 + jj, row * 32 + ii
+            arr = (((gx // 40) + (gy // 40)) % 2).astype(np.float64)
+            rows.append(
+                (ZR, col, row, int(z2_encode(col, row)),
+                 codec.raw_encode(arr), 32, 32, "raw")
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]
+    )
+    layer = spark.createDataFrame(pdf, schema=LAYER_SCHEMA)
+    return region_group_layer(layer, LR)
+
+
+def _o_region_group() -> str:
+    return """
+WITH g AS (
+  SELECT CAST(gx.range AS INT) AS gx, CAST(gy.range AS INT) AS gy
+  FROM range(0, 256) gx, range(0, 256) gy
+)
+SELECT gx, gy,
+       CAST(((gx // 40) + (gy // 40)) % 2 AS DOUBLE) AS value,
+       CAST((gy // 40) * 40 AS BIGINT) * 256 + (gx // 40) * 40 AS region
+FROM g
+"""
+
+
 def q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """renderPng (Render.scala:35-90): colormap each count-raster tile and
     encode it to PNG via the from-scratch codec, then DECODE the bytes back
@@ -2812,6 +2854,7 @@ QUERIES = {
     "relate_counts": q_relate_counts,
     "ann_ivf": q_ann_ivf,
     "split_sum": q_split_sum,
+    "region_group": q_region_group,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -2877,6 +2920,7 @@ ORACLES = {
     "relate_counts": _o_relate_counts(),
     "ann_ivf": _o_ann_ivf(),
     "split_sum": _o_split_sum(),
+    "region_group": _o_region_group(),
     "tile_assign": _o_tile_assign(),
     "zorder_topk": _o_zorder_topk(),
     "extent_query": _o_extent_query(),
