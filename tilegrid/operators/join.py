@@ -326,7 +326,10 @@ def knn_join_df(
                 .persist()
             )
             results.append(topk.join(done, query_id))
-            pending = pending.join(done, query_id, "left_anti").persist()
+            # localCheckpoint, not persist: pending feeds BOTH the candidate
+            # explode and the done anti-join, so with persist the logical
+            # plan doubles per round (see vectorize._merged_labels rationale)
+            pending = pending.join(done, query_id, "left_anti").localCheckpoint()
         if pending.limit(1).count() == 0:
             finished = True
             break

@@ -277,11 +277,14 @@ def flow_accumulation(
     inflows = spark.createDataFrame([], _INFLOW_SCHEMA)
     prev = (-1, 0.0)
     for _ in range(max_rounds):
+        # localCheckpoint, not persist: cuts lineage so the plan stays O(1)
+        # per round instead of growing with round count (see the rationale
+        # comment in vectorize._merged_labels)
         new_inflows = (
             tiles.groupBy("zoom", "col", "row")
             .cogroup(inflows.groupBy("zoom", "col", "row"))
             .applyInPandas(sweep(emit_layer=False), _INFLOW_SCHEMA)
-            .persist()
+            .localCheckpoint()
         )
         agg = new_inflows.agg(
             F.count("*").alias("n"), F.sum("v").alias("s")
@@ -431,11 +434,13 @@ def cost_distance(
     offers = spark.createDataFrame([], _OFFER_SCHEMA)
     prev = (-1, 0.0)
     for _ in range(max_rounds):
+        # localCheckpoint, not persist: keeps the per-round plan O(1)
+        # (see vectorize._merged_labels rationale comment)
         new_offers = regroup(
             part_keyed.groupBy(*key)
             .cogroup(offers.groupBy(*key))
             .applyInPandas(solve(emit_layer=False), _OFFER_SCHEMA)
-        ).persist()
+        ).localCheckpoint()
         agg = new_offers.agg(
             F.count("*").alias("n"), F.sum("d").alias("s")
         ).collect()[0]
