@@ -8,8 +8,12 @@ import numpy as np
 import pytest
 
 from tilegrid.geometry import (
+    _ring_signed_area,
+    buffer_convex,
+    buffer_polygon,
     dissolve_rings,
     points_in_polygon,
+    points_polygon_distance,
     polygon_overlay,
 )
 
@@ -133,3 +137,93 @@ class TestDissolve:
         for p in polys:
             want |= points_in_polygon(gx, gy, p)
         np.testing.assert_array_equal(points_in_polygon(gx, gy, res), want)
+
+
+def _linf_poly_distance(px, py, rings):
+    """L-infinity distance from points to the polygon boundary."""
+    best = np.full(px.shape, np.inf)
+    for r in rings:
+        n = len(r)
+        for i in range(n):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % n]
+            lo_x, hi_x = min(x1, x2), max(x1, x2)
+            lo_y, hi_y = min(y1, y2), max(y1, y2)
+            dx = np.maximum(0.0, np.maximum(lo_x - px, px - hi_x))
+            dy = np.maximum(0.0, np.maximum(lo_y - py, py - hi_y))
+            best = np.minimum(best, np.maximum(dx, dy))
+    return best
+
+
+class TestBufferPolygon:
+    """Oracle: a point is inside buffer(P, +d) iff its distance to P is
+    <= d (0 inside), and inside buffer(P, -d) iff inside P with boundary
+    distance > d. Round caps inscribe the true arc, so round-cap checks
+    exclude the chord sliver |dist - d| <= d*(1 - cos(pi/(4*quad_segs)));
+    square caps are the exact L-infinity buffer — no sliver, every sample
+    must classify identically."""
+
+    def test_convex_round_matches_buffer_convex(self):
+        sq = SQ(0, 0, 10)
+        res = buffer_polygon([sq], 2.0)
+        assert len(res) == 1
+        want = abs(_ring_signed_area(buffer_convex(sq, 2.0)))
+        assert abs(abs(_ring_signed_area(res[0])) - want) < 1e-9
+
+    def test_concave_round_dilate(self):
+        d = 1.5
+        res = buffer_polygon(L_SHAPE, d)
+        gx, gy = sample_grid(L_SHAPE, res)
+        dist = points_polygon_distance(gx, gy, L_SHAPE)
+        sliver = d * (1 - np.cos(np.pi / 32)) + 1e-9
+        sure = np.abs(dist - d) > sliver
+        got = points_in_polygon(gx, gy, res)
+        assert int((got[sure] != (dist[sure] <= d)).sum()) == 0
+
+    def test_holed_square_dilate_exact(self):
+        d = 0.6
+        res = buffer_polygon(HOLED, d, cap="square")
+        assert len(res) == 2  # hole shrinks (2x2 -> 0.8x0.8) but survives
+        gx, gy = sample_grid(HOLED, res)
+        in_p = points_in_polygon(gx, gy, HOLED)
+        dist = _linf_poly_distance(gx, gy, HOLED)
+        want = in_p | (dist <= d)
+        np.testing.assert_array_equal(points_in_polygon(gx, gy, res), want)
+
+    def test_holed_square_erode_exact(self):
+        d = 0.6
+        res = buffer_polygon(HOLED, -d, cap="square")
+        gx, gy = sample_grid(HOLED, HOLED)
+        in_p = points_in_polygon(gx, gy, HOLED)
+        dist = _linf_poly_distance(gx, gy, HOLED)
+        want = in_p & (dist > d)
+        np.testing.assert_array_equal(points_in_polygon(gx, gy, res), want)
+
+    def test_dilate_fills_hole(self):
+        # hole is 2x2; square dilation by 1.01 swallows it entirely
+        res = buffer_polygon(HOLED, 1.01, cap="square")
+        assert len(res) == 1
+
+    def test_erode_to_empty(self):
+        assert buffer_polygon([SQ(0, 0, 2)], -1.5) == []
+
+    def test_erode_splits_concave(self):
+        # dumbbell: two 4x4 lobes joined by a thin 0.8-high bar — eroding
+        # by 1 removes the bar and splits the polygon into two parts
+        dumb = [ring((0, 0), (4, 0), (4, 1.6), (6, 1.6), (6, 0), (10, 0),
+                     (10, 4), (6, 4), (6, 2.4), (4, 2.4), (4, 4), (0, 4))]
+        res = buffer_polygon(dumb, -1.0, cap="square")
+        assert len(res) == 2
+        gx, gy = sample_grid(dumb, dumb)
+        in_p = points_in_polygon(gx, gy, dumb)
+        dist = _linf_poly_distance(gx, gy, dumb)
+        want = in_p & (dist > 1.0)
+        np.testing.assert_array_equal(points_in_polygon(gx, gy, res), want)
+
+    def test_zero_distance_identity(self):
+        res = buffer_polygon(HOLED, 0.0)
+        assert len(res) == 2
+        gx, gy = sample_grid(HOLED, HOLED)
+        np.testing.assert_array_equal(
+            points_in_polygon(gx, gy, res), points_in_polygon(gx, gy, HOLED)
+        )

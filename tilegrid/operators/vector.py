@@ -225,6 +225,40 @@ def overlay(
     return df.mapInPandas(run, schema)
 
 
+def buffer(
+    df: DataFrame,
+    dist: float,
+    quad_segs: int = 8,
+    cap: str = "round",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Buffer every row's polygon by `dist` (geometry.buffer_polygon —
+    concave/holed inputs, positive dilation or negative erosion; the
+    reference's Polygon.buffer via JTS, Polygon.scala:153-158). Rows whose
+    erosion is empty are dropped; the buffered polygon replaces
+    `wkb_col`. Embarrassingly parallel — one mapInPandas pass."""
+    from ..geometry import buffer_polygon, wkb_decode, wkb_encode_polygon
+
+    schema = df.schema
+
+    def run(it):
+        for pdf in it:
+            out = pdf.copy()
+            new, keep = [], []
+            for raw in out[wkb_col]:
+                res = buffer_polygon(wkb_decode(bytes(raw)), dist, quad_segs, cap)
+                if res:
+                    new.append(wkb_encode_polygon(res))
+                    keep.append(True)
+                else:
+                    new.append(None)
+                    keep.append(False)
+            out[wkb_col] = pd.Series(new, index=out.index, dtype=object)
+            yield out[keep]
+
+    return df.mapInPandas(run, schema)
+
+
 def dissolve(
     df: DataFrame,
     group_col: str,

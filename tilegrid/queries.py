@@ -2701,7 +2701,89 @@ SELECT 'union' AS op, event_id
 FROM (SELECT event_id FROM a UNION SELECT event_id FROM b)
 UNION ALL
 SELECT 'difference' AS op, a.event_id
-FROM a LEFT JOIN b ON a.event_id = b.event_id WHERE b.event_id IS NULL
+FROM a LEFT JOIN b ON a.event_id = b.event_id WHERE b.event_id IS NULL"""
+
+
+# -------------------------------------------------------- polygon buffer
+
+# Buffer distance for the L-infinity (cap="square") buffer of OVL_A. The
+# even-odd/FP-parity contract: OVL_A is axis-parallel with vertices at *.03
+# offsets, so square-cap buffer edges land at *.07 / *.99 offsets while
+# event lon/lat are exact multiples of 0.1 — every PIP ray-cast and every
+# distance-vs-threshold comparison has >= 0.01 of margin on both engines.
+BUF_D = 2.04
+
+
+def q_polygon_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon buffer (Polygon.scala:153-158 `buffer(d)` via JTS in
+    the reference; geometry.buffer_polygon here): L-infinity dilation and
+    erosion of a concave holed polygon (exact — no arc approximation),
+    verified by classifying every event point against the buffered result
+    with even-odd PIP. The erosion at this distance pinches off the thin
+    strips around the hole, so ring-stitching of a multi-part result is
+    exercised too."""
+    from .geometry import points_in_polygon, wkb_decode
+    from .operators.vector import buffer
+
+    a_df = spark.createDataFrame(
+        pd.DataFrame({"pid": ["a"], "wkb": [wkb_encode_polygon(OVL_A)]})
+    )
+    results = {}
+    for op, d in (("dilate", BUF_D), ("erode", -BUF_D)):
+        rows = buffer(a_df, d, cap="square").collect()
+        results[op] = wkb_decode(bytes(rows[0]["wkb"])) if rows else []
+    bc = spark.sparkContext.broadcast(results)
+    pts = _events_points(spark, sf_dir)
+
+    def classify(it):
+        polys = bc.value
+        for pdf in it:
+            outs = []
+            for op, rings in polys.items():
+                if not rings:
+                    continue
+                m = points_in_polygon(pdf["lon"].values, pdf["lat"].values, rings)
+                if m.any():
+                    outs.append(pd.DataFrame(
+                        {"op": op, "event_id": pdf["event_id"].values[m]}
+                    ))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return pts.select("event_id", "lon", "lat").mapInPandas(
+        classify, "op string, event_id long"
+    )
+
+
+def _o_polygon_buffer() -> str:
+    # L-infinity distance from a point to an AXIS-PARALLEL segment is the
+    # box-clamp formula max(clamp_x, clamp_y); a point is in the dilation
+    # iff inside OR min-edge-distance <= d, in the erosion iff inside AND
+    # min-edge-distance > d (no sample ties the threshold by construction).
+    seg_dist = """greatest(
+      greatest(least(x1, x2) - p.lon, p.lon - greatest(x1, x2), CAST(0.0 AS DOUBLE)),
+      greatest(least(y1, y2) - p.lat, p.lat - greatest(y1, y2), CAST(0.0 AS DOUBLE)))"""
+    return f"""
+WITH pts AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events),
+ea(x1, y1, x2, y2) AS (VALUES
+  {_edges_values(OVL_A)}),
+inside AS (
+  SELECT p.event_id
+  FROM pts p JOIN ea ON (ea.y1 > p.lat) <> (ea.y2 > p.lat)
+   AND p.lon < (ea.x2 - ea.x1) * (p.lat - ea.y1) / (ea.y2 - ea.y1) + ea.x1
+  GROUP BY p.event_id HAVING count(*) % 2 = 1
+),
+dmin AS (
+  SELECT p.event_id, min({seg_dist}) AS d
+  FROM pts p JOIN ea ON TRUE GROUP BY p.event_id
+)
+SELECT 'dilate' AS op, dm.event_id
+FROM dmin dm LEFT JOIN inside i ON dm.event_id = i.event_id
+WHERE i.event_id IS NOT NULL OR dm.d <= CAST({BUF_D!r} AS DOUBLE)
+UNION ALL
+SELECT 'erode' AS op, dm.event_id
+FROM dmin dm JOIN inside i ON dm.event_id = i.event_id
+WHERE dm.d > CAST({BUF_D!r} AS DOUBLE)
 """
 
 
@@ -2850,6 +2932,7 @@ QUERIES = {
     "viewshed": q_viewshed,
     "euclidean_distance": q_euclidean_distance,
     "polygon_overlay": q_polygon_overlay,
+    "polygon_buffer": q_polygon_buffer,
     "streaming_counts": q_streaming_counts,
     "relate_counts": q_relate_counts,
     "ann_ivf": q_ann_ivf,
@@ -2916,6 +2999,7 @@ ORACLES = {
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "polygon_overlay": _o_polygon_overlay(),
+    "polygon_buffer": _o_polygon_buffer(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
     "relate_counts": _o_relate_counts(),
     "ann_ivf": _o_ann_ivf(),
