@@ -176,3 +176,128 @@ class TestEuclideanDistance:
             (gx[:, :, None] - pts.x.values) ** 2
             + (gy[:, :, None] - pts.y.values) ** 2, axis=2))
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+class TestApproxViewshed:
+    def test_offsets_match_verbatim_ref(self):
+        rng = np.random.RandomState(7)
+        for h, w, sc, sr in [(32, 32, 16, 16), (32, 32, 0, 0),
+                             (16, 32, 5, 9), (33, 17, 16, 3), (8, 8, 7, 2)]:
+            dem = np.round(rng.uniform(0, 100, (h, w)), 3)
+            got = TR.approx_viewshed_offsets(dem, sc, sr)
+            want = oracle.approx_viewshed_ref(dem, sc, sr)
+            same = (np.isnan(got) & np.isnan(want)) | (got == want)
+            assert same.all(), f"{h}x{w} vp=({sc},{sr})"
+
+    def test_layer_op_matches_ref(self, spark):
+        dem = (dem_spiky() * 0.25 + dem_distinct() % 7).astype(np.float64)
+        out = TR.approx_viewshed(layer_from(spark, dem)).toPandas()
+        assert len(out) == NT * NT
+        for _, r in out.iterrows():
+            got = codec.decode_tile(bytes(r["tile"]), r["fmt"])
+            c, ro = int(r["col"]), int(r["row"])
+            td = dem[ro * TS : (ro + 1) * TS, c * TS : (c + 1) * TS]
+            off = oracle.approx_viewshed_ref(td, TS // 2, TS // 2)
+            want = (td == off).astype(np.float64)
+            np.testing.assert_array_equal(got, want, err_msg=f"tile {c},{ro}")
+
+    def test_flat_dem_all_visible(self):
+        dem = np.full((12, 12), 3.0)
+        assert (TR.approx_viewshed_array(dem, 6, 6) == 1.0).all()
+
+
+class TestCostDistanceWithPaths:
+    @staticmethod
+    def _bf_ref(v: np.ndarray, source):
+        """Synchronous Bellman-Ford with the WithPaths edge formula
+        ((va+vb)/2 orthogonal, (va+vb)/sqrt(2) diagonal) — independent
+        fixpoint oracle; identical per-edge op sequence so the converged
+        doubles are bit-identical to Dijkstra's."""
+        h, w = v.shape
+        d = np.full((h, w), np.inf)
+        sx, sy = source
+        d[sy, sx] = 0.0
+        offs = [(dc, dr, TR.SQRT2 if dc and dr else 2.0)
+                for dc, dr in [(-1, -1), (0, -1), (1, -1), (-1, 0),
+                               (1, 0), (-1, 1), (0, 1), (1, 1)]]
+        for _ in range(h * w):
+            changed = False
+            for y in range(h):
+                for x in range(w):
+                    for dc, dr, div in offs:
+                        ty, tx = y + dr, x + dc
+                        if 0 <= ty < h and 0 <= tx < w:
+                            alt = d[y, x] + (v[y, x] + v[ty, tx]) / div
+                            if alt < d[ty, tx]:
+                                d[ty, tx] = alt
+                                changed = True
+            if not changed:
+                break
+        return d
+
+    def test_dist_and_parents_match_fixpoint(self):
+        rng = np.random.RandomState(3)
+        v = np.round(rng.uniform(1.0, 3.0, (9, 11)), 2)
+        dist, parents = TR.cost_distance_paths(v, (2, 1))
+        np.testing.assert_array_equal(dist, self._bf_ref(v, (2, 1)))
+        # parent predicate: p is a parent of n iff dist[p]+edge == dist[n]
+        h, w = v.shape
+        fd, fv = dist.ravel(), v.ravel()
+        for n in range(h * w):
+            ny, nx = divmod(n, w)
+            want = []
+            for dc, dr in [(1, 0), (-1, 0), (0, 1), (0, -1),
+                           (1, 1), (-1, 1), (1, -1), (-1, -1)]:
+                py_, px_ = ny + dr, nx + dc
+                if 0 <= py_ < h and 0 <= px_ < w:
+                    p = py_ * w + px_
+                    div = TR.SQRT2 if dc and dr else 2.0
+                    if fd[p] + (fv[p] + fv[n]) / div == fd[n]:
+                        want.append(p)
+            assert sorted(parents.get(n, [])) == sorted(want), f"cell {n}"
+
+    def test_tied_paths_enumerated(self):
+        # uniform friction 3x3, corner to corner: the diagonal beats any
+        # staircase ((1+1)/sqrt2 * 2 < (1+1)/2 * 4), so exactly one path
+        v = np.ones((3, 3))
+        dist, parents = TR.cost_distance_paths(v, (0, 0))
+        paths = TR.enumerate_paths(parents, (2, 2), 3)
+        assert paths == [[(0, 0), (1, 1), (2, 2)]]
+        # orthogonal-only tie: force it with a blocked diagonal
+        v2 = np.array([[1.0, 1.0], [1.0, 1.0]])
+        dist2, parents2 = TR.cost_distance_paths(v2, (0, 0))
+        # dest (1,1): diagonal (2/sqrt2=1.414) beats L-paths (2.0) -> 1 path
+        assert len(TR.enumerate_paths(parents2, (1, 1), 2)) == 1
+        # dest (1,0): direct orthogonal only
+        assert TR.enumerate_paths(parents2, (1, 0), 2) == [[(0, 0), (1, 0)]]
+
+    def test_corridor_is_union_of_paths(self):
+        # friction with real ties: symmetric grid
+        v = np.array([[1.0, 2.0, 1.0],
+                      [2.0, 1.0, 2.0],
+                      [1.0, 2.0, 1.0]])
+        dist, parents = TR.cost_distance_paths(v, (0, 0))
+        paths = TR.enumerate_paths(parents, (2, 2), 3)
+        union = {y * 3 + x for p in paths for (x, y) in p}
+        assert TR.min_path_cells(parents, (2, 2), 3) == union
+        # every enumerated path is adjacency-valid and costs dist[dest]
+        for p in paths:
+            assert p[0] == (0, 0) and p[-1] == (2, 2)
+            for (x1, y1), (x2, y2) in zip(p, p[1:]):
+                assert max(abs(x1 - x2), abs(y1 - y2)) == 1
+
+    def test_layer_corridor_op(self, spark):
+        dem = np.round(
+            np.random.RandomState(11).uniform(1.0, 3.0, (NT * TS, NT * TS)), 2
+        )
+        out = TR.cost_paths(layer_from(spark, dem)).toPandas()
+        assert set(out["col"].unique()) == set(range(NT))
+        for (c, ro), grp in out.groupby(["col", "row"]):
+            td = dem[ro * TS : (ro + 1) * TS, c * TS : (c + 1) * TS]
+            dist, parents = TR.cost_distance_paths(td, (0, 0))
+            cells = TR.min_path_cells(parents, (TS - 1, TS - 1), TS)
+            got = {int(py) * TS + int(px) for px, py in zip(grp.px, grp.py)}
+            assert got == cells
+            fd = dist.ravel()
+            for _, r in grp.iterrows():
+                assert fd[int(r.py) * TS + int(r.px)] == r.val

@@ -539,6 +539,228 @@ def viewshed(layer: DataFrame, px: int | None = None, py: int | None = None) -> 
     return layer.mapInPandas(run, LAYER_SCHEMA)
 
 
+def cost_distance_paths(
+    cost: np.ndarray, source: tuple[int, int]
+) -> tuple[np.ndarray, dict[int, list[int]]]:
+    """Single-tile Dijkstra keeping ALL tied min-cost predecessors
+    (CostDistanceWithPaths.scala:73-201). Edge cost from a to b is
+    (v_a + v_b) / 2 orthogonally and (v_a + v_b) / sqrt(2) diagonally —
+    the reference's own formula (getTileCost :85-95), which differs from
+    CostDistance.scala's sqrt(2)*(v_a+v_b)/2 diagonal; reproduced verbatim.
+    Returns (dist array, parents: flat-index -> tied parent indices).
+    Parent semantics match the reference fixpoint — p is a parent of n iff
+    dist[p] + edge(p, n) == dist[n] — except that the reference's
+    mutable-comparator duplicate-pop quirk (:163-195) can append the same
+    parent twice; each distinct parent is recorded once here."""
+    h, w = cost.shape
+    v = cost.astype(np.float64)
+    sx, sy = source
+    sidx = sy * w + sx
+    dist = np.full(h * w, np.inf)
+    dist[sidx] = 0.0
+    parents: dict[int, list[int]] = {}
+    pq: list[tuple[float, int]] = [(0.0, sidx)]
+    offs = [(dc, dr, SQRT2 if dc and dr else 2.0)
+            for bit, (dc, dr) in DIR_OFFSETS.items()]
+    flat = v.ravel()
+    while pq:
+        d, cur = heapq.heappop(pq)
+        if d > dist[cur]:
+            continue
+        cy, cx = divmod(cur, w)
+        for dc, dr, div in offs:
+            ty, tx = cy + dr, cx + dc
+            if not (0 <= ty < h and 0 <= tx < w):
+                continue
+            n = ty * w + tx
+            alt = d + (flat[cur] + flat[n]) / div
+            if alt < dist[n]:
+                dist[n] = alt
+                parents[n] = [cur]
+                heapq.heappush(pq, (alt, n))
+            elif alt == dist[n] and cur not in parents.setdefault(n, []):
+                parents[n].append(cur)
+    return dist.reshape(h, w), parents
+
+
+def min_path_cells(
+    parents: dict[int, list[int]], dest: tuple[int, int], w: int
+) -> set[int]:
+    """Flat indices of every cell lying on ANY min-cost path to `dest`
+    (the least-cost corridor): BFS from dest through the tied-parent DAG.
+    Bounded by the cell count even when the number of tied paths is
+    exponential — use this, not enumerate_paths, at scale."""
+    dx, dy = dest
+    start = dy * w + dx
+    seen = {start}
+    stack = [start]
+    while stack:
+        n = stack.pop()
+        for p in parents.get(n, ()):
+            if p not in seen:
+                seen.add(p)
+                stack.append(p)
+    return seen
+
+
+def enumerate_paths(
+    parents: dict[int, list[int]], dest: tuple[int, int], w: int
+) -> list[list[tuple[int, int]]]:
+    """All min-cost paths to `dest` as (x, y) vertex lists source-first —
+    CostDistanceWithPathsResult.getPath (:34-62). Exponential in the tie
+    count by nature; intended for single destinations on modest tiles."""
+    dx, dy = dest
+    out: list[list[tuple[int, int]]] = []
+
+    def walk(prefix: list[int]) -> None:
+        ps = parents.get(prefix[0], ())
+        if not ps:
+            out.append(prefix)
+            return
+        for p in ps:
+            walk([p] + prefix)
+
+    walk([dy * w + dx])
+    return [[(i % w, i // w) for i in path] for path in out]
+
+
+def cost_paths(
+    layer: DataFrame,
+    source: tuple[int, int] = (0, 0),
+    dest: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-tile least-cost corridor (CostDistanceWithPaths distributed the
+    same way the reference offers it — per Tile): Dijkstra from `source`
+    pixel, then every cell on any tied min-cost path to `dest` (default:
+    bottom-right pixel), with its accumulated cost. One mapInPandas pass,
+    embarrassingly parallel across tiles."""
+
+    def run(it):
+        for pdf in it:
+            outs = []
+            for tr in pdf.itertuples(index=False):
+                fric = codec.decode_tile(bytes(tr.tile), tr.fmt).astype(np.float64)
+                h, w = fric.shape
+                dst = (w - 1, h - 1) if dest is None else dest
+                dist, parents = cost_distance_paths(fric, source)
+                cells = sorted(min_path_cells(parents, dst, w))
+                idx = np.asarray(cells, dtype=np.int64)
+                outs.append(pd.DataFrame({
+                    "zoom": np.full(len(idx), int(tr.zoom), dtype=np.int32),
+                    "col": np.full(len(idx), int(tr.col), dtype=np.int32),
+                    "row": np.full(len(idx), int(tr.row), dtype=np.int32),
+                    "px": (idx % w).astype(np.int32),
+                    "py": (idx // w).astype(np.int32),
+                    "val": dist.ravel()[idx],
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return layer.mapInPandas(
+        run, "zoom int, col int, row int, px int, py int, val double"
+    )
+
+
+def approx_viewshed_offsets(dem: np.ndarray, sc: int, sr: int) -> np.ndarray:
+    """Reference-faithful ApproxViewshed.offsets (ApproxViewshed.scala:
+    31-121): R2-style ring propagation — each square ring (Chebyshev layer)
+    extrapolates the grazing height from the previous ring with the
+    reference's exact-integer / linear-interpolation branch, and stores
+    max(own height, extrapolated). Vectorized one ring-side at a time (four
+    NumPy gathers per layer instead of per-cell loops; every read is from
+    the previous ring so sides are independent)."""
+    h, w = dem.shape
+    k = float(dem[sr, sc])
+    t = np.full((h, w), np.nan)
+    t[sr, sc] = k
+    max_layer = max(h - sr, w - sc, sr + 1, sc + 1)
+
+    def do_y(xs: np.ndarray, y: int) -> None:
+        m = (xs >= 0) & (xs < w) & (0 <= y < h)
+        if not m.any():
+            return
+        xs = xs[m]
+        z = dem[y, xs]
+        # xVal = |1/(sr-y)| * (sc-x) + x  (ApproxViewshed.scala:53)
+        xv = abs(1.0 / (sr - y)) * (sc - xs) + xs
+        xi = xv.astype(np.int64)  # toInt truncation; xv >= 0 here
+        yprev = y - int(np.sign(y - sr))
+        exact = xv == xi
+        z0 = t[yprev, xi]
+        z1 = t[yprev, np.minimum(xi + 1, w - 1)]
+        closest = np.where(exact, z0, (xi + 1 - xv) * z0 + (xv - xi) * z1)
+        if y > sr:
+            val = 1.0 / (sr - (y - 1)) * (k - closest) + closest
+        else:
+            val = -1.0 / (sr - (y + 1)) * (k - closest) + closest
+        t[y, xs] = np.maximum(z, val)
+
+    def do_x(ys: np.ndarray, x: int) -> None:
+        m = (ys >= 0) & (ys < h) & (0 <= x < w)
+        if not m.any():
+            return
+        ys = ys[m]
+        z = dem[ys, x]
+        yv = abs(1.0 / (sc - x)) * (sr - ys) + ys
+        yi = yv.astype(np.int64)
+        xprev = x - int(np.sign(x - sc))
+        exact = yv == yi
+        z0 = t[yi, xprev]
+        z1 = t[np.minimum(yi + 1, h - 1), xprev]
+        closest = np.where(exact, z0, (yi + 1 - yv) * z0 + (yv - yi) * z1)
+        if x > sc:
+            val = 1.0 / (sc - (x - 1)) * (k - closest) + closest
+        else:
+            val = -1.0 / (sc - (x + 1)) * (k - closest) + closest
+        t[ys, x] = np.maximum(z, val)
+
+    for layer in range(1, max_layer):
+        if layer == 1:
+            # ring 1 copies raw heights (ApproxViewshed.scala:50-51)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = sr + dy, sc + dx
+                    if (dx or dy) and 0 <= yy < h and 0 <= xx < w:
+                        t[yy, xx] = dem[yy, xx]
+            continue
+        ii = np.arange(2 * layer)
+        do_y(sc - layer + ii, sr - layer)           # top row, corners: left
+        do_y(sc + layer - ii, sr + layer)           # bottom row, corner: right
+        do_x(np.ascontiguousarray((sr + layer - ii)[::-1]), sc - layer)
+        do_x(np.ascontiguousarray((sr - layer + ii)[::-1]), sc + layer)
+    return t
+
+
+def approx_viewshed_array(dem: np.ndarray, sc: int, sr: int) -> np.ndarray:
+    """ApproxViewshed.apply (ApproxViewshed.scala:27-29): visible iff the
+    offset surface equals the raw height (localEqual). 0/1 float array."""
+    off = approx_viewshed_offsets(dem, sc, sr)
+    with np.errstate(invalid="ignore"):
+        return (dem == off).astype(np.float64)
+
+
+def approx_viewshed(
+    layer: DataFrame, px: int | None = None, py: int | None = None
+) -> DataFrame:
+    """Per-tile approximate (R2) viewshed — one vectorized batch pass,
+    embarrassingly parallel across tiles (same shape as `viewshed`)."""
+
+    def run(it):
+        for pdf in it:
+            outs = []
+            for tr in pdf.itertuples(index=False):
+                dem = codec.decode_tile(bytes(tr.tile), tr.fmt).astype(np.float64)
+                h, w = dem.shape
+                vc = w // 2 if px is None else px
+                vr = h // 2 if py is None else py
+                vis = approx_viewshed_array(dem, vc, vr)
+                outs.append(_layer_row(int(tr.zoom), int(tr.col), int(tr.row), vis))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
 # ---------------------------------------------------- euclidean distance
 
 def euclidean_distance(

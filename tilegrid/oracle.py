@@ -485,3 +485,68 @@ def viewshed_ref(dem: np.ndarray, start_col: int, start_row: int) -> np.ndarray:
             if height0 >= mx - 0.5:
                 out[row, col] = 1.0
     return out
+
+
+def approx_viewshed_ref(dem: np.ndarray, sc: int, sr: int) -> np.ndarray:
+    """Verbatim loop port of ApproxViewshed.offsets
+    (raster/.../viewshed/ApproxViewshed.scala:31-121): ring-by-ring R2
+    grazing-height propagation, including its exact-integer interpolation
+    branch and per-side doY/doX corner ownership. Returns the offsets
+    surface; visibility is dem == offsets."""
+    rows, cols = dem.shape
+    k = float(dem[sr, sc])
+    t = np.full((rows, cols), np.nan)
+    t[sr, sc] = k
+    max_layer = max(rows - sr, cols - sc, sr + 1, sc + 1)
+
+    def do_y(x: int, y: int, layer: int) -> None:
+        if not (0 <= y < rows and 0 <= x < cols):
+            return
+        z = dem[y, x]
+        if layer == 1:
+            t[y, x] = z
+            return
+        x_val = abs(1.0 / (sr - y)) * (sc - x) + x
+        x_int = int(x_val)
+        yp = y - int(np.sign(y - sr))
+        if sr == y:
+            closest = t[yp, x]
+        elif x_val == x_int:
+            closest = t[yp, x_int]
+        else:
+            closest = (x_int + 1 - x_val) * t[yp, x_int] + (
+                x_val - x_int) * t[yp, x_int + 1]
+        if y > sr:
+            t[y, x] = max(z, 1.0 / (sr - (y - 1)) * (k - closest) + closest)
+        else:
+            t[y, x] = max(z, -1.0 / (sr - (y + 1)) * (k - closest) + closest)
+
+    def do_x(x: int, y: int, layer: int) -> None:
+        if not (0 <= y < rows and 0 <= x < cols):
+            return
+        z = dem[y, x]
+        if layer == 1:
+            t[y, x] = z
+            return
+        y_val = abs(1.0 / (sc - x)) * (sr - y) + y
+        y_int = int(y_val)
+        xp = x - int(np.sign(x - sc))
+        if sc == x:
+            closest = t[y, xp]
+        elif y_val == y_int:
+            closest = t[y_int, xp]
+        else:
+            closest = (y_int + 1 - y_val) * t[y_int, xp] + (
+                y_val - y_int) * t[y_int + 1, xp]
+        if x > sc:
+            t[y, x] = max(z, 1.0 / (sc - (x - 1)) * (k - closest) + closest)
+        else:
+            t[y, x] = max(z, -1.0 / (sc - (x + 1)) * (k - closest) + closest)
+
+    for layer in range(1, max_layer):
+        for ii in range(2 * layer):
+            do_y(sc - layer + ii, sr - layer, layer)
+            do_y(sc + layer - ii, sr + layer, layer)
+            do_x(sc - layer, sr + layer - ii, layer)
+            do_x(sc + layer, sr - layer + ii, layer)
+    return t

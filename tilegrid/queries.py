@@ -2558,6 +2558,166 @@ WHERE mx.m IS NULL OR vp.ve >= mx.m - 0.5
 """
 
 
+def q_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost corridor (CostDistanceWithPaths.scala:66-201): per tile,
+    Dijkstra from pixel (0,0) with the WithPaths edge formula
+    ((va+vb)/2 orthogonal, (va+vb)/sqrt(2) diagonal — getTileCost :85-95),
+    then every cell on ANY tied min-cost path to (31,31) with its
+    accumulated cost."""
+    from .operators.terrain import cost_paths
+
+    return cost_paths(_dem_layer(spark, sf_dir, "friction"), source=(0, 0))
+
+
+def _o_cost_paths() -> str:
+    # Per-tile synchronous Bellman-Ford (bit-identical fixpoint — same
+    # per-edge op sequence as Dijkstra), then a dedup-UNION recursive walk
+    # from the destination through the tied-parent predicate
+    # dist[p] + (v_p + v_n)/div == dist[n].
+    return f"""
+WITH RECURSIVE {_o_grid64(DEM_FRICTION)},
+loc AS (
+  SELECT CAST(gx // 32 AS INT) AS tc, CAST(gy // 32 AS INT) AS tr,
+         CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py, e
+  FROM dem
+),
+o9(dc, dr, dv) AS (VALUES
+  (0, 0, CAST(1.0 AS DOUBLE)), (1, 0, 2.0), (-1, 0, 2.0),
+  (0, 1, 2.0), (0, -1, 2.0), (1, 1, {SQRT2_LIT}), (-1, 1, {SQRT2_LIT}),
+  (1, -1, {SQRT2_LIT}), (-1, -1, {SQRT2_LIT})),
+d AS (
+  SELECT 0 AS it, tc, tr, px, py,
+         CASE WHEN px = 0 AND py = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(1e300 AS DOUBLE) END AS dist
+  FROM loc
+  UNION ALL
+  SELECT d.it + 1, tf.tc, tf.tr, tf.px, tf.py,
+         min(d.dist + CASE WHEN o9.dc = 0 AND o9.dr = 0
+                           THEN CAST(0.0 AS DOUBLE)
+                           ELSE (sf.e + tf.e) / o9.dv END) AS dist
+  FROM d
+  JOIN loc sf ON sf.tc = d.tc AND sf.tr = d.tr
+             AND sf.px = d.px AND sf.py = d.py
+  JOIN o9 ON TRUE
+  JOIN loc tf ON tf.tc = d.tc AND tf.tr = d.tr
+             AND tf.px = d.px + o9.dc AND tf.py = d.py + o9.dr
+  WHERE d.it < 100
+  GROUP BY d.it, tf.tc, tf.tr, tf.px, tf.py
+),
+fin AS (SELECT tc, tr, px, py, dist FROM d WHERE it = 100),
+walk AS (
+  SELECT tc, tr, CAST(31 AS INT) AS px, CAST(31 AS INT) AS py
+  FROM (SELECT DISTINCT tc, tr FROM loc)
+  UNION
+  SELECT w.tc, w.tr, pf.px, pf.py
+  FROM walk w
+  JOIN fin nf ON nf.tc = w.tc AND nf.tr = w.tr
+             AND nf.px = w.px AND nf.py = w.py
+  JOIN loc ne ON ne.tc = w.tc AND ne.tr = w.tr
+             AND ne.px = w.px AND ne.py = w.py
+  JOIN o9 ON NOT (o9.dc = 0 AND o9.dr = 0)
+  JOIN fin pf ON pf.tc = w.tc AND pf.tr = w.tr
+             AND pf.px = w.px + o9.dc AND pf.py = w.py + o9.dr
+  JOIN loc pe ON pe.tc = pf.tc AND pe.tr = pf.tr
+             AND pe.px = pf.px AND pe.py = pf.py
+  WHERE pf.dist + (pe.e + ne.e) / o9.dv = nf.dist
+)
+SELECT CAST(3 AS INT) AS zoom, w.tc AS col, w.tr AS row, w.px, w.py,
+       f.dist AS val
+FROM walk w
+JOIN fin f ON f.tc = w.tc AND f.tr = w.tr AND f.px = w.px AND f.py = w.py
+"""
+
+
+def q_approx_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 approximate viewshed (ApproxViewshed.scala:25-122), viewpoint at
+    each tile's center pixel; emits the visible cells (height == the
+    ring-propagated offset surface)."""
+    from .operators.terrain import approx_viewshed
+
+    return _layer_pixels(approx_viewshed(_dem_layer(spark, sf_dir, "spiky")))
+
+
+def _o_approx_viewshed() -> str:
+    # Ring-by-ring recursion as a recursive CTE: each iteration's working
+    # table is exactly the previous Chebyshev ring, which is all the
+    # reference's doY/doX reads ever touch. Each new cell aggregates its
+    # one-or-two parent reads (z0 at the truncated interpolation index,
+    # z1 at index+1) from the single allowed recursive reference, then
+    # applies the verbatim extrapolation with the exact-integer branch.
+    # doY owns top/bottom ring rows (top keeps its LEFT corner, bottom its
+    # RIGHT), doX the side columns (ApproxViewshed.scala:111-116).
+    L = "greatest(abs(c.px - 16), abs(c.py - 16))"
+    is_doy = (f"((c.py = 16 - {L} AND c.px < 16 + {L})"
+              f" OR (c.py = 16 + {L} AND c.px > 16 - {L}))")
+    xv = "(abs(1.0 / (16 - c.py)) * (16 - c.px) + c.px)"
+    yv = "(abs(1.0 / (16 - c.px)) * (16 - c.py) + c.py)"
+    xi = f"CAST(floor({xv}) AS INT)"
+    yi = f"CAST(floor({yv}) AS INT)"
+    yp = "(c.py + CASE WHEN c.py > 16 THEN -1 ELSE 1 END)"
+    xp = "(c.px + CASE WHEN c.px > 16 THEN -1 ELSE 1 END)"
+    closest = ("CASE WHEN is_doy THEN"
+               " (CASE WHEN xv = floor(xv) THEN z0"
+               " ELSE (floor(xv) + 1.0 - xv) * z0 + (xv - floor(xv)) * z1 END)"
+               " ELSE (CASE WHEN yv = floor(yv) THEN z0"
+               " ELSE (floor(yv) + 1.0 - yv) * z0 + (yv - floor(yv)) * z1 END)"
+               " END")
+    return f"""
+WITH RECURSIVE {_o_grid64(DEM_SPIKY)},
+loc AS (
+  SELECT CAST(gx // 32 AS INT) AS tc, CAST(gy // 32 AS INT) AS tr,
+         CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py, e
+  FROM dem
+),
+vp AS (SELECT tc, tr, e AS ve FROM loc WHERE px = 16 AND py = 16),
+ring AS (
+  SELECT CAST(greatest(abs(px - 16), abs(py - 16)) AS INT) AS layer,
+         tc, tr, px, py, e AS off
+  FROM loc WHERE greatest(abs(px - 16), abs(py - 16)) <= 1
+  UNION ALL
+  SELECT layer, tc, tr, px, py,
+         greatest(e, CASE WHEN is_doy THEN
+            (CASE WHEN py > 16
+                  THEN 1.0 / (16 - (py - 1)) * (ve - {closest}) + {closest}
+                  ELSE -1.0 / (16 - (py + 1)) * (ve - {closest}) + {closest}
+             END)
+         ELSE
+            (CASE WHEN px > 16
+                  THEN 1.0 / (16 - (px - 1)) * (ve - {closest}) + {closest}
+                  ELSE -1.0 / (16 - (px + 1)) * (ve - {closest}) + {closest}
+             END)
+         END) AS off
+  FROM (
+    SELECT t.layer + 1 AS layer, c.tc, c.tr, c.px, c.py, c.e, v.ve,
+           {is_doy} AS is_doy, {xv} AS xv, {yv} AS yv,
+           max(CASE WHEN {is_doy} AND t.py = {yp} AND t.px = {xi}
+                    THEN t.off
+                    WHEN NOT {is_doy} AND t.px = {xp} AND t.py = {yi}
+                    THEN t.off END) AS z0,
+           max(CASE WHEN {is_doy} AND t.py = {yp} AND t.px = {xi} + 1
+                    THEN t.off
+                    WHEN NOT {is_doy} AND t.px = {xp} AND t.py = {yi} + 1
+                    THEN t.off END) AS z1
+    FROM ring t
+    JOIN loc c ON c.tc = t.tc AND c.tr = t.tr
+      AND {L} = t.layer + 1
+      AND (({is_doy} AND t.py = {yp}
+            AND (t.px = {xi} OR t.px = {xi} + 1))
+        OR (NOT {is_doy} AND t.px = {xp}
+            AND (t.py = {yi} OR t.py = {yi} + 1)))
+    JOIN vp v ON v.tc = c.tc AND v.tr = c.tr
+    WHERE t.layer >= 1
+    GROUP BY t.layer, c.tc, c.tr, c.px, c.py, c.e, v.ve
+  ) s
+)
+SELECT CAST(3 AS INT) AS zoom, r.tc AS col, r.tr AS row, r.px, r.py,
+       CAST(1.0 AS DOUBLE) AS val
+FROM ring r
+JOIN loc l ON l.tc = r.tc AND l.tr = r.tr AND l.px = r.px AND l.py = r.py
+WHERE l.e = r.off
+"""
+
+
 def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-transform raster (EuclideanDistanceTile.scala:26-46):
     pixel-center distance to the nearest of a deterministic event
@@ -2931,6 +3091,8 @@ QUERIES = {
     "cost_distance": q_cost_distance,
     "viewshed": q_viewshed,
     "euclidean_distance": q_euclidean_distance,
+    "cost_paths": q_cost_paths,
+    "approx_viewshed": q_approx_viewshed,
     "polygon_overlay": q_polygon_overlay,
     "polygon_buffer": q_polygon_buffer,
     "streaming_counts": q_streaming_counts,
@@ -2998,6 +3160,8 @@ ORACLES = {
     "cost_distance": _o_cost_distance(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
+    "cost_paths": _o_cost_paths(),
+    "approx_viewshed": _o_approx_viewshed(),
     "polygon_overlay": _o_polygon_overlay(),
     "polygon_buffer": _o_polygon_buffer(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
