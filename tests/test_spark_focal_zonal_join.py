@@ -35,6 +35,25 @@ class TestFocal:
         )
         np.testing.assert_allclose(got, want, rtol=1e-12)
 
+
+    def test_conway_matches_brute(self, spark):
+        a = layer_df(spark, "every-other-undefined")
+        got = stitched(FO.focal(a, "conway", size=1).toPandas())
+        src = stitched_src("every-other-undefined")
+        h, w = src.shape
+        want = np.full((h, w), np.nan)
+        for y in range(h):
+            for x in range(w):
+                n = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w and not np.isnan(src[yy, xx]):
+                            n += 1
+                if n in (2, 3):
+                    want[y, x] = 1.0
+        np.testing.assert_array_equal(got, want)
+
     def test_mean_with_nodata(self, spark):
         a = layer_df(spark, "every-other-undefined")
         got = stitched(FO.focal_mean(a).toPandas())

@@ -118,6 +118,11 @@ def _win_kernels(size: int):
         "max": guard(lambda w: np.nanmax(w, axis=(2, 3))),
         "median": guard(lambda w: np.nanmedian(w, axis=(2, 3))),
         "stddev": guard(lambda w: np.nanstd(w, axis=(2, 3))),
+        # Conway (focal/Conway.scala:21-65 via focalConway): 1 where the
+        # window's DATA-cell count (center included) is 2 or 3, else NoData
+        "conway": guard(lambda w: np.where(
+            np.isin(np.count_nonzero(~np.isnan(w), axis=(2, 3)), (2, 3)),
+            1.0, np.nan)),
     }
 
 
@@ -133,8 +138,8 @@ def focal(
 ) -> DataFrame:
     """FocalOperation (FocalOperation.scala:29-63): bufferTiles(size) ->
     stencil kernel -> center crop. `op` in {mean,sum,min,max,median,stddev,
-    mode,convolve,slope,aspect,hillshade}. slope/aspect/hillshade need
-    cell_size=(cw,ch) and force size=1 (3x3 Horn stencil)."""
+    conway,mode,convolve,slope,aspect,hillshade}. slope/aspect/hillshade
+    need cell_size=(cw,ch) and force size=1 (3x3 Horn stencil)."""
     surface = op in ("slope", "aspect", "hillshade")
     if surface:
         size = 1

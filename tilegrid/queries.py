@@ -783,6 +783,98 @@ FROM s JOIN nd ON nd.col = s.col AND nd.row = s.row
 """
 
 
+def q_conway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conway focal op (focal/Conway.scala:21-65, spark focalConway
+    FocalTileLayerRDDMethods.scala:45): over the SPARSE count raster
+    (0 -> NoData), a cell becomes 1 where the 3x3 window's data-cell count
+    (center included) is 2 or 3, else NoData. Runs through the BufferTiles
+    stencil kernel — cross-tile windows included."""
+    from .operators.focal import focal
+
+    dense = _count_raster(spark, sf_dir)
+
+    def sparsify(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                arr = np.where(arr > 0, arr, np.nan)
+                outs.append(pd.DataFrame({
+                    "zoom": [int(t.zoom)], "col": [int(t.col)],
+                    "row": [int(t.row)], "cell": [int(t.cell)],
+                    "tile": [codec.raw_encode(np.ascontiguousarray(arr))],
+                    "h": [int(t.h)], "w": [int(t.w)], "fmt": ["raw"],
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    sparse = dense.mapInPandas(sparsify, LAYER_SCHEMA)
+    return _layer_pixels(focal(sparse, "conway", size=1))
+
+
+def _o_conway() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(a.gx // 32 AS INT) AS col, CAST(a.gy // 32 AS INT) AS row,
+       CAST(a.gx % 32 AS INT) AS px, CAST(a.gy % 32 AS INT) AS py,
+       CAST(1.0 AS DOUBLE) AS val
+FROM dense a JOIN dense b
+  ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+GROUP BY a.gx, a.gy
+HAVING sum(CASE WHEN b.cnt > 0 THEN 1 ELSE 0 END) IN (2, 3)
+"""
+
+
+def q_temporal_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed temporal reduce through the GENERAL temporal_stats operator
+    (LocalTemporalStatistics.scala:34-60 temporalMax): per-(key, day)
+    count rasters -> per-pixel max across the days present for each key in
+    one covering window. Exercises the windowed applyInPandas tile-reduce
+    path that the fused temporal_mean plan bypasses; integer counts keep
+    the comparison FP-exact."""
+    from .operators.summary import temporal_stats
+
+    pts = _events_points(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    st = kernel_density(
+        pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
+    ).withColumn("ts", F.col("day"))
+    out = temporal_stats(st, window="36500 days", stat="max")
+    return _layer_pixels(out)
+
+
+def _o_temporal_max() -> str:
+    # A pixel absent from one day's raster but present in another's is an
+    # explicit 0 in the day raster, so max-over-days == max over the days
+    # that have counts (counts >= 1 > 0); all-zero pixels are dropped on
+    # both sides.
+    cx, rx = _keyed_sql("lon", "lat", LR)
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH pts AS (
+  SELECT {LON_E} AS lon, {LAT_E} AS lat, date_trunc('day', ts) AS day FROM events
+),
+k AS (SELECT lon, lat, day, {cx} AS col, {rx} AS row FROM pts),
+gpx AS (
+  SELECT col, row, day,
+         CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px,
+         CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py
+  FROM k
+),
+pcd AS (
+  SELECT col, row, day, px, py, CAST(count(*) AS BIGINT) AS cnt
+  FROM gpx WHERE px BETWEEN 0 AND 31 AND py BETWEEN 0 AND 31
+  GROUP BY col, row, day, px, py
+)
+SELECT CAST(3 AS INT) AS zoom, col, row, px, py,
+       CAST(max(cnt) AS DOUBLE) AS val
+FROM pcd GROUP BY col, row, px, py
+"""
+
+
 def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
     nearest neighbor): the zoom-3 count raster re-tiled into the WM world
@@ -3120,6 +3212,8 @@ QUERIES = {
     "morans_global": q_morans_global,
     "zorder3_topk": q_zorder3_topk,
     "temporal_mean": q_temporal_mean,
+    "temporal_max": q_temporal_max,
+    "conway": q_conway,
     "reproject_wm": q_reproject_wm,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
@@ -3188,6 +3282,8 @@ ORACLES = {
     "morans_global": _o_morans_global(),
     "zorder3_topk": _o_zorder3_topk(),
     "temporal_mean": _o_temporal_mean(),
+    "temporal_max": _o_temporal_max(),
+    "conway": _o_conway(),
     "reproject_wm": _o_reproject_wm(),
     "band_stats": _o_band_stats(),
     "ndvi": _o_ndvi(),
