@@ -183,6 +183,52 @@ def polygonal_summary(
     )
 
 
+def streaming_histogram(layer: DataFrame, num_buckets: int = 80):
+    """Adaptive-bucket layer histogram — the reference's
+    `rdd.histogram(numBuckets)` path (StatsTileRDDMethods.scala:56-70:
+    per-tile StreamingHistogram merged with `.reduce(_ merge _)`), using
+    our B-H/T-T sketch (tilegrid/sketch.py).
+
+    Two-level reduce: the map side folds every tile of each Arrow batch
+    into ONE sketch (<= num_buckets buckets regardless of pixel count), so
+    the driver sees one tiny row per batch, folded in deterministic
+    min-cell order. Unlike the fixed-break `histogram`, needs no min/max
+    pre-pass and adapts bucket placement to the data — use it for
+    class breaks / quantiles over unknown value domains at scale.
+    Returns the merged StreamingHistogram."""
+    from ..sketch import StreamingHistogram
+
+    def per_batch(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            h = StreamingHistogram(num_buckets)
+            key = None
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                h.extend(arr)
+                k = int(t.cell)
+                key = k if key is None else min(key, k)
+            if h.bucket_count():
+                labels, counts, vmin, vmax = h.to_arrays()
+                yield pd.DataFrame({
+                    "k": [key], "labels": [labels.tolist()],
+                    "counts": [counts.tolist()],
+                    "vmin": [vmin], "vmax": [vmax],
+                })
+
+    rows = layer.mapInPandas(
+        per_batch,
+        "k long, labels array<double>, counts array<long>, "
+        "vmin double, vmax double",
+    ).toPandas()
+    out = StreamingHistogram(num_buckets)
+    for r in rows.sort_values("k").itertuples(index=False):
+        out.merge(StreamingHistogram.from_arrays(
+            r.labels, r.counts, r.vmin, r.vmax, num_buckets))
+    return out
+
+
 # ------------------------------------------------------ temporal statistics
 
 def temporal_stats(

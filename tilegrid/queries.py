@@ -783,6 +783,100 @@ FROM s JOIN nd ON nd.col = s.col AND nd.row = s.row
 """
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-H/T-T streaming histogram under the driver gate
+    (StreamingHistogram.scala:33-629; tilegrid/sketch.py): sketch the
+    NEGATED count raster (labels = -cnt, a few dozen distinct integers
+    << the bucket bound, so the sketch is exact and deterministic under
+    any merge order), then emit percentileBreaks at fixed quantiles plus
+    mean/total/min/max. Negation makes the smallest label the RAREST
+    (freq(-max_cnt)/n ~ 0), so percentileBreaks' first-bin special case
+    never fires and the interpolation is pure cdf-interval math the
+    oracle replays in SQL. Breaks rounded to 6dp on both engines (the
+    reference's scanLeft cdf is an iterative fold; the oracle's window
+    sum may differ in the last ulp)."""
+    from .operators.summary import streaming_histogram
+
+    dense = _count_raster(spark, sf_dir)
+
+    def negate(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                outs.append(pd.DataFrame({
+                    "zoom": [int(t.zoom)], "col": [int(t.col)],
+                    "row": [int(t.row)], "cell": [int(t.cell)],
+                    "tile": [codec.raw_encode(np.ascontiguousarray(-arr))],
+                    "h": [int(t.h)], "w": [int(t.w)], "fmt": ["raw"],
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    h = streaming_histogram(dense.mapInPandas(negate, LAYER_SCHEMA), 4096)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    brks = h.percentile_breaks(qs)
+    rows = [(q, round(b, 6)) for q, b in zip(qs, brks)]
+    rows += [(-1.0, round(h.mean(), 6)), (-2.0, float(h.total_count())),
+             (-3.0, h.min_value()), (-4.0, h.max_value())]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q", "val"]).astype(np.float64)
+    )
+
+
+def _o_sketch_quantiles() -> str:
+    # cdfIntervals with the prepended minimum: interval 1 is degenerate
+    # ((mn,0)-(mn,p1)) and every q >= p1 skips it; each q interpolates in
+    # the first interval whose p2 exceeds it (the while-loop fixpoint for
+    # ascending qs).
+    return f"""
+WITH {_o_dense_grid()},
+b AS (SELECT -cnt AS label, CAST(count(*) AS DOUBLE) AS c
+      FROM dense GROUP BY -cnt),
+t AS (SELECT sum(c) AS n, min(label) AS mn, max(label) AS mx,
+             sum(label * c) AS wsum FROM b),
+cd AS (
+  SELECT label, sum(c / t.n) OVER (ORDER BY label
+                                   ROWS UNBOUNDED PRECEDING) AS p2
+  FROM b, t
+),
+iv AS (
+  SELECT COALESCE(lag(label) OVER (ORDER BY label), (SELECT mn FROM t)) AS d1,
+         COALESCE(lag(p2) OVER (ORDER BY label), CAST(0.0 AS DOUBLE)) AS p1,
+         label AS d2, p2
+  FROM cd
+),
+qs(q) AS (VALUES (CAST(0.1 AS DOUBLE)), (0.25), (0.5), (0.75), (0.9), (0.99)),
+-- interval 1 is the degenerate (mn,0)-(mn,p21); the reference's first-bin
+-- special case fires iff qs[0] < p21: the first q emits mn itself and the
+-- remaining qs below p22 interpolate in the WIDENED interval (mn,0)-(d22,p22)
+iv1 AS (SELECT p2 AS p21 FROM iv ORDER BY d2 LIMIT 1),
+iv2 AS (SELECT d2 AS d22, p2 AS p22 FROM iv ORDER BY d2 LIMIT 1 OFFSET 1),
+std AS (
+  SELECT qs.q, iv.d1, iv.p1, iv.d2, iv.p2,
+         row_number() OVER (PARTITION BY qs.q ORDER BY iv.p2) AS rn
+  FROM qs JOIN iv ON iv.p2 > qs.q
+)
+SELECT s.q,
+       round(CASE
+         WHEN (SELECT p21 FROM iv1) > 0.1 AND s.q = 0.1
+           THEN (SELECT mn FROM t)
+         WHEN (SELECT p21 FROM iv1) > 0.1 AND s.q < (SELECT p22 FROM iv2)
+           THEN (1.0 - (s.q - 0.0) / ((SELECT p22 FROM iv2) - 0.0))
+                  * (SELECT mn FROM t)
+                + (s.q - 0.0) / ((SELECT p22 FROM iv2) - 0.0)
+                  * (SELECT d22 FROM iv2)
+         ELSE (1.0 - (s.q - s.p1) / (s.p2 - s.p1)) * s.d1
+              + (s.q - s.p1) / (s.p2 - s.p1) * s.d2
+       END, 6) AS val
+FROM std s WHERE s.rn = 1
+UNION ALL SELECT -1.0, round(wsum / n, 6) FROM t
+UNION ALL SELECT -2.0, n FROM t
+UNION ALL SELECT -3.0, mn FROM t
+UNION ALL SELECT -4.0, mx FROM t
+"""
+
+
 def q_conway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conway focal op (focal/Conway.scala:21-65, spark focalConway
     FocalTileLayerRDDMethods.scala:45): over the SPARSE count raster
@@ -3214,6 +3308,7 @@ QUERIES = {
     "temporal_mean": q_temporal_mean,
     "temporal_max": q_temporal_max,
     "conway": q_conway,
+    "sketch_quantiles": q_sketch_quantiles,
     "reproject_wm": q_reproject_wm,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
@@ -3284,6 +3379,7 @@ ORACLES = {
     "temporal_mean": _o_temporal_mean(),
     "temporal_max": _o_temporal_max(),
     "conway": _o_conway(),
+    "sketch_quantiles": _o_sketch_quantiles(),
     "reproject_wm": _o_reproject_wm(),
     "band_stats": _o_band_stats(),
     "ndvi": _o_ndvi(),
