@@ -273,3 +273,50 @@ class TestLZWAndPredictors:
         np.testing.assert_array_equal(got, arr)
         assert gext is not None
         assert abs(gext.xmin - 10.0) < 1e-9 and abs(gext.ymax - 28.0) < 1e-9
+
+
+class TestPlanarConfiguration:
+    def test_planar_round_trip_uint8_rgb(self):
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 255, (13, 17, 3)).astype(np.uint8)
+        for compress in (False, True, "lzw"):
+            data = tiff_encode(a, compress=compress, planar=2)
+            out, _ = tiff_decode(data)
+            np.testing.assert_array_equal(out, a)
+
+    def test_planar_with_predictors(self):
+        rng = np.random.RandomState(1)
+        u = rng.randint(0, 65535, (9, 11, 3)).astype(np.uint16)
+        out, _ = tiff_decode(tiff_encode(u, planar=2, predictor=2))
+        np.testing.assert_array_equal(out, u)
+        f = rng.uniform(-5, 5, (9, 11, 3)).astype(np.float32)
+        out, _ = tiff_decode(tiff_encode(f, planar=2, predictor=3))
+        np.testing.assert_array_equal(out, f)
+
+    def test_planar_tag_written_and_bytes_differ(self):
+        a = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        chunky = tiff_encode(a, compress=False)
+        planar = tiff_encode(a, compress=False, planar=2)
+        assert chunky != planar
+        np.testing.assert_array_equal(tiff_decode(planar)[0], a)
+
+    def test_planar_single_band_degrades_to_chunky(self):
+        a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        np.testing.assert_array_equal(
+            tiff_decode(tiff_encode(a, planar=2))[0], a
+        )
+
+    def test_planar_geotiff_extent_preserved(self):
+        a = np.zeros((4, 4, 3), dtype=np.uint8)
+        ext = Extent(10.0, 20.0, 14.0, 24.0)
+        out, got_ext = tiff_decode(tiff_encode(a, extent=ext, planar=2))
+        assert got_ext is not None
+        assert (got_ext.xmin, got_ext.ymin, got_ext.xmax, got_ext.ymax) == (
+            10.0, 20.0, 14.0, 24.0)
+
+    def test_planar_bigtiff(self):
+        rng = np.random.RandomState(2)
+        a = rng.randint(0, 255, (8, 8, 3)).astype(np.uint8)
+        data = tiff_encode(a, planar=2, bigtiff=True)
+        assert data[:4] == b"II+\x00"
+        np.testing.assert_array_equal(tiff_decode(data)[0], a)

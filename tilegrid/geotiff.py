@@ -9,20 +9,22 @@ ingest actually needs — enough to read/write real georeferenced rasters:
          uncompressed (1), LZW (5), Deflate (8/32946), PackBits (32773);
          horizontal-differencing (2) and floating-point (3) predictors;
          8/16-bit unsigned + 32/64-bit float samples; 1 band (gray) or
-         N bands pixel-interleaved (RGB); GeoTiff georeferencing via
-         ModelPixelScale (33550) + ModelTiepoint (33922) -> Extent.
+         N bands, pixel-interleaved (PlanarConfiguration 1) or
+         band-separate (PlanarConfiguration 2, strips and tiles); GeoTiff
+         georeferencing via ModelPixelScale (33550) + ModelTiepoint
+         (33922) -> Extent.
   write: little-endian, striped, LZW / Deflate / uncompressed, optional
-         predictor 2 / 3, same sample types, with the two geo tags;
-         classic or BigTIFF layout (bigtiff=True for >4 GiB outputs).
+         predictor 2 / 3, chunky or planar (planar=2: one strip per
+         band), same sample types, with the two geo tags; classic or
+         BigTIFF layout (bigtiff=True for >4 GiB outputs).
 
 LZW follows the TIFF6 early-change convention the reference decodes
 (LZWDecompression.scala:95-99: the decoder widens its code size when its
 next table index reaches 511/1023/2047, one code earlier than GIF); the
 writer flushes the dictionary with a ClearCode at 4094 like libtiff.
 
-Unsupported shapes (JPEG-in-TIFF, YCbCr, planar bands) raise ValueError
-with the tag that triggered it — honest partial coverage, not silent
-corruption.
+Unsupported shapes (JPEG-in-TIFF, YCbCr) raise ValueError with the tag
+that triggered it — honest partial coverage, not silent corruption.
 """
 
 from __future__ import annotations
@@ -312,30 +314,49 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
     bits = tags.get(_BITS, [8])[0]
     comp = tags.get(_COMP, [1])[0]
     fmt = tags.get(_SAMPLE_FMT, [1])[0]
-    if tags.get(_PLANAR, [1])[0] != 1:
-        raise ValueError("planar (band-separate) TIFF unsupported")
+    planar = tags.get(_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported PlanarConfiguration {planar}")
     dt = _dtype(bits, fmt, bo)
     predictor = tags.get(_PREDICTOR, [1])[0]
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+    # PlanarConfiguration 2 (band-separate): the chunk sequence is band
+    # 0's chunks, then band 1's, ... — each chunk holds ONE band's samples
+    chunk_spp = 1 if planar == 2 else spp
     if _TILE_OFF in tags:
         tw, th = tags[_TILE_W][0], tags[_TILE_H][0]
         offs, cnts = tags[_TILE_OFF], tags[_TILE_CNT]
         tiles_across = -(-w // tw)
+        per_band = len(offs) // spp if planar == 2 else len(offs)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o : o + c], comp)
-            arr = _chunk_to_array(raw, predictor, dt, th, tw, spp)
-            ty, tx = (idx // tiles_across) * th, (idx % tiles_across) * tw
-            out[ty : ty + th, tx : tx + tw] = arr[: min(th, h - ty), : min(tw, w - tx)]
+            arr = _chunk_to_array(raw, predictor, dt, th, tw, chunk_spp)
+            b, pidx = (idx // per_band, idx % per_band) if planar == 2 else (None, idx)
+            ty, tx = (pidx // tiles_across) * th, (pidx % tiles_across) * tw
+            clip = arr[: min(th, h - ty), : min(tw, w - tx)]
+            if planar == 2:
+                out[ty : ty + th, tx : tx + tw, b : b + 1] = clip
+            else:
+                out[ty : ty + th, tx : tx + tw] = clip
     else:
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
         offs, cnts = tags[_STRIP_OFF], tags[_STRIP_CNT]
+        per_band = len(offs) // spp if planar == 2 else len(offs)
         y = 0
-        for o, c in zip(offs, cnts):
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o : o + c], comp)
+            if planar == 2:
+                b, pidx = idx // per_band, idx % per_band
+                y = pidx * rps
+            else:
+                b = None
             rows = min(rps, h - y)
-            arr = _chunk_to_array(raw, predictor, dt, rows, w, spp)
-            out[y : y + rows] = arr
-            y += rows
+            arr = _chunk_to_array(raw, predictor, dt, rows, w, chunk_spp)
+            if planar == 2:
+                out[y : y + rows, :, b : b + 1] = arr
+            else:
+                out[y : y + rows] = arr
+                y += rows
     ext = None
     if _PIXEL_SCALE in tags and _TIEPOINT in tags:
         sx, sy = tags[_PIXEL_SCALE][0], tags[_PIXEL_SCALE][1]
@@ -355,16 +376,23 @@ def tiff_encode(
     compress: bool | str = True,
     predictor: int = 1,
     bigtiff: bool = False,
+    planar: int = 1,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) uint8/uint16/float32/float64 as a
     little-endian striped (Geo)TIFF. compress: True/"deflate", "lzw",
     False/"none". predictor: 1 (none), 2 (horizontal differencing, int
     samples), 3 (floating-point). bigtiff: version-43 layout with 64-bit
     counts/offsets (strip offset/count as LONG8) — required once any
-    offset would exceed 2^32; enable for >4 GiB outputs."""
+    offset would exceed 2^32; enable for >4 GiB outputs. planar: 1
+    (pixel-interleaved, chunky) or 2 (PlanarConfiguration 2 — one strip
+    per band, each compressed separately)."""
     a = np.ascontiguousarray(arr)
     h, w = a.shape[:2]
     spp = a.shape[2] if a.ndim == 3 else 1
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2, got {planar}")
+    if planar == 2 and spp == 1:
+        planar = 1  # single band: the two layouts are identical
     kind = a.dtype.kind
     if kind == "f":
         fmt, bits = 3, a.dtype.itemsize * 8
@@ -372,20 +400,27 @@ def tiff_encode(
         fmt, bits = 1, a.dtype.itemsize * 8
     else:
         raise ValueError(f"unsupported dtype {a.dtype}")
-    if predictor == 1:
-        body = a.astype(a.dtype.newbyteorder("<")).tobytes()
+    if predictor == 2 and kind != "u":
+        raise ValueError("predictor 2 requires integer samples")
+    if predictor == 3 and kind != "f":
+        raise ValueError("predictor 3 requires float samples")
+
+    def band_body(band: np.ndarray, bspp: int) -> bytes:
+        if predictor == 1:
+            return np.ascontiguousarray(band).astype(
+                band.dtype.newbyteorder("<")).tobytes()
+        return _apply_predictor(band.reshape(h, w, bspp), predictor)
+
+    if planar == 2:
+        bodies = [band_body(a[:, :, b], 1) for b in range(spp)]
     else:
-        if predictor == 2 and kind != "u":
-            raise ValueError("predictor 2 requires integer samples")
-        if predictor == 3 and kind != "f":
-            raise ValueError("predictor 3 requires float samples")
-        body = _apply_predictor(a.reshape(h, w, spp), predictor)
+        bodies = [band_body(a, spp)]
     if compress is True or compress == "deflate":
-        comp, payload = 8, zlib.compress(body, 6)
+        comp, payloads = 8, [zlib.compress(b, 6) for b in bodies]
     elif compress == "lzw":
-        comp, payload = 5, _lzw_encode(body)
+        comp, payloads = 5, [_lzw_encode(b) for b in bodies]
     elif compress is False or compress in (None, "none"):
-        comp, payload = 1, body
+        comp, payloads = 1, bodies
     else:
         raise ValueError(f"unknown compress {compress!r}")
 
@@ -405,8 +440,10 @@ def tiff_encode(
     add(_PHOTO, 3, [2 if spp >= 3 else 1], "H")
     add(_SPP, 3, [spp], "H")
     add(_ROWS_PER_STRIP, 4, [h], "I")
-    add(_STRIP_CNT, off_c, [len(payload)], off_t)
+    add(_STRIP_CNT, off_c, [len(p) for p in payloads], off_t)
     add(_SAMPLE_FMT, 3, [fmt] * spp, "H")
+    if planar == 2:
+        add(_PLANAR, 3, [2], "H")
     if predictor != 1:
         add(_PREDICTOR, 3, [predictor], "H")
     if extent is not None:
@@ -414,7 +451,7 @@ def tiff_encode(
         sy = extent.height / h
         add(_PIXEL_SCALE, 12, [sx, sy, 0.0], "d")
         add(_TIEPOINT, 12, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0], "d")
-    add(_STRIP_OFF, off_c, [0], off_t)  # patched below
+    add(_STRIP_OFF, off_c, [0] * len(payloads), off_t)  # patched below
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
@@ -433,6 +470,11 @@ def tiff_encode(
             data_off += len(raw)
     strip_off = data_off
     blob_at = {t: o for t, o, _ in blobs}
+    strip_offs, acc = [], strip_off
+    for p in payloads:
+        strip_offs.append(acc)
+        acc += len(p)
+    off_raw = struct.pack("<" + off_t * len(payloads), *strip_offs)
 
     out = bytearray()
     if bigtiff:
@@ -445,14 +487,14 @@ def tiff_encode(
     ptr_fmt = "<Q" if bigtiff else "<I"
     for tag, typ, cnt, raw in entries:
         if tag == _STRIP_OFF:
-            raw = struct.pack("<" + off_t, strip_off)
+            raw = off_raw
         out += struct.pack(cnt_fmt, tag, typ, cnt)
         if len(raw) > inline:
             out += struct.pack(ptr_fmt, blob_at[tag])
         else:
             out += raw.ljust(inline, b"\x00")
     out += struct.pack(ptr_fmt, 0)  # no next IFD
-    for _, _, raw in blobs:
-        out += raw
-    out += payload
+    for tag, _, raw in blobs:
+        out += off_raw if tag == _STRIP_OFF else raw
+    out += b"".join(payloads)
     return bytes(out)
