@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 
 from tilegrid import codec
-from tilegrid.geotiff import tiff_decode, tiff_encode
+from tilegrid.geotiff import tiff_decode, tiff_decode_window, tiff_encode
 from tilegrid.grid import Extent
 
 
@@ -320,3 +320,115 @@ class TestPlanarConfiguration:
         data = tiff_encode(a, planar=2, bigtiff=True)
         assert data[:4] == b"II+\x00"
         np.testing.assert_array_equal(tiff_decode(data)[0], a)
+
+
+class TestWindowedRead:
+    def _check(self, a, data, x0, y0, ww, wh):
+        out, _ = tiff_decode_window(data, x0, y0, ww, wh)
+        np.testing.assert_array_equal(out, a[y0:y0+wh, x0:x0+ww])
+
+    def test_striped_multi_strip_windows(self):
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 255, (100, 64)).astype(np.uint8)
+        for compress in (False, True, "lzw"):
+            data = tiff_encode(a, compress=compress, rows_per_strip=16)
+            for win in [(0, 0, 64, 100), (10, 23, 30, 40), (63, 99, 1, 1),
+                        (0, 96, 64, 4)]:
+                self._check(a, data, *win)
+
+    def test_multi_strip_round_trip_full(self):
+        rng = np.random.RandomState(1)
+        a = rng.uniform(-10, 10, (50, 33)).astype(np.float64)
+        data = tiff_encode(a, rows_per_strip=7)
+        np.testing.assert_array_equal(tiff_decode(data)[0], a)
+
+    def test_windowed_rgb_and_planar(self):
+        rng = np.random.RandomState(2)
+        a = rng.randint(0, 255, (48, 40, 3)).astype(np.uint8)
+        for planar in (1, 2):
+            data = tiff_encode(a, rows_per_strip=8, planar=planar)
+            out, _ = tiff_decode_window(data, 5, 9, 20, 30)
+            np.testing.assert_array_equal(out, a[9:39, 5:25])
+
+    def test_windowed_with_predictor(self):
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 65535, (64, 32)).astype(np.uint16)
+        data = tiff_encode(a, rows_per_strip=16, predictor=2)
+        self._check(a, data, 4, 20, 10, 30)
+
+    @staticmethod
+    def _make_tiled_tiff(a: np.ndarray, tw: int, th: int) -> bytes:
+        """Hand-pack a minimal little-endian classic tiled TIFF (uint8,
+        uncompressed) — the writer only emits strips, so the tiled read
+        path needs a hand-built stream."""
+        h, w = a.shape
+        across, down = -(-w // tw), -(-h // th)
+        chunks = []
+        for ty in range(down):
+            for tx in range(across):
+                t = np.zeros((th, tw), np.uint8)
+                src = a[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                t[: src.shape[0], : src.shape[1]] = src
+                chunks.append(t.tobytes())
+        tags = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [1]),
+                (262, 3, [1]), (277, 3, [1]), (322, 3, [tw]), (323, 3, [th]),
+                (324, 4, None), (325, 4, [len(c) for c in chunks])]
+        n = len(tags)
+        data_off = 8 + 2 + n * 12 + 4
+        blobs = []
+        offs_pos = {}
+        for i, (tag, typ, vals) in enumerate(tags):
+            cnt = len(chunks) if vals is None else len(vals)
+            sz = cnt * (2 if typ == 3 else 4)
+            if sz > 4:
+                offs_pos[tag] = data_off
+                data_off += sz
+        chunk_offs, acc = [], data_off
+        for c in chunks:
+            chunk_offs.append(acc)
+            acc += len(c)
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n))
+        for tag, typ, vals in tags:
+            if tag == 324:
+                vals = chunk_offs
+            cnt = len(vals)
+            pk = "H" if typ == 3 else "I"
+            raw = struct.pack("<" + pk * cnt, *vals)
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += struct.pack("<I", offs_pos[tag]) if len(raw) > 4 else raw.ljust(4, b"\x00")
+        out += struct.pack("<I", 0)
+        for tag, typ, vals in tags:
+            if tag == 324:
+                vals = chunk_offs
+            cnt = len(vals)
+            pk = "H" if typ == 3 else "I"
+            raw = struct.pack("<" + pk * cnt, *vals)
+            if len(raw) > 4:
+                out += raw
+        for c in chunks:
+            out += c
+        return bytes(out)
+
+    def test_windowed_tiled(self):
+        rng = np.random.RandomState(4)
+        a = rng.randint(0, 255, (40, 40)).astype(np.uint8)
+        data = self._make_tiled_tiff(a, 16, 16)
+        np.testing.assert_array_equal(tiff_decode(data)[0], a)  # sanity
+        for win in [(10, 18, 20, 12), (0, 0, 40, 40), (39, 39, 1, 1),
+                    (16, 16, 16, 16), (1, 33, 38, 7)]:
+            x0, y0, ww, wh = win
+            out, _ = tiff_decode_window(data, x0, y0, ww, wh)
+            np.testing.assert_array_equal(out, a[y0:y0+wh, x0:x0+ww])
+
+    def test_window_extent(self):
+        a = np.zeros((10, 10), dtype=np.uint8)
+        ext = Extent(0.0, 0.0, 10.0, 10.0)
+        data = tiff_encode(a, extent=ext, rows_per_strip=2)
+        _, wext = tiff_decode_window(data, 2, 3, 4, 5)
+        assert (wext.xmin, wext.ymax, wext.xmax, wext.ymin) == (2.0, 7.0, 6.0, 2.0)
+
+    def test_window_out_of_bounds_raises(self):
+        a = np.zeros((10, 10), dtype=np.uint8)
+        data = tiff_encode(a)
+        with pytest.raises(ValueError):
+            tiff_decode_window(data, 5, 5, 10, 2)

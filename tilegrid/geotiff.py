@@ -289,10 +289,8 @@ def _dtype(bits: int, fmt: int, bo: str) -> np.dtype:
     return np.dtype(e + {8: "u1", 16: "u2", 32: "u4"}[bits])
 
 
-def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
-    """Decode -> ((h, w) or (h, w, bands) array, Extent or None).
-    Accepts classic TIFF (version 42) and BigTIFF (version 43, 64-bit
-    offsets — the layout >4 GiB rasters are written in)."""
+def _open_tiff(data: bytes) -> tuple[str, dict]:
+    """Parse header + IFD -> (byte order, tags)."""
     big = False
     if data[:4] == b"II*\x00":
         bo = "<"
@@ -308,7 +306,14 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
         osz, pad = struct.unpack_from(bo + "HH", data, 4)
         if osz != 8 or pad != 0:
             raise ValueError(f"BigTIFF with offset size {osz} unsupported")
-    tags = _read_ifd(data, bo, big)
+    return bo, _read_ifd(data, bo, big)
+
+
+def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
+    """Decode -> ((h, w) or (h, w, bands) array, Extent or None).
+    Accepts classic TIFF (version 42) and BigTIFF (version 43, 64-bit
+    offsets — the layout >4 GiB rasters are written in)."""
+    bo, tags = _open_tiff(data)
     w, h = tags[_W][0], tags[_H][0]
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])[0]
@@ -370,6 +375,85 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
     return arr2, ext
 
 
+def tiff_decode_window(
+    data: bytes, x0: int, y0: int, ww: int, wh: int
+) -> tuple[np.ndarray, Extent | None]:
+    """Windowed read — decode ONLY the strips/tiles intersecting the pixel
+    window [x0, x0+ww) x [y0, y0+wh) (the reference's WindowedGeoTiffReader,
+    raster/.../io/geotiff/SinglebandGeoTiff.scala:61-88 + windowed docs
+    docs/raster/WindowedGeoTiffReaderDemo.md). Returns ((wh, ww) or
+    (wh, ww, bands) array, window Extent or None). Cost scales with the
+    window's share of the file's chunks, not the file size."""
+    bo, tags = _open_tiff(data)
+    w, h = tags[_W][0], tags[_H][0]
+    if not (0 <= x0 and 0 <= y0 and x0 + ww <= w and y0 + wh <= h and ww > 0 and wh > 0):
+        raise ValueError(f"window {(x0, y0, ww, wh)} outside raster {w}x{h}")
+    spp = tags.get(_SPP, [1])[0]
+    bits = tags.get(_BITS, [8])[0]
+    comp = tags.get(_COMP, [1])[0]
+    fmt = tags.get(_SAMPLE_FMT, [1])[0]
+    planar = tags.get(_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported PlanarConfiguration {planar}")
+    dt = _dtype(bits, fmt, bo)
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    out = np.zeros((wh, ww, spp), dtype=dt.newbyteorder("="))
+    chunk_spp = 1 if planar == 2 else spp
+    n_bands = spp if planar == 2 else 1
+    if _TILE_OFF in tags:
+        tw, th = tags[_TILE_W][0], tags[_TILE_H][0]
+        offs, cnts = tags[_TILE_OFF], tags[_TILE_CNT]
+        tiles_across = -(-w // tw)
+        tiles_down = -(-h // th)
+        per_band = tiles_across * tiles_down
+        for b in range(n_bands):
+            for tyi in range(y0 // th, (y0 + wh - 1) // th + 1):
+                for txi in range(x0 // tw, (x0 + ww - 1) // tw + 1):
+                    idx = b * per_band + tyi * tiles_across + txi
+                    raw = _decompress(data[offs[idx] : offs[idx] + cnts[idx]], comp)
+                    arr = _chunk_to_array(raw, predictor, dt, th, tw, chunk_spp)
+                    ty, tx = tyi * th, txi * tw
+                    sy0, sx0 = max(y0 - ty, 0), max(x0 - tx, 0)
+                    sy1 = min(y0 + wh - ty, th, h - ty)
+                    sx1 = min(x0 + ww - tx, tw, w - tx)
+                    dy0, dx0 = ty + sy0 - y0, tx + sx0 - x0
+                    piece = arr[sy0:sy1, sx0:sx1]
+                    if planar == 2:
+                        out[dy0 : dy0 + piece.shape[0],
+                            dx0 : dx0 + piece.shape[1], b : b + 1] = piece
+                    else:
+                        out[dy0 : dy0 + piece.shape[0],
+                            dx0 : dx0 + piece.shape[1]] = piece
+    else:
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        offs, cnts = tags[_STRIP_OFF], tags[_STRIP_CNT]
+        per_band = len(offs) // spp if planar == 2 else len(offs)
+        for b in range(n_bands):
+            for k in range(y0 // rps, (y0 + wh - 1) // rps + 1):
+                idx = b * per_band + k
+                raw = _decompress(data[offs[idx] : offs[idx] + cnts[idx]], comp)
+                sy = k * rps
+                rows = min(rps, h - sy)
+                arr = _chunk_to_array(raw, predictor, dt, rows, w, chunk_spp)
+                sy0 = max(y0 - sy, 0)
+                sy1 = min(y0 + wh - sy, rows)
+                dy0 = sy + sy0 - y0
+                piece = arr[sy0:sy1, x0 : x0 + ww]
+                if planar == 2:
+                    out[dy0 : dy0 + piece.shape[0], :, b : b + 1] = piece
+                else:
+                    out[dy0 : dy0 + piece.shape[0]] = piece
+    ext = None
+    if _PIXEL_SCALE in tags and _TIEPOINT in tags:
+        sx, sy = tags[_PIXEL_SCALE][0], tags[_PIXEL_SCALE][1]
+        tp = tags[_TIEPOINT]
+        i, j, x, y_ = tp[0], tp[1], tp[3], tp[4]
+        xmin = (x - i * sx) + x0 * sx
+        ymax = (y_ + j * sy) - y0 * sy
+        ext = Extent(xmin, ymax - wh * sy, xmin + ww * sx, ymax)
+    return (out[:, :, 0] if spp == 1 else out), ext
+
+
 def tiff_encode(
     arr: np.ndarray,
     extent: Extent | None = None,
@@ -377,6 +461,7 @@ def tiff_encode(
     predictor: int = 1,
     bigtiff: bool = False,
     planar: int = 1,
+    rows_per_strip: int | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) uint8/uint16/float32/float64 as a
     little-endian striped (Geo)TIFF. compress: True/"deflate", "lzw",
@@ -384,8 +469,11 @@ def tiff_encode(
     samples), 3 (floating-point). bigtiff: version-43 layout with 64-bit
     counts/offsets (strip offset/count as LONG8) — required once any
     offset would exceed 2^32; enable for >4 GiB outputs. planar: 1
-    (pixel-interleaved, chunky) or 2 (PlanarConfiguration 2 — one strip
-    per band, each compressed separately)."""
+    (pixel-interleaved, chunky) or 2 (PlanarConfiguration 2 — band-
+    separate strips, each compressed separately). rows_per_strip: chunk
+    the image into multiple strips of this many rows (default: one strip
+    of h rows) — write multi-strip files so tiff_decode_window can skip
+    chunks outside its window."""
     a = np.ascontiguousarray(arr)
     h, w = a.shape[:2]
     spp = a.shape[2] if a.ndim == 3 else 1
@@ -405,16 +493,23 @@ def tiff_encode(
     if predictor == 3 and kind != "f":
         raise ValueError("predictor 3 requires float samples")
 
-    def band_body(band: np.ndarray, bspp: int) -> bytes:
-        if predictor == 1:
-            return np.ascontiguousarray(band).astype(
-                band.dtype.newbyteorder("<")).tobytes()
-        return _apply_predictor(band.reshape(h, w, bspp), predictor)
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+
+    def strip_bodies(band: np.ndarray, bspp: int) -> list[bytes]:
+        out = []
+        for y in range(0, h, rps):
+            rows = np.ascontiguousarray(band[y : y + rps])
+            if predictor == 1:
+                out.append(rows.astype(rows.dtype.newbyteorder("<")).tobytes())
+            else:  # both predictors are row-local: per-strip == whole-image
+                out.append(_apply_predictor(
+                    rows.reshape(rows.shape[0], w, bspp), predictor))
+        return out
 
     if planar == 2:
-        bodies = [band_body(a[:, :, b], 1) for b in range(spp)]
+        bodies = [s for b in range(spp) for s in strip_bodies(a[:, :, b], 1)]
     else:
-        bodies = [band_body(a, spp)]
+        bodies = strip_bodies(a, spp)
     if compress is True or compress == "deflate":
         comp, payloads = 8, [zlib.compress(b, 6) for b in bodies]
     elif compress == "lzw":
@@ -439,7 +534,7 @@ def tiff_encode(
     add(_COMP, 3, [comp], "H")
     add(_PHOTO, 3, [2 if spp >= 3 else 1], "H")
     add(_SPP, 3, [spp], "H")
-    add(_ROWS_PER_STRIP, 4, [h], "I")
+    add(_ROWS_PER_STRIP, 4, [rps], "I")
     add(_STRIP_CNT, off_c, [len(p) for p in payloads], off_t)
     add(_SAMPLE_FMT, 3, [fmt] * spp, "H")
     if planar == 2:
