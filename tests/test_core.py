@@ -802,3 +802,51 @@ class TestHullSimplify:
         # kept points appear in original order
         idx = [np.where((line == p).all(axis=1))[0][0] for p in out]
         assert idx == sorted(idx)
+
+
+class TestReclassify:
+    """BreakMap boundary semantics (render/BreakMap.scala:88-121) via the
+    distributed reclassify over a single-tile layer."""
+
+    def _run(self, spark, arr, **kw):
+        import pandas as pd
+        from tilegrid import codec
+        from tilegrid.cell import z2_encode
+        from tilegrid.operators.local import reclassify
+
+        pdf = pd.DataFrame([{
+            "zoom": np.int32(0), "col": np.int32(0), "row": np.int32(0),
+            "cell": np.int64(z2_encode(0, 0)),
+            "tile": codec.raw_encode(np.ascontiguousarray(arr)),
+            "h": np.int32(arr.shape[0]), "w": np.int32(arr.shape[1]),
+            "fmt": "raw",
+        }])
+        out = reclassify(spark.createDataFrame(pdf), **kw).toPandas()
+        return codec.decode_tile(bytes(out.iloc[0]["tile"]), out.iloc[0]["fmt"])
+
+    def test_lte_default(self, spark):
+        arr = np.array([[0.0, 1.0, 1.5, 3.0, 99.0, np.nan]])
+        got = self._run(spark, arr, break_map={1.0: 10.0, 3.0: 20.0})
+        np.testing.assert_array_equal(
+            got, [[10.0, 10.0, 20.0, 20.0, np.nan, np.nan]])
+
+    def test_lt_excludes_break(self, spark):
+        arr = np.array([[1.0, 0.99, 3.0]])
+        got = self._run(spark, arr, break_map={1.0: 10.0, 3.0: 20.0},
+                        boundary="lt")
+        np.testing.assert_array_equal(got, [[20.0, 10.0, np.nan]])
+
+    def test_gte_and_gt(self, spark):
+        arr = np.array([[0.5, 1.0, 2.0]])
+        got = self._run(spark, arr, break_map={1.0: 10.0, 2.0: 20.0},
+                        boundary="gte")
+        np.testing.assert_array_equal(got, [[np.nan, 10.0, 20.0]])
+        got = self._run(spark, arr, break_map={1.0: 10.0, 2.0: 20.0},
+                        boundary="gt")
+        np.testing.assert_array_equal(got, [[np.nan, np.nan, 10.0]])
+
+    def test_exact_with_fallback(self, spark):
+        arr = np.array([[1.0, 1.5, 2.0]])
+        got = self._run(spark, arr, break_map={1.0: 10.0, 2.0: 20.0},
+                        boundary="exact", fallback=-1.0)
+        np.testing.assert_array_equal(got, [[10.0, -1.0, 20.0]])

@@ -222,3 +222,51 @@ def local_if(layer: DataFrame, cond, true_value: float, false_value: float | Non
             yield pdf[["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]]
 
     return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
+def reclassify(
+    layer: DataFrame,
+    break_map: dict[float, float],
+    boundary: str = "lte",
+    fallback: float = float("nan"),
+) -> DataFrame:
+    """BreakMap reclassification (raster/.../render/BreakMap.scala:36-135):
+    each cell maps to the value of the break bucket it falls in under the
+    boundary rule — "lte" (the reference's MapStrategy default: smallest
+    break >= z), "lt", "gte" (largest break <= z), "gt", or "exact".
+    Cells outside every bucket get `fallback` (the reference's non-strict
+    NODATA default); NoData stays NoData. The per-tile binary search is a
+    vectorized np.searchsorted over the sorted breaks — one batch pass."""
+    breaks = np.asarray(sorted(break_map), np.float64)
+    values = np.asarray([break_map[b] for b in sorted(break_map)], np.float64)
+    if boundary not in ("lte", "lt", "gte", "gt", "exact"):
+        raise ValueError(f"unknown boundary {boundary!r}")
+
+    def classify(arr: np.ndarray) -> np.ndarray:
+        if boundary in ("lte", "lt"):
+            idx = np.searchsorted(breaks, arr,
+                                  side="left" if boundary == "lte" else "right")
+            ok = idx < len(breaks)
+        elif boundary in ("gte", "gt"):
+            idx = np.searchsorted(breaks, arr,
+                                  side="right" if boundary == "gte" else "left") - 1
+            ok = idx >= 0
+        else:  # exact
+            idx = np.searchsorted(breaks, arr, side="left")
+            ok = (idx < len(breaks)) & (breaks[np.minimum(idx, len(breaks) - 1)] == arr)
+        out = np.full(arr.shape, fallback)
+        np.copyto(out, values[np.clip(idx, 0, len(breaks) - 1)], where=ok)
+        out[np.isnan(arr)] = np.nan
+        return out
+
+    def run(it):
+        for pdf in it:
+            tiles = []
+            for t, f in zip(pdf["tile"], pdf["fmt"]):
+                tiles.append(codec.raw_encode(classify(_dec(t, f))))
+            pdf = pdf.copy()
+            pdf["tile"] = tiles
+            pdf["fmt"] = "raw"
+            yield pdf[["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]]
+
+    return layer.mapInPandas(run, LAYER_SCHEMA)

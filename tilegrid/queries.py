@@ -783,6 +783,32 @@ FROM s JOIN nd ON nd.col = s.col AND nd.row = s.row
 """
 
 
+def q_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BreakMap reclassification (render/BreakMap.scala:36-135,
+    LessThanOrEqualTo strategy): count raster binned to {<=0: 5, <=1: 10,
+    <=3: 20, <=10: 30}, cells above every break falling back to NoData
+    (dropped on both engines)."""
+    from .operators.local import reclassify
+
+    dense = _count_raster(spark, sf_dir)
+    out = reclassify(dense, {0.0: 5.0, 1.0: 10.0, 3.0: 20.0, 10.0: 30.0})
+    return _layer_pixels(out)
+
+
+def _o_reclassify() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(3 AS INT) AS zoom,
+       CAST(gx // 32 AS INT) AS col, CAST(gy // 32 AS INT) AS row,
+       CAST(gx % 32 AS INT) AS px, CAST(gy % 32 AS INT) AS py,
+       CASE WHEN cnt <= 0.0 THEN CAST(5.0 AS DOUBLE)
+            WHEN cnt <= 1.0 THEN 10.0
+            WHEN cnt <= 3.0 THEN 20.0
+            WHEN cnt <= 10.0 THEN 30.0 END AS val
+FROM dense WHERE cnt <= 10.0
+"""
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-H/T-T streaming histogram under the driver gate
     (StreamingHistogram.scala:33-629; tilegrid/sketch.py): sketch the
@@ -3309,6 +3335,7 @@ QUERIES = {
     "temporal_max": q_temporal_max,
     "conway": q_conway,
     "sketch_quantiles": q_sketch_quantiles,
+    "reclassify": q_reclassify,
     "reproject_wm": q_reproject_wm,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
@@ -3380,6 +3407,7 @@ ORACLES = {
     "temporal_max": _o_temporal_max(),
     "conway": _o_conway(),
     "sketch_quantiles": _o_sketch_quantiles(),
+    "reclassify": _o_reclassify(),
     "reproject_wm": _o_reproject_wm(),
     "band_stats": _o_band_stats(),
     "ndvi": _o_ndvi(),
