@@ -549,6 +549,28 @@ HAVING sum(cnt) > 0
 """
 
 
+def q_pyramid_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid.up with an aggregate resample METHOD other than the default
+    (Pyramid.scala:45-238 + Resample.scala:25-36 Max kernel): zoom 3 -> 2,
+    2x2 max decimation — exercises the method-dispatch path of the same
+    4-children groupBy plan."""
+    dense = _count_raster(spark, sf_dir)
+    return _layer_pixels(pyramid_up(dense, method="max"))
+
+
+def _o_pyramid_max() -> str:
+    return f"""
+WITH {_o_dense_grid()}
+SELECT CAST(2 AS INT) AS zoom,
+       CAST((gx // 2) // 32 AS INT) AS col, CAST((gy // 2) // 32 AS INT) AS row,
+       CAST((gx // 2) % 32 AS INT) AS px, CAST((gy // 2) % 32 AS INT) AS py,
+       max(cnt) AS val
+FROM dense
+GROUP BY gx // 2, gy // 2
+HAVING max(cnt) > 0
+"""
+
+
 def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-distance-weighted interpolation of event values onto the
     zoom-3 pixel grid (InverseDistanceWeighted.scala, power=2, quantized
@@ -3312,6 +3334,9 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "split_sum": q_split_sum,
     "region_group": q_region_group,
+    # code changed in round 3 (localCheckpoint label loop) — keep inside
+    # the driver's sweep cap
+    "vectorize": q_vectorize,
     # --- core raster/vector/join inventory (hash-green r02)
     "tile_assign": q_tile_assign,
     "zorder_topk": q_zorder_topk,
@@ -3336,6 +3361,7 @@ QUERIES = {
     "conway": q_conway,
     "sketch_quantiles": q_sketch_quantiles,
     "reclassify": q_reclassify,
+    "pyramid_max": q_pyramid_max,
     "reproject_wm": q_reproject_wm,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
@@ -3356,7 +3382,6 @@ QUERIES = {
     "slope": q_slope,
     "aspect": q_aspect,
     "hillshade": q_hillshade,
-    "vectorize": q_vectorize,
     "render_png": q_render_png,
     "hist_equalization": q_hist_equalization,
     "hist_matching": q_hist_matching,
@@ -3408,6 +3433,7 @@ ORACLES = {
     "conway": _o_conway(),
     "sketch_quantiles": _o_sketch_quantiles(),
     "reclassify": _o_reclassify(),
+    "pyramid_max": _o_pyramid_max(),
     "reproject_wm": _o_reproject_wm(),
     "band_stats": _o_band_stats(),
     "ndvi": _o_ndvi(),
