@@ -443,3 +443,62 @@ class TestRender:
             assert tuple(out[0, 0, :3]) == first, name
             assert tuple(out[0, 1, :3]) == last, name
             assert out[0, 2, 3] == 0, name
+
+
+class TestLayerUpdate:
+    def _tile_df(self, spark, keyvals, fill):
+        from tilegrid.cell import z2_encode
+        rows = []
+        for col, row in keyvals:
+            arr = np.full((16, 16), float(fill))
+            rows.append({
+                "zoom": np.int32(8), "col": np.int32(col), "row": np.int32(row),
+                "cell": np.int64(z2_encode(col, row)),
+                "tile": codec.raw_encode(arr),
+                "h": np.int32(16), "w": np.int32(16), "fmt": "raw",
+            })
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_replace_mode(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        IO.write_layer(layer_df(spark, "all-ones"), root, "l", 8, meta=make_meta())
+        n0 = IO.read_layer(spark, root, "l", 8).count()
+        upd = self._tile_df(spark, [(1, 1), (7, 7)], 9.0)  # (1,1) exists
+        IO.update_layer(spark, upd, root, "l", 8)
+        got = IO.read_layer(spark, root, "l", 8).toPandas()
+        assert len(got) == n0 + 1  # one new key appended
+        r = got[(got.col == 1) & (got.row == 1)].iloc[0]
+        assert (codec.decode_tile(bytes(r["tile"]), r["fmt"]) == 9.0).all()
+        assert IO.verify_manifest(spark, root, "l", 8)  # manifest refreshed
+        meta = AttributeStore(root).read_meta("l", 8)
+        assert meta.bounds.col_max == 7 and meta.bounds.row_max == 7
+
+    def test_merge_mode_fills_nodata(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        base = self._tile_df(spark, [(2, 2)], 1.0)
+        IO.write_layer(base, root, "m", 8, meta=make_meta())
+        # incoming tile: NaN except one pixel
+        from tilegrid.cell import z2_encode
+        arr = np.full((16, 16), np.nan)
+        arr[3, 4] = 42.0
+        upd = spark.createDataFrame(pd.DataFrame([{
+            "zoom": np.int32(8), "col": np.int32(2), "row": np.int32(2),
+            "cell": np.int64(z2_encode(2, 2)),
+            "tile": codec.raw_encode(arr), "h": np.int32(16),
+            "w": np.int32(16), "fmt": "raw",
+        }]))
+        IO.update_layer(spark, upd, root, "m", 8, mode="merge")
+        got = IO.read_layer(spark, root, "m", 8).toPandas()
+        t = codec.decode_tile(bytes(got.iloc[0]["tile"]), got.iloc[0]["fmt"])
+        assert t[3, 4] == 42.0          # incoming wins where it has data
+        assert t[0, 0] == 1.0           # stored fills incoming NoData
+        assert not np.isnan(t).any()
+
+    def test_empty_update_raises(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        IO.write_layer(layer_df(spark, "all-ones"), root, "e", 8, meta=make_meta())
+        empty = spark.createDataFrame(
+            [], "zoom int, col int, row int, cell long, tile binary,"
+            " h int, w int, fmt string")
+        with pytest.raises(ValueError):
+            IO.update_layer(spark, empty, root, "e", 8)

@@ -23,6 +23,7 @@ whose marker exists (resumable ingest).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -205,6 +206,64 @@ def read_layer(
         for f in where:
             df = df.where(_filter_to_sql(f, meta))
     return df
+
+
+def update_layer(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    name: str,
+    zoom: int,
+    mode: str = "replace",
+) -> None:
+    """LayerUpdater.update (spark/.../io/LayerUpdater.scala:34-71): merge
+    incoming records into a stored level. mode="replace" is the
+    reference's default mergeFunc `(existing, updating) => updating` —
+    incoming tiles replace whole stored tiles at their keys, other keys
+    pass through (pure Catalyst: union + left-anti, no pixel work).
+    mode="merge" combines per pixel — incoming wins where it has data,
+    the stored tile fills its NoData (TileRDDMerge paste semantics).
+    Stored metadata bounds and data extent expand to cover the update
+    (the Mergable metadata combine); an empty update raises (EmptyBounds
+    parity, LayerUpdater.scala:68-69).
+
+    The merged level is localCheckpoint-materialized to break the
+    read->overwrite cycle, then rewritten through write_layer so SFC
+    sort, lineage manifest, and checkpoint marker are all refreshed. The
+    level must fit executor storage (memory+disk) during the swap; for
+    out-of-core updates, write to a staging name and swap paths."""
+    from ..grid import GridBounds
+    from ..operators.reshape import merge_layers
+
+    kb = df.agg(
+        F.min("col"), F.max("col"), F.min("row"), F.max("row"), F.count("*")
+    ).collect()[0]
+    if kb[4] == 0:
+        raise ValueError(f"cannot update layer {name} with empty bounds")
+    existing = read_layer(spark, root, name, zoom)
+    if mode == "replace":
+        keys = ["zoom", "col", "row"]
+        merged = df.unionByName(existing.join(df.select(keys), keys, "left_anti"))
+    elif mode == "merge":
+        merged = merge_layers(df, existing)
+    else:
+        raise ValueError(f"mode must be 'replace' or 'merge', got {mode!r}")
+    merged = merged.localCheckpoint()
+    store = AttributeStore(root)
+    meta = store.read_meta(name, zoom)
+    if meta is not None:
+        upd = GridBounds(int(kb[0]), int(kb[2]), int(kb[1]), int(kb[3]))
+        nb = meta.bounds.combine(upd)
+        mt = meta.layout.map_transform
+        ext = meta.extent.expand_to_include(
+            mt.extent_for_key(upd.col_min, upd.row_min)
+        ).expand_to_include(mt.extent_for_key(upd.col_max, upd.row_max))
+        meta = dataclasses.replace(meta, bounds=nb, extent=ext)
+    # marker must not short-circuit the rewrite
+    ckpt = os.path.join(root, "_checkpoints", name, f"zoom={zoom}.done")
+    if fsutil.exists(ckpt):
+        fsutil.write_text(ckpt, json.dumps({"zoom": zoom, "stale": True}))
+    write_layer(merged, root, name, zoom, meta=meta)
 
 
 def verify_manifest(spark: SparkSession, root: str, name: str, zoom: int) -> bool:
