@@ -166,9 +166,18 @@ N->4N executor criterion.
 
 Per-query timings land in the driver's BENCH_r{{N}}.json (bench.py output).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH.md")
+    # replace only the scaling sections; preserve everything after the
+    # per-query marker line (triage notes, codec benches, headline tables)
+    path = os.path.join(REPO, "BENCH.md")
+    marker = "Per-query timings land in the driver's BENCH_r{N}.json (bench.py output).\n"
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            tail = prev.split(marker, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + tail)
+    print("wrote BENCH.md (scaling sections replaced, rest preserved)")
 
 
 if __name__ == "__main__":
