@@ -1,0 +1,395 @@
+"""Projection module tests (reference parity: proj4/src/main/java/org/osgeo/proj4j/).
+
+Validation strategy (no external geodesy lib in the sandbox):
+  * round-trips forward->inverse to sub-mm over each projection's domain
+  * spherical-limit cross-checks: with f=0 the ellipsoidal series must match
+    the EXACT closed-form spherical projection formulas (independent algebra)
+  * differential-geometry properties measured with numerical Jacobians
+    against the ellipsoid metric: conformal projections are isotropic
+    (h == k), equal-area projections have unit area distortion, and the
+    TM scale on the central meridian is exactly k0
+  * the three parallel forward implementations (NumPy / pyspark Column /
+    DuckDB SQL) agree on the same inputs
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from tilegrid import proj as P
+
+RNG = np.random.default_rng(7)
+
+
+def _grid(lon_lo, lon_hi, lat_lo, lat_hi, n=9):
+    lons = np.linspace(lon_lo, lon_hi, n)
+    lats = np.linspace(lat_lo, lat_hi, n)
+    LO, LA = np.meshgrid(lons, lats)
+    return LO.ravel(), LA.ravel()
+
+
+# --------------------------------------------------------------- round-trips
+
+
+@pytest.mark.parametrize(
+    "p, dom",
+    [
+        # UTM zones are 6 deg wide: the series round-trips sub-mm inside the
+        # zone (lon0 +- 3 deg); outside, truncation grows fast (Snyder p.58)
+        (P.utm(33), (12.0, 18.0, -80.0, 84.0)),
+        (P.utm(1, south=True), (-180.0, -174.0, -80.0, -1.0)),
+        (P.Mercator(P.SPHERE), (-179.0, 179.0, -85.0, 85.0)),
+        (P.Mercator(P.WGS84, lon0=10.0, k0=0.98), (-100.0, 120.0, -80.0, 80.0)),
+        (P.LambertConformalConic(P.WGS84), (-130.0, -60.0, 20.0, 55.0)),
+        (P.AlbersEqualArea(P.GRS80), (-130.0, -60.0, 15.0, 55.0)),
+        (P.PolarStereographic(P.WGS84, lat_ts=70.0, lon0=-45.0), (-180.0, 179.0, 60.0, 89.5)),
+        (
+            P.PolarStereographic(P.WGS84, lat_ts=-71.0, lon0=0.0, north=False),
+            (-180.0, 179.0, -89.5, -60.0),
+        ),
+        (P.Sinusoidal(P.MODIS_SPHERE), (-170.0, 170.0, -85.0, 85.0)),
+        (P.Sinusoidal(P.WGS84), (-170.0, 170.0, -85.0, 85.0)),
+    ],
+)
+def test_roundtrip(p, dom):
+    lon, lat = _grid(*dom)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    # 1e-7 deg ~ 1 cm; TM series round-trips sub-mm inside its zone
+    np.testing.assert_allclose(lon2, lon, atol=1e-7, rtol=0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-7, rtol=0)
+
+
+# ------------------------------------------------- spherical-limit identities
+
+
+def test_tmerc_spherical_limit():
+    """Snyder 8-1..8-3 exact spherical TM vs our series with f=0: within 3 deg
+    of the central meridian the truncated series must agree to < 1 cm."""
+    R, k0 = 6370997.0, 0.9996
+    sph = P.Ellipsoid(R, 0.0)
+    p = P.TransverseMercator(sph, lon0=15.0, lat0=0.0, k0=k0, fe=0.0, fn=0.0)
+    lon, lat = _grid(12.0, 18.0, -75.0, 75.0)
+    x, y = p.forward(lon, lat)
+    lam = np.radians(lon - 15.0)
+    phi = np.radians(lat)
+    B = np.cos(phi) * np.sin(lam)
+    x_exact = R * k0 * np.arctanh(B)
+    y_exact = R * k0 * (np.arctan2(np.tan(phi), np.cos(lam)))
+    np.testing.assert_allclose(x, x_exact, atol=0.01, rtol=0)
+    np.testing.assert_allclose(y, y_exact, atol=0.01, rtol=0)
+
+
+def test_lcc_spherical_limit():
+    """Snyder 15-1..15-6 exact spherical LCC vs the ellipsoidal code at e=0."""
+    R = 6370997.0
+    sph = P.Ellipsoid(R, 0.0)
+    p = P.LambertConformalConic(sph, lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0)
+    lon, lat = _grid(-120.0, -70.0, 22.0, 52.0)
+    x, y = p.forward(lon, lat)
+    p1, p2, p0 = math.radians(33.0), math.radians(45.0), math.radians(39.0)
+    n = math.log(math.cos(p1) / math.cos(p2)) / math.log(
+        math.tan(math.pi / 4 + p2 / 2) / math.tan(math.pi / 4 + p1 / 2)
+    )
+    F = math.cos(p1) * math.tan(math.pi / 4 + p1 / 2) ** n / n
+    rho0 = R * F / math.tan(math.pi / 4 + p0 / 2) ** n
+    phi = np.radians(lat)
+    th = n * np.radians(lon + 96.0)
+    rho = R * F / np.tan(math.pi / 4 + phi / 2) ** n
+    np.testing.assert_allclose(x, rho * np.sin(th), rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(y, rho0 - rho * np.cos(th), rtol=1e-12, atol=1e-6)
+
+
+def test_albers_spherical_limit():
+    """Snyder 14-1..14-6 exact spherical Albers vs the ellipsoidal code at e=0."""
+    R = 6370997.0
+    sph = P.Ellipsoid(R, 0.0)
+    p = P.AlbersEqualArea(sph, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0)
+    lon, lat = _grid(-120.0, -70.0, 17.0, 52.0)
+    x, y = p.forward(lon, lat)
+    p1, p2, p0 = math.radians(29.5), math.radians(45.5), math.radians(23.0)
+    n = (math.sin(p1) + math.sin(p2)) / 2.0
+    C = math.cos(p1) ** 2 + 2.0 * n * math.sin(p1)
+    rho0 = R * math.sqrt(C - 2.0 * n * math.sin(p0)) / n
+    phi = np.radians(lat)
+    th = n * np.radians(lon + 96.0)
+    rho = R * np.sqrt(C - 2.0 * n * np.sin(phi)) / n
+    np.testing.assert_allclose(x, rho * np.sin(th), rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(y, rho0 - rho * np.cos(th), rtol=1e-12, atol=1e-6)
+
+
+def test_stere_spherical_limit():
+    """Snyder 21-7/21-8 exact spherical polar stereographic at e=0."""
+    R = 6370997.0
+    sph = P.Ellipsoid(R, 0.0)
+    p = P.PolarStereographic(sph, lat_ts=70.0, lon0=-45.0)
+    lon, lat = _grid(-180.0, 170.0, 60.0, 89.0)
+    x, y = p.forward(lon, lat)
+    phi = np.radians(lat)
+    lam = np.radians(lon + 45.0)
+    # rho = 2 R tan(pi/4 - phi/2) * (1 + sin(lat_ts)) / 2
+    k_ts = (1.0 + math.sin(math.radians(70.0))) / 2.0
+    rho = 2.0 * R * k_ts * np.tan(math.pi / 4 - phi / 2)
+    np.testing.assert_allclose(x, rho * np.sin(lam), rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(y, -rho * np.cos(lam), rtol=1e-12, atol=1e-6)
+
+
+def test_webmercator_matches_grid_module():
+    from tilegrid.grid import lnglat_to_webmercator
+
+    p = P.crs("epsg:3857")
+    lon, lat = _grid(-179.0, 179.0, -85.0, 85.0)
+    x, y = p.forward(lon, lat)
+    xg, yg = lnglat_to_webmercator(lon, lat)
+    np.testing.assert_allclose(x, xg, rtol=1e-14)
+    np.testing.assert_allclose(y, yg, rtol=1e-12, atol=1e-9)
+
+
+# ---------------------------------------------- differential-geometry checks
+
+
+def _jacobian(p, lon, lat, h=1e-6):
+    x_e, y_e = p.forward(lon + h, lat)
+    x_w, y_w = p.forward(lon - h, lat)
+    x_n, y_n = p.forward(lon, lat + h)
+    x_s, y_s = p.forward(lon, lat - h)
+    hr = math.radians(h)
+    return (
+        (x_e - x_w) / (2 * hr),
+        (y_e - y_w) / (2 * hr),
+        (x_n - x_s) / (2 * hr),
+        (y_n - y_s) / (2 * hr),
+    )
+
+
+def _metric(el, lat):
+    phi = np.radians(lat)
+    s2 = np.sin(phi) ** 2
+    nu = el.a / np.sqrt(1.0 - el.e2 * s2)  # prime vertical radius
+    rho = el.a * (1.0 - el.e2) / (1.0 - el.e2 * s2) ** 1.5  # meridian radius
+    return nu * np.cos(phi), rho
+
+
+@pytest.mark.parametrize(
+    "p, dom",
+    [
+        (P.utm(33), (12.5, 17.5, -70.0, 70.0)),
+        (P.Mercator(P.WGS84), (-150.0, 150.0, -75.0, 75.0)),
+        (P.LambertConformalConic(P.WGS84), (-120.0, -70.0, 25.0, 50.0)),
+        (P.PolarStereographic(P.WGS84, lat_ts=70.0, lon0=-45.0), (-170.0, 170.0, 62.0, 88.0)),
+    ],
+)
+def test_conformal_isotropy(p, dom):
+    """Conformal projections: meridian scale h equals parallel scale k."""
+    lon, lat = _grid(*dom, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    k = np.hypot(dxl, dyl) / par_len
+    h = np.hypot(dxp, dyp) / mer_len
+    np.testing.assert_allclose(h, k, rtol=5e-5)
+
+
+def test_albers_unit_area_distortion():
+    """Equal-area: |det J| equals the ellipsoid area element everywhere."""
+    p = P.AlbersEqualArea(P.GRS80)
+    lon, lat = _grid(-125.0, -65.0, 18.0, 55.0, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    det = np.abs(dxl * dyp - dyl * dxp)
+    np.testing.assert_allclose(det, par_len * mer_len, rtol=5e-5)
+
+
+def test_sinusoidal_unit_area_distortion():
+    p = P.Sinusoidal(P.WGS84)
+    lon, lat = _grid(-150.0, 150.0, -75.0, 75.0, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    det = np.abs(dxl * dyp - dyl * dxp)
+    np.testing.assert_allclose(det, par_len * mer_len, rtol=5e-5)
+
+
+def test_utm_central_meridian_anchors():
+    p = P.utm(31)  # lon0 = 3
+    x, y = p.forward(3.0, 0.0)
+    assert abs(float(x) - 500000.0) < 1e-6 and abs(float(y)) < 1e-6
+    # scale on the central meridian is exactly k0
+    dxl, dyl, dxp, dyp = _jacobian(p, np.array([3.0]), np.array([40.0]))
+    _, mer_len = _metric(p.ellipsoid, np.array([40.0]))
+    np.testing.assert_allclose(np.hypot(dxp, dyp) / mer_len, 0.9996, rtol=1e-7)
+    # southern-hemisphere false northing
+    ps = P.utm(31, south=True)
+    _, ys = ps.forward(3.0, 0.0)
+    assert abs(float(ys) - 10000000.0) < 1e-6
+
+
+# ------------------------------------------------------- registry + transform
+
+
+def test_registry_and_parser():
+    assert isinstance(P.crs("epsg:32633"), P.TransverseMercator)
+    assert P.crs("epsg:32733").fn == 10000000.0
+    assert P.crs("utm:18n").lon0 == -75.0
+    assert isinstance(P.crs("epsg:5070"), P.AlbersEqualArea)
+    assert isinstance(P.crs("epsg:2154"), P.LambertConformalConic)
+    assert P.crs("epsg:2154").fe == 700000.0
+    assert isinstance(P.crs("epsg:3413"), P.PolarStereographic)
+    assert not P.crs("epsg:3976").north
+    assert isinstance(P.crs("modis"), P.Sinusoidal)
+    assert P.crs("modis").ellipsoid.a == 6371007.181
+    lcc = P.crs("+proj=lcc +lat_1=40 +lat_2=50 +lat_0=45 +lon_0=5 +x_0=1000")
+    assert lcc.lat1 == 40.0 and lcc.fe == 1000.0
+    with pytest.raises(ValueError):
+        P.crs("epsg:99999")
+    with pytest.raises(ValueError):
+        P.crs("+proj=nosuch")
+
+
+def test_transform_chain():
+    lon, lat = _grid(9.5, 20.5, 35.0, 60.0, n=5)
+    x, y = P.crs("webmercator").forward(lon, lat)
+    xu, yu = P.transform("epsg:3857", "epsg:32633", x, y)
+    xe, ye = P.crs("epsg:32633").forward(lon, lat)
+    np.testing.assert_allclose(xu, xe, atol=1e-6)
+    np.testing.assert_allclose(yu, ye, atol=1e-6)
+    fn = P.transform_fn("epsg:32633", "epsg:3857")
+    x2, y2 = fn(xu, yu)
+    np.testing.assert_allclose(x2, x, atol=1e-5)
+    np.testing.assert_allclose(y2, y, atol=1e-5)
+
+
+# ------------------------------------------- NumPy / Column / SQL twin parity
+
+
+_TWIN_PROJS = [
+    P.utm(33),
+    P.Mercator(P.SPHERE),
+    P.Mercator(P.WGS84, lon0=7.0, k0=0.9996),
+    P.LambertConformalConic(P.WGS84),
+    P.Sinusoidal(P.MODIS_SPHERE),
+]
+
+
+@pytest.mark.parametrize("p", _TWIN_PROJS, ids=lambda p: p.name + str(id(p) % 97))
+def test_sql_twin_matches_numpy(p):
+    lon, lat = _grid(10.0, 20.0, -60.0, 60.0, n=5)
+    x_np, y_np = p.forward(lon, lat)
+    xs, ys = p.forward_sql("lon", "lat")
+    con = duckdb.connect()
+    con.register(
+        "pts",
+        __import__("pandas").DataFrame({"lon": lon, "lat": lat}),
+    )
+    got = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM pts").df()
+    np.testing.assert_allclose(got["x"].to_numpy(), x_np, rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(got["y"].to_numpy(), y_np, rtol=1e-12, atol=1e-6)
+
+
+def test_column_twin_matches_numpy(spark):
+    import pandas as pd
+
+    lon, lat = _grid(10.0, 20.0, -60.0, 60.0, n=5)
+    sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for p in _TWIN_PROJS:
+        xc, yc = p.forward_cols("lon", "lat")
+        got = sdf.select(xc.alias("x"), yc.alias("y")).toPandas()
+        x_np, y_np = p.forward(lon, lat)
+        np.testing.assert_allclose(got["x"].to_numpy(), x_np, rtol=1e-12, atol=1e-6)
+        np.testing.assert_allclose(got["y"].to_numpy(), y_np, rtol=1e-12, atol=1e-6)
+
+
+# ------------------------------------------------- generic distributed warp
+
+
+def test_generic_warp_latlng_to_utm(spark):
+    """reproject_layer with a non-separable dst CRS (UTM 33N): every dst
+    pixel center inverse-mapped to the stitched lat/lng source must match a
+    whole-array NumPy oracle exactly (same floor-lookup semantics)."""
+    import pandas as pd
+
+    from tilegrid import codec, fixtures
+    from tilegrid.cell import z2_encode
+    from tilegrid.grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
+    from tilegrid.operators import LAYER_SCHEMA
+    from tilegrid.operators.reproject import reproject_layer
+
+    src_layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 16, 16))
+    dst_extent = Extent(200000.0, 4000000.0, 800000.0, 4600000.0)
+    dst_layout = LayoutDefinition(dst_extent, TileLayout(4, 4, 16, 16))
+    src_px = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            arr = src_px[r * 16 : (r + 1) * 16, c * 16 : (c + 1) * 16]
+            rows.append(
+                (2, c, r, int(z2_encode(c, r)),
+                 codec.raw_encode(np.ascontiguousarray(arr)), 16, 16, "raw")
+            )
+    layer = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]),
+        schema=LAYER_SCHEMA,
+    )
+    out = reproject_layer(
+        layer, src_layout, dst_layout, 2, "latlng", "epsg:32633"
+    ).toPandas()
+    assert len(out) == 16
+    cw, ch = dst_extent.width / 64.0, dst_extent.height / 64.0
+    gx, gy = np.meshgrid(np.arange(64), np.arange(64))
+    mx = dst_extent.xmin + (gx + 0.5) * cw
+    my = dst_extent.ymax - (gy + 0.5) * ch
+    lon, lat = P.crs("epsg:32633").inverse(mx.ravel(), my.ravel())
+    sgx = np.floor((lon + 180.0) / src_layout.cell_width).astype(np.int64)
+    sgy = np.floor((90.0 - lat) / src_layout.cell_height).astype(np.int64)
+    want = src_px[sgy, sgx].reshape(64, 64)
+    got, (c0, r0, _, _) = fixtures.stitch_layer_df(out)
+    assert (c0, r0) == (0, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generic_warp_bilinear_utm_roundtrip_smoke(spark):
+    """Bilinear warp through a generic CRS pair: warping a smooth ramp
+    latlng -> UTM must reproduce the ramp evaluated at dst pixel centers
+    (bilinear interpolation of a plane is exact up to grid clamping)."""
+    import pandas as pd
+
+    from tilegrid import codec, fixtures
+    from tilegrid.cell import z2_encode
+    from tilegrid.grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
+    from tilegrid.operators import LAYER_SCHEMA
+    from tilegrid.operators.reproject import reproject_layer
+
+    src_layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 16, 16))
+    dst_extent = Extent(250000.0, 4050000.0, 750000.0, 4550000.0)
+    dst_layout = LayoutDefinition(dst_extent, TileLayout(4, 4, 16, 16))
+    # plane in source PIXEL coords -> bilinear reconstruction is exact
+    gx, gy = np.meshgrid(np.arange(64, dtype=np.float64), np.arange(64, dtype=np.float64))
+    src_px = 3.0 * gx + 7.0 * gy
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            arr = src_px[r * 16 : (r + 1) * 16, c * 16 : (c + 1) * 16]
+            rows.append(
+                (2, c, r, int(z2_encode(c, r)),
+                 codec.raw_encode(np.ascontiguousarray(arr)), 16, 16, "raw")
+            )
+    layer = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]),
+        schema=LAYER_SCHEMA,
+    )
+    out = reproject_layer(
+        layer, src_layout, dst_layout, 2, "latlng", "epsg:32633", method="bilinear"
+    ).toPandas()
+    assert len(out) == 16
+    cw, ch = dst_extent.width / 64.0, dst_extent.height / 64.0
+    dgx, dgy = np.meshgrid(np.arange(64), np.arange(64))
+    mx = dst_extent.xmin + (dgx + 0.5) * cw
+    my = dst_extent.ymax - (dgy + 0.5) * ch
+    lon, lat = P.crs("epsg:32633").inverse(mx.ravel(), my.ravel())
+    fx = (lon + 180.0) / src_layout.cell_width - 0.5
+    fy = (90.0 - lat) / src_layout.cell_height - 0.5
+    want = (3.0 * fx + 7.0 * fy).reshape(64, 64)
+    got, (c0, r0, _, _) = fixtures.stitch_layer_df(out)
+    assert (c0, r0) == (0, 0)
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got, want, rtol=1e-9)

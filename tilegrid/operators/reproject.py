@@ -37,11 +37,46 @@ _PARTS = (
 
 
 def _fwd(src_crs: str, dst_crs: str):
+    # fast paths keep the contract queries' exact expression text
     if (src_crs, dst_crs) == ("latlng", "webmercator"):
         return lnglat_to_webmercator
     if (src_crs, dst_crs) == ("webmercator", "latlng"):
         return webmercator_to_lnglat
-    raise ValueError(f"unsupported reprojection {src_crs} -> {dst_crs}")
+    # any other pair routes through the proj module (UTM, LCC, Albers,
+    # polar stereographic, sinusoidal, proj strings — proj4 parity)
+    from ..proj import transform_fn
+
+    return transform_fn(src_crs, dst_crs)
+
+
+def _dst_bbox(fwd, sext: Extent, dst_world: Extent, k: int = 9) -> Extent | None:
+    """Footprint of a src tile in dst coords. Corners alone are exact only
+    for per-axis monotone transforms (the latlng<->webmercator fast paths);
+    conic/transverse projections bow tile edges, so sample the boundary and
+    pad 5% — over-coverage is free (the per-pixel ownership mask drops
+    foreign pixels), under-coverage would leave NaN holes."""
+    ex = np.linspace(sext.xmin, sext.xmax, k)
+    ey = np.linspace(sext.ymin, sext.ymax, k)
+    bx = np.concatenate([ex, ex, np.full(k, sext.xmin), np.full(k, sext.xmax)])
+    by = np.concatenate([np.full(k, sext.ymin), np.full(k, sext.ymax), ey, ey])
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        X, Y = fwd(bx, by)
+    X, Y = np.asarray(X, np.float64), np.asarray(Y, np.float64)
+    ok = np.isfinite(X) & np.isfinite(Y)
+    if not ok.any():
+        return None
+    x0, x1 = float(X[ok].min()), float(X[ok].max())
+    y0, y1 = float(Y[ok].min()), float(Y[ok].max())
+    pad = 0.05 * max(x1 - x0, y1 - y0)
+    box = Extent(
+        max(x0 - pad, dst_world.xmin),
+        max(y0 - pad, dst_world.ymin),
+        min(x1 + pad, dst_world.xmax),
+        min(y1 + pad, dst_world.ymax),
+    )
+    if box.width <= 0 or box.height <= 0:
+        return None
+    return box
 
 
 def reproject_layer(
@@ -86,22 +121,11 @@ def reproject_layer(
                 src = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
                 col, row = int(t.col), int(t.row)
                 sext = smt.extent_for_key(col, row)
-                # src tile footprint in dst coords (separable monotone
-                # transforms: corners give the exact bbox), clipped to the
-                # dst world extent (e.g. |lat| > 85.05 has no WM image;
-                # lat = +-90 maps to +-inf, which the clip handles)
-                with np.errstate(divide="ignore", over="ignore"):
-                    (x0, x1), (y0, y1) = fwd(
-                        np.array([sext.xmin, sext.xmax]),
-                        np.array([sext.ymin, sext.ymax]),
-                    )
-                box = Extent(
-                    max(min(x0, x1), dst_world.xmin),
-                    max(min(y0, y1), dst_world.ymin),
-                    min(max(x0, x1), dst_world.xmax),
-                    min(max(y0, y1), dst_world.ymax),
-                )
-                if box.width <= 0 or box.height <= 0:
+                # src tile footprint in dst coords (boundary-sampled +
+                # padded; non-finite images like lat = +-90 -> +-inf in WM
+                # are dropped by the finite mask inside _dst_bbox)
+                box = _dst_bbox(fwd, sext, dst_world)
+                if box is None:
                     continue
                 gb = dmt.gridbounds_for_extent(box)
                 c0, c1 = max(gb.col_min, 0), min(gb.col_max, dtl.layout_cols - 1)
@@ -213,15 +237,8 @@ def reproject_layer_bilinear(
         first = pdf.iloc[0]
         col, row = int(first["tcol"]), int(first["trow"])
         sext = smt.extent_for_key(col, row)
-        with np.errstate(divide="ignore", over="ignore"):
-            (x0, x1), (y0, y1) = fwd(
-                np.array([sext.xmin, sext.xmax]), np.array([sext.ymin, sext.ymax])
-            )
-        box = Extent(
-            max(min(x0, x1), dst_world.xmin), max(min(y0, y1), dst_world.ymin),
-            min(max(x0, x1), dst_world.xmax), min(max(y0, y1), dst_world.ymax),
-        )
-        if box.width <= 0 or box.height <= 0:
+        box = _dst_bbox(fwd, sext, dst_world)
+        if box is None:
             return empty
         gb = dmt.gridbounds_for_extent(box)
         gx0, gy0 = col * stl.tile_cols, row * stl.tile_rows

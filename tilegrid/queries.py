@@ -1017,6 +1017,38 @@ FROM pcd GROUP BY col, row, px, py
 """
 
 
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point reprojection into UTM zone 33N through the proj module's
+    Column twins (proj4 parity: proj/TransverseMercatorProjection.java,
+    Registry.java's epsg:32633 row). Pure whole-stage-codegen arithmetic —
+    no UDF, no shuffle; the parquet scan keeps its pushed filter."""
+    from .proj import crs
+
+    p = crs("epsg:32633")
+    ev = _events_points(spark, sf_dir).filter(
+        "lon >= 12.0 AND lon < 18.0 AND lat > -80.0 AND lat < 84.0"
+    )
+    xc, yc = p.forward_cols("lon", "lat")
+    return ev.select(
+        "event_id",
+        F.round(xc, 2).alias("easting"),
+        F.round(yc, 2).alias("northing"),
+    )
+
+
+def _o_reproject_utm() -> str:
+    from .proj import crs
+
+    p = crs("epsg:32633")
+    xs, ys = p.forward_sql("lon", "lat")
+    return f"""
+WITH p AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events),
+f AS (SELECT event_id, lon, lat FROM p
+      WHERE lon >= 12.0 AND lon < 18.0 AND lat > -80.0 AND lat < 84.0)
+SELECT event_id, round({xs}, 2) AS easting, round({ys}, 2) AS northing FROM f
+"""
+
+
 def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
     nearest neighbor): the zoom-3 count raster re-tiled into the WM world
@@ -3327,6 +3359,7 @@ QUERIES = {
     "euclidean_distance": q_euclidean_distance,
     "cost_paths": q_cost_paths,
     "approx_viewshed": q_approx_viewshed,
+    "reproject_utm": q_reproject_utm,
     "polygon_overlay": q_polygon_overlay,
     "polygon_buffer": q_polygon_buffer,
     "streaming_counts": q_streaming_counts,
@@ -3403,6 +3436,7 @@ ORACLES = {
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
     "approx_viewshed": _o_approx_viewshed(),
+    "reproject_utm": _o_reproject_utm(),
     "polygon_overlay": _o_polygon_overlay(),
     "polygon_buffer": _o_polygon_buffer(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
