@@ -98,7 +98,7 @@ def images_df(spark, n: int):
                 sizes = (64, 128, 256)
                 w, h = sizes[i % 3], sizes[(i // 3) % 3]
                 arr = fixtures.make_pattern(i, h, w)
-                fmt = "png" if i % 2 == 0 else "jpeg"
+                fmt = "png" if i % 2 == 0 else "fjpg"
                 lon, lat = fixtures.image_lonlat(image_id)
                 rows.append(
                     (

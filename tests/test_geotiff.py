@@ -157,9 +157,9 @@ class TestGeoTiffCodec:
     def test_unsupported_raises(self):
         arr = np.zeros((4, 4), dtype=np.uint8)
         data = bytearray(tiff_encode(arr, compress=False))
-        # flip compression tag (259) value to JPEG (7)
+        # flip compression tag (259) value to JPEG2000 (34712, unsupported)
         pos = data.find(struct.pack("<HH", 259, 3))
-        data[pos + 8 : pos + 10] = struct.pack("<H", 7)
+        data[pos + 8 : pos + 10] = struct.pack("<H", 34712 & 0xFFFF)
         with pytest.raises(ValueError, match="compression"):
             tiff_decode(bytes(data))
 

@@ -4,13 +4,17 @@ Three formats:
   png  — a real, from-scratch PNG codec (pure NumPy + zlib): 8/16-bit
          grayscale, RGB, RGBA; filters 0-4 on decode, filter 0 on encode.
          (Container has no PIL/imageio, so we implement the subset we emit.)
-  jpeg — *** DETERMINISTIC FAKE (STUB) ***. Real JPEG needs a DCT codec lib
-         that is not in this container. This stand-in is honest about being
-         lossy: uniform quantization step 5 (PSNR ~45 dB >= the 40 dB
-         invariant) + zlib, wrapped in an 'FJPG' container. The Spark-side
-         plumbing (binary column, batch decode in Arrow UDFs, fmt dispatch)
-         is identical to what a real libjpeg-backed decode would use — swap
-         `_fake_jpeg_*` for PIL calls in production.
+  jpeg — REAL baseline JPEG (ITU T.81 sequential DCT), from scratch in
+         `tilegrid/jpeg.py`: batched-matrix DCT, per-image optimal Huffman
+         tables, 4:4:4/4:2:0, restart markers, JFIF container. encode_tile
+         uses quality 95 / 4:4:4 (PSNR >= the 40 dB invariant even on
+         noise). Entropy coding walks blocks in Python, so it costs ~ms per
+         tile — right for user-facing renderJpg/GeoTiff-JPEG, wrong for the
+         10^6-image synthetic throughput corpus, which uses:
+  fjpg — deterministic fast stand-in lossy codec (uniform quantization step
+         5, PSNR ~45 dB, zlib, 'FJPG' container). Kept for the synthetic
+         bench corpus where codec speed must not mask the engine's
+         shuffle/join behavior; decode dispatch accepts both magics.
   raw  — little-endian ndarray bytes + dtype/shape header (+ zlib), used for
          float/int analysis layers (the reference's Avro tile codecs play
          this role: io/avro/codecs/TileCodecs.scala).
@@ -215,6 +219,10 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(arr)
     if fmt == "jpeg":
+        from .jpeg import encode as jpeg_encode
+
+        return jpeg_encode(arr, quality=95, subsample=False)
+    if fmt == "fjpg":
         return fake_jpeg_encode(arr)
     if fmt == "raw":
         return raw_encode(arr)
@@ -230,6 +238,8 @@ def decode_tile(data: bytes, fmt: str | None = None) -> np.ndarray:
         if data[:8] == PNG_SIG:
             fmt = "png"
         elif data[:4] == _FJPG_MAGIC:
+            fmt = "fjpg"
+        elif data[:2] == b"\xff\xd8":
             fmt = "jpeg"
         elif data[:4] == _RAW_MAGIC:
             fmt = "raw"
@@ -240,6 +250,13 @@ def decode_tile(data: bytes, fmt: str | None = None) -> np.ndarray:
     if fmt == "png":
         return png_decode(bytes(data))
     if fmt == "jpeg":
+        data = bytes(data)
+        if data[:4] == _FJPG_MAGIC:  # layers stored before the real codec
+            return fake_jpeg_decode(data)
+        from .jpeg import decode as jpeg_decode
+
+        return jpeg_decode(data)
+    if fmt == "fjpg":
         return fake_jpeg_decode(bytes(data))
     if fmt == "raw":
         return raw_decode(bytes(data))

@@ -109,7 +109,7 @@ def images_table(n: int) -> pd.DataFrame:
         w = sizes[i % 3]
         h = sizes[(i // 3) % 3]
         arr = make_pattern_rgb(i, h, w)
-        fmt = "png" if i % 2 == 0 else "jpeg"
+        fmt = "png" if i % 2 == 0 else "fjpg"
         data = codec.encode_tile(arr, fmt)
         cap = f"caption-{i}-" + " ".join(
             f"w{(hash64(f'{i}|{j}')) % 1000}" for j in range(3)

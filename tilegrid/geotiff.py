@@ -23,8 +23,12 @@ LZW follows the TIFF6 early-change convention the reference decodes
 next table index reaches 511/1023/2047, one code earlier than GIF); the
 writer flushes the dictionary with a ClearCode at 4094 like libtiff.
 
-Unsupported shapes (JPEG-in-TIFF, YCbCr) raise ValueError with the tag
-that triggered it — honest partial coverage, not silent corruption.
+JPEG-in-TIFF: compression 7 (new-style) reads and writes through the
+from-scratch baseline codec in tilegrid/jpeg.py — abbreviated per-chunk
+streams pick their DQT/DHT up from the JPEGTables (347) tag. Still
+unsupported shapes (old-style compression 6 offsets, progressive scans,
+12-bit JPEG) raise ValueError with the tag that triggered it — honest
+partial coverage, not silent corruption.
 """
 
 from __future__ import annotations
@@ -44,9 +48,10 @@ _PLANAR = 284
 _PREDICTOR = 317
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SAMPLE_FMT = 339
+_JPEG_TABLES = 347
 _PIXEL_SCALE, _TIEPOINT = 33550, 33922
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 11: 4, 12: 8, 16: 8, 17: 8}
 
 
 def _read_ifd(data: bytes, bo: str, big: bool = False):
@@ -86,7 +91,7 @@ def _read_ifd(data: bytes, bo: str, big: bool = False):
             vals = list(struct.unpack_from(bo + f"{cnt}Q", data, vo))
         elif typ == 17:  # SLONG8
             vals = list(struct.unpack_from(bo + f"{cnt}q", data, vo))
-        elif typ in (1,):
+        elif typ in (1, 7):  # BYTE / UNDEFINED (e.g. JPEGTables blobs)
             vals = list(struct.unpack_from(bo + f"{cnt}B", data, vo))
         elif typ == 12:
             vals = list(struct.unpack_from(bo + f"{cnt}d", data, vo))
@@ -282,6 +287,38 @@ def _decompress(chunk: bytes, comp: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {comp}")
 
 
+def _chunk_pixels(
+    data: bytes,
+    off: int,
+    cnt: int,
+    comp: int,
+    predictor: int,
+    dt: np.dtype,
+    rows: int,
+    cols: int,
+    spp: int,
+    jpt: bytes | None = None,
+) -> np.ndarray:
+    """One strip/tile -> (rows, cols, spp) pixel array. Compression 7
+    (new-style JPEG) chunks are whole baseline JPEG streams — abbreviated
+    ones pick up DQT/DHT from the JPEGTables tag — decoded straight to
+    pixels by tilegrid.jpeg (the reference decodes via javax.imageio:
+    raster/.../io/geotiff/GeoTiffReader + JpegDecompressor); everything
+    else is decompress-bytes + predictor."""
+    chunk = data[off : off + cnt]
+    if comp == 7:
+        from . import jpeg as _jpeg
+
+        img = _jpeg.decode(bytes(chunk), tables=jpt)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] != spp:
+            raise ValueError(f"JPEG chunk has {img.shape[2]} bands, IFD says {spp}")
+        return img[:rows, :cols].astype(dt.newbyteorder("="))
+    raw = _decompress(chunk, comp)
+    return _chunk_to_array(raw, predictor, dt, rows, cols, spp)
+
+
 def _dtype(bits: int, fmt: int, bo: str) -> np.dtype:
     e = "<" if bo == "<" else ">"
     if fmt == 3:
@@ -324,6 +361,7 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
         raise ValueError(f"unsupported PlanarConfiguration {planar}")
     dt = _dtype(bits, fmt, bo)
     predictor = tags.get(_PREDICTOR, [1])[0]
+    jpt = bytes(tags[_JPEG_TABLES]) if _JPEG_TABLES in tags else None
     out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
     # PlanarConfiguration 2 (band-separate): the chunk sequence is band
     # 0's chunks, then band 1's, ... — each chunk holds ONE band's samples
@@ -334,8 +372,8 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
         tiles_across = -(-w // tw)
         per_band = len(offs) // spp if planar == 2 else len(offs)
         for idx, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o : o + c], comp)
-            arr = _chunk_to_array(raw, predictor, dt, th, tw, chunk_spp)
+            arr = _chunk_pixels(data, o, c, comp, predictor, dt, th, tw,
+                                chunk_spp, jpt)
             b, pidx = (idx // per_band, idx % per_band) if planar == 2 else (None, idx)
             ty, tx = (pidx // tiles_across) * th, (pidx % tiles_across) * tw
             clip = arr[: min(th, h - ty), : min(tw, w - tx)]
@@ -349,14 +387,14 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
         per_band = len(offs) // spp if planar == 2 else len(offs)
         y = 0
         for idx, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o : o + c], comp)
             if planar == 2:
                 b, pidx = idx // per_band, idx % per_band
                 y = pidx * rps
             else:
                 b = None
             rows = min(rps, h - y)
-            arr = _chunk_to_array(raw, predictor, dt, rows, w, chunk_spp)
+            arr = _chunk_pixels(data, o, c, comp, predictor, dt, rows, w,
+                                chunk_spp, jpt)
             if planar == 2:
                 out[y : y + rows, :, b : b + 1] = arr
             else:
@@ -397,6 +435,7 @@ def tiff_decode_window(
         raise ValueError(f"unsupported PlanarConfiguration {planar}")
     dt = _dtype(bits, fmt, bo)
     predictor = tags.get(_PREDICTOR, [1])[0]
+    jpt = bytes(tags[_JPEG_TABLES]) if _JPEG_TABLES in tags else None
     out = np.zeros((wh, ww, spp), dtype=dt.newbyteorder("="))
     chunk_spp = 1 if planar == 2 else spp
     n_bands = spp if planar == 2 else 1
@@ -410,8 +449,8 @@ def tiff_decode_window(
             for tyi in range(y0 // th, (y0 + wh - 1) // th + 1):
                 for txi in range(x0 // tw, (x0 + ww - 1) // tw + 1):
                     idx = b * per_band + tyi * tiles_across + txi
-                    raw = _decompress(data[offs[idx] : offs[idx] + cnts[idx]], comp)
-                    arr = _chunk_to_array(raw, predictor, dt, th, tw, chunk_spp)
+                    arr = _chunk_pixels(data, offs[idx], cnts[idx], comp,
+                                        predictor, dt, th, tw, chunk_spp, jpt)
                     ty, tx = tyi * th, txi * tw
                     sy0, sx0 = max(y0 - ty, 0), max(x0 - tx, 0)
                     sy1 = min(y0 + wh - ty, th, h - ty)
@@ -431,10 +470,10 @@ def tiff_decode_window(
         for b in range(n_bands):
             for k in range(y0 // rps, (y0 + wh - 1) // rps + 1):
                 idx = b * per_band + k
-                raw = _decompress(data[offs[idx] : offs[idx] + cnts[idx]], comp)
                 sy = k * rps
                 rows = min(rps, h - sy)
-                arr = _chunk_to_array(raw, predictor, dt, rows, w, chunk_spp)
+                arr = _chunk_pixels(data, offs[idx], cnts[idx], comp,
+                                    predictor, dt, rows, w, chunk_spp, jpt)
                 sy0 = max(y0 - sy, 0)
                 sy1 = min(y0 + wh - sy, rows)
                 dy0 = sy + sy0 - y0
@@ -514,6 +553,21 @@ def tiff_encode(
         comp, payloads = 8, [zlib.compress(b, 6) for b in bodies]
     elif compress == "lzw":
         comp, payloads = 5, [_lzw_encode(b) for b in bodies]
+    elif compress == "jpeg":
+        # new-style JPEG (compression 7): each strip is a complete baseline
+        # stream (JPEGTables omitted — legal per TIFF/EP, and decoders that
+        # honor it, ours included, fall back to in-stream tables)
+        if a.dtype != np.uint8 or predictor != 1 or planar != 1 or spp not in (1, 3):
+            raise ValueError(
+                "jpeg compression needs uint8, predictor 1, chunky planar, 1 or 3 bands"
+            )
+        from . import jpeg as _jpeg
+
+        comp = 7
+        payloads = [
+            _jpeg.encode(np.ascontiguousarray(a[y : y + rps]), quality=90, subsample=False)
+            for y in range(0, h, rps)
+        ]
     elif compress is False or compress in (None, "none"):
         comp, payloads = 1, bodies
     else:

@@ -3,9 +3,9 @@ metadata, processed in Arrow-batched pandas UDFs (`mapInPandas`).
 
 The Spark-side plumbing — schema, batch shape, partitioning, UDF signatures —
 is real and tested. Codec availability differs by deployment:
-  - image: real from-scratch PNG codec + honest fake-JPEG (tilegrid.codec;
-    this container has no PIL/libjpeg — swap `codec.decode_tile` for
-    `PIL.Image.open` in production, the batch shape is identical).
+  - image: real from-scratch PNG codec + real from-scratch baseline JPEG
+    (tilegrid.codec / tilegrid.jpeg); 'fjpg' is the fast deterministic
+    stand-in kept for the synthetic throughput corpus.
   - audio/video: STUBS — `decode_audio` / `sample_frames` raise
     NotImplementedError unless `fake=True`, which substitutes a
     deterministic synthetic signal so the distributed plumbing is testable.
@@ -97,7 +97,7 @@ def resize_images(
             for raw, fmt in zip(out[bytes_col], fmts):
                 arr = codec.decode_tile(bytes(raw), fmt)
                 res = resample(arr.astype(np.float64), out_h, out_w)
-                if fmt in ("png", "jpeg"):
+                if fmt in ("png", "jpeg", "fjpg"):
                     res = np.clip(np.rint(res), 0, 255).astype(np.uint8)
                 new_bytes.append(codec.encode_tile(res, fmt))
             out[bytes_col] = new_bytes

@@ -120,6 +120,37 @@ def render_png(layer: DataFrame, colormap: ColorMap | None = None) -> DataFrame:
     return layer.mapInPandas(run, LAYER_SCHEMA)
 
 
+def render_jpg(
+    layer: DataFrame, colormap: ColorMap | None = None, quality: int = 90
+) -> DataFrame:
+    """Encode each tile to real baseline JPEG bytes (reference
+    JpgRenderMethods.scala / MultibandJpgRenderMethods.scala + render/jpg/
+    Settings.scala's quality knob). JPEG has no alpha channel, so colormapped
+    NoData renders black (the reference's behavior: JpgEncoder drops alpha);
+    without a colormap, grayscale clamp like renderPng."""
+    from .. import jpeg
+
+    def run(it):
+        for pdf in it:
+            tiles = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                if colormap is None:
+                    img = np.where(np.isnan(arr), 0, arr).clip(0, 255).astype(np.uint8)
+                else:
+                    rgba = colormap.apply(arr)
+                    img = (rgba[..., :3] * (rgba[..., 3:4] / 255.0)).astype(np.uint8)
+                tiles.append(jpeg.encode(img, quality=quality))
+            pdf = pdf.copy()
+            pdf["tile"] = tiles
+            pdf["fmt"] = "jpeg"
+            yield pdf[["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]]
+
+    from ..operators import LAYER_SCHEMA
+
+    return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
 def write_slippy(layer: DataFrame, out_dir: str) -> int:
     """Write a z/x/y.png tree (SlippyTileWriter). Executor-side writes via
     foreachPartition; returns tile count. Tiles must already be png
