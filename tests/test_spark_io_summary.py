@@ -132,6 +132,87 @@ class TestLayerIO:
         assert "PushedFilters" in plan and "cell" in plan
 
 
+class TestLayerManager:
+    """LayerDeleter/Copier/Mover/Reindexer/ValueReader parity
+    (spark/.../io/{LayerDeleter,GenericLayerCopier,GenericLayerMover,
+    GenericLayerReindexer,ValueReader}.scala)."""
+
+    def _write(self, spark, root, name="src"):
+        df = layer_df(spark, "increasing")
+        IO.write_layer(df, root, name, 8, meta=make_meta())
+        return df
+
+    def test_copy_then_both_readable_and_equal(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        self._write(spark, root)
+        IO.copy_layer(spark, root, "src", "dst", 8)
+        a = IO.read_layer(spark, root, "src", 8).toPandas()
+        b = IO.read_layer(spark, root, "dst", 8).toPandas()
+        np.testing.assert_allclose(stitched(a), stitched(b))
+        assert AttributeStore(root).read_attr("dst", 8, "manifest")["n_files"] >= 1
+        with pytest.raises(ValueError, match="already exists"):
+            IO.copy_layer(spark, root, "src", "dst", 8)
+
+    def test_move_removes_source(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        df = self._write(spark, root)
+        IO.move_layer(spark, root, "src", "moved", 8)
+        assert not AttributeStore(root).layer_exists("src", 8)
+        assert not os.path.exists(os.path.join(root, "src", "zoom=8"))
+        back = IO.read_layer(spark, root, "moved", 8)
+        assert back.count() == df.count()
+
+    def test_delete_removes_data_and_sidecars(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        self._write(spark, root)
+        IO.delete_layer(root, "src", 8)
+        assert not os.path.exists(os.path.join(root, "src", "zoom=8"))
+        assert not os.path.exists(os.path.join(root, "_layers", "src", "8.metadata.json"))
+        assert not os.path.exists(os.path.join(root, "_checkpoints", "src", "zoom=8.done"))
+        with pytest.raises(ValueError, match="not found"):
+            IO.delete_layer(root, "src")
+        # resume marker gone: a re-write with resume=True is NOT skipped
+        assert IO.write_layer(layer_df(spark, "increasing"), root, "src", 8,
+                              meta=make_meta(), resume=True)
+
+    @pytest.mark.parametrize("index", ["hilbert", "rowmajor", "z2"])
+    def test_reindex_preserves_content_and_resorts(self, spark, tmp_path, index):
+        from tilegrid.cell import hilbert_encode, rowmajor_encode, z2_encode
+
+        root = str(tmp_path / "layers")
+        self._write(spark, root)
+        IO.reindex_layer(spark, root, "src", 8, index=index)
+        back = IO.read_layer(spark, root, "src", 8).toPandas()
+        np.testing.assert_allclose(
+            stitched(back), stitched(fixtures.tile_layer_table("increasing"))
+        )
+        col, row = back["col"].to_numpy(), back["row"].to_numpy()
+        if index == "hilbert":
+            want = hilbert_encode(col, row, 3)
+        elif index == "rowmajor":
+            want = rowmajor_encode(col, row, LAYOUT.tile_layout.layout_cols)
+        else:
+            want = z2_encode(col, row)
+        np.testing.assert_array_equal(back["cell"].to_numpy(), np.asarray(want))
+        ki = AttributeStore(root).read_attr("src", 8, "key_index")
+        assert ki["index"] == index
+        # manifest spans follow the NEW curve (sorted, non-overlapping)
+        m = AttributeStore(root).read_attr("src", 8, "manifest")
+        spans = sorted((f["min_cell"], f["max_cell"]) for f in m["files"])
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 < b0
+
+    def test_value_reader_single_tile(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        self._write(spark, root)
+        read = IO.value_reader(spark, root, "src", 8)
+        row = read(2, 3)
+        assert row is not None and row["col"] == 2 and row["row"] == 3
+        want = fixtures.layer_tile("increasing", 2, 3, 16)
+        np.testing.assert_allclose(codec.decode_tile(bytes(row["tile"]), "raw"), want)
+        assert read(0, 0) is None  # outside TEST_BOUNDS
+
+
 class TestSummaries:
     def test_min_max_and_mean(self, spark):
         a = layer_df(spark, "increasing")

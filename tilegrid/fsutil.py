@@ -107,3 +107,24 @@ def listdir(path: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def delete(path: str) -> bool:
+    """Recursive delete; returns True when something was removed. Routes
+    through Hadoop FileSystem when a session is active (hdfs://, s3a://),
+    else shutil/os."""
+    got = _hadoop_fs(path)
+    if got is None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            return True
+        if os.path.exists(path):
+            os.remove(path)
+            return True
+        return False
+    fs, p = got
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, True))

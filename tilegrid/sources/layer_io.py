@@ -282,3 +282,108 @@ def verify_manifest(spark: SparkSession, root: str, name: str, zoom: int) -> boo
     got = {os.path.basename(r["file"]): (r["checksum"], r["n_rows"]) for r in cur}
     want = {f["file"]: (f["checksum"], f["n_rows"]) for f in m["files"]}
     return got == want
+
+
+# ---------------------------------------------------- layer management
+# Reference: spark/.../io/{LayerDeleter,LayerCopier,LayerMover,
+# GenericLayerCopier,GenericLayerMover,GenericLayerReindexer,
+# LayerManager,ValueReader}.scala. Delete removes data + every sidecar;
+# copy re-writes through write_layer so the destination gets its own SFC
+# sort, lineage manifest, and checkpoint marker; move = copy + delete
+# (GenericLayerMover.scala:30-38); reindex = rewrite under a different
+# KeyIndex (GenericLayerReindexer.scala:44-58 does copy->delete->move,
+# ours rewrites in place via a staging name).
+
+
+def delete_layer(root: str, name: str, zoom: int | None = None) -> None:
+    """LayerDeleter.delete: remove stored data + metadata/manifest/marker
+    sidecars. zoom=None removes every level (LayerManager.delete)."""
+    store = AttributeStore(root)
+    zooms = [zoom] if zoom is not None else store.zooms(name)
+    if not zooms:
+        raise ValueError(f"layer {name!r} not found")  # AttributeStore parity
+    for z in zooms:
+        fsutil.delete(_layer_path(root, name, z))
+        for attr in ("metadata", "manifest"):
+            fsutil.delete(os.path.join(root, "_layers", name, f"{z}.{attr}.json"))
+        fsutil.delete(os.path.join(root, "_checkpoints", name, f"zoom={z}.done"))
+
+
+def copy_layer(
+    spark: SparkSession, root: str, src: str, dst: str, zoom: int
+) -> None:
+    """LayerCopier.copy: duplicate one stored level under a new name."""
+    store = AttributeStore(root)
+    if store.layer_exists(dst, zoom):
+        raise ValueError(f"layer {dst!r} zoom {zoom} already exists")
+    meta = store.read_meta(src, zoom)
+    write_layer(read_layer(spark, root, src, zoom), root, dst, zoom, meta=meta)
+
+
+def move_layer(
+    spark: SparkSession, root: str, src: str, dst: str, zoom: int
+) -> None:
+    """LayerMover.move == copy + delete (GenericLayerMover.scala:30-38)."""
+    copy_layer(spark, root, src, dst, zoom)
+    delete_layer(root, src, zoom)
+
+
+def reindex_layer(
+    spark: SparkSession, root: str, name: str, zoom: int, index: str = "hilbert"
+) -> None:
+    """LayerReindexer.reindex: rewrite a stored level under a different
+    SFC key index ('z2' | 'hilbert' | 'rowmajor'). z2/rowmajor recompute the
+    cell column with pure Catalyst expressions; hilbert uses one
+    Arrow-batched pandas UDF (the iterative quadrant rotation has no flat
+    SQL form). The level is rewritten sorted by the new index, so range
+    queries and the lineage manifest follow the new curve."""
+    from ..cell import rowmajor_sql, z2_sql
+
+    store = AttributeStore(root)
+    meta = store.read_meta(name, zoom)
+    tl = meta.layout.tile_layout
+    order = max(int(tl.layout_cols - 1).bit_length(), int(tl.layout_rows - 1).bit_length(), 1)
+    df = read_layer(spark, root, name, zoom)
+    if index == "z2":
+        df = df.withColumn("cell", F.expr(z2_sql("col", "row")).cast("long"))
+    elif index == "rowmajor":
+        df = df.withColumn(
+            "cell", F.expr(rowmajor_sql("col", "row", tl.layout_cols)).cast("long")
+        )
+    elif index == "hilbert":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _hilbert(col, row):
+            import pandas as pd
+
+            from ..cell import hilbert_encode
+
+            return pd.Series(hilbert_encode(col.to_numpy(), row.to_numpy(), order))
+
+        df = df.withColumn("cell", _hilbert("col", "row"))
+    else:
+        raise ValueError(f"unknown index {index!r}")
+    df = df.localCheckpoint()
+    delete_layer(root, name, zoom)
+    write_layer(df, root, name, zoom, meta=meta)
+    store.write_attr(name, zoom, "key_index", {"index": index, "order": order})
+
+
+def value_reader(spark: SparkSession, root: str, name: str, zoom: int):
+    """ValueReader.reader: random access to single tiles by key. Returns a
+    `read(col, row) -> Row | None` closure whose scan pushes `cell = <sfc>`
+    into the parquet source, so only the one sorted block containing the
+    key is read (the reference's backend seek-by-index)."""
+    df = spark.read.parquet(_layer_path(root, name, zoom))
+
+    def read(col: int, row: int):
+        from ..cell import z2_encode
+
+        c = int(z2_encode(col, row))
+        got = df.where(
+            (F.col("cell") == c) & (F.col("col") == col) & (F.col("row") == row)
+        ).collect()
+        return got[0] if got else None
+
+    return read
