@@ -262,3 +262,63 @@ class TestRenderJpg:
         out2 = render_jpg(layer).toPandas()
         img2 = jpeg.decode(bytes(out2.iloc[0]["tile"]))
         assert img2.shape == (32, 32)
+
+
+class TestIndexedPng:
+    """Indexed-palette PNG (render/png/PngColorEncoding.scala Indexed)."""
+
+    def test_roundtrip_matches_rgba_expansion(self):
+        from tilegrid.sources.render import ColorMap
+
+        cm = ColorMap.preset("blue-to-red", 0.0, 100.0)
+        arr = np.linspace(-5, 110, 48 * 48).reshape(48, 48)
+        arr[0, :5] = np.nan
+        idx, plte, trns = cm.apply_indexed(arr)
+        dec = codec.png_decode(codec.png_encode_indexed(idx, plte, trns))
+        assert np.array_equal(dec, cm.apply(arr))
+
+    def test_no_trns_decodes_rgb(self):
+        pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+        idx = np.array([[0, 1], [1, 0]], np.uint8)
+        dec = codec.png_decode(codec.png_encode_indexed(idx, pal))
+        assert dec.shape == (2, 2, 3)
+        assert np.array_equal(dec, pal[idx])
+
+    def test_rejects_out_of_range_index(self):
+        with pytest.raises(ValueError):
+            codec.png_encode_indexed(
+                np.full((2, 2), 5, np.uint8), np.zeros((2, 3), np.uint8)
+            )
+
+    def test_render_png_indexed_layer(self, spark):
+        import pandas as pd
+
+        from tilegrid.cell import z2_encode
+        from tilegrid.operators import LAYER_SCHEMA
+        from tilegrid.sources.render import ColorMap, render_png
+
+        cm = ColorMap.preset("heatmap-yellow-to-red", 0.0, 100.0)
+        vals = np.linspace(0, 100, 32 * 32).reshape(32, 32)
+        vals[0, 0] = np.nan
+        rows = [(1, 0, 0, int(z2_encode(0, 0)), codec.raw_encode(vals), 32, 32, "raw")]
+        layer = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"]),
+            schema=LAYER_SCHEMA,
+        )
+        a = render_png(layer, cm, indexed=True).toPandas()
+        b = render_png(layer, cm).toPandas()
+        da = codec.png_decode(bytes(a.iloc[0]["tile"]))
+        db = codec.png_decode(bytes(b.iloc[0]["tile"]))
+        assert np.array_equal(da, db)
+        with pytest.raises(ValueError):
+            render_png(layer, None, indexed=True)
+
+    def test_indexed_is_smaller_on_realistic_tiles(self):
+        from tilegrid.sources.render import ColorMap
+
+        cm = ColorMap.preset("blue-to-red", 0.0, 100.0)
+        arr = np.random.default_rng(1).random((256, 256)) * 100.0
+        idx, plte, trns = cm.apply_indexed(arr)
+        small = len(codec.png_encode_indexed(idx, plte, trns))
+        big = len(codec.png_encode(cm.apply(arr)))
+        assert small < big

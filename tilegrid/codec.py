@@ -78,6 +78,40 @@ def png_encode(arr: np.ndarray) -> bytes:
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def png_encode_indexed(
+    indices: np.ndarray, palette: np.ndarray, trans: np.ndarray | None = None
+) -> bytes:
+    """Indexed-color PNG (color type 3): (h, w) uint8 palette indices +
+    PLTE (n, 3) uint8 [+ tRNS (n,) uint8 alpha]. The reference's
+    render/png/PngColorEncoding.scala Indexed mode — colormapped tiles
+    store 1 byte/px instead of 4."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("indices must be (h, w) uint8")
+    palette = np.asarray(palette, np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    if indices.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    scan = np.zeros((h, w + 1), dtype=np.uint8)
+    scan[:, 1:] = indices
+    idat = zlib.compress(scan.tobytes(), 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
+    if trans is not None:
+        out += chunk(b"tRNS", np.asarray(trans, np.uint8).tobytes())
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 # ---------------------------------------------------------------- PNG decode
 
 def _unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -121,6 +155,7 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = b""
+    plte = trns = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -132,12 +167,27 @@ def png_decode(data: bytes) -> np.ndarray:
             )
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if color_type == 3:  # indexed: unfilter 1 byte/px, then palette-expand
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        scan = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w + 1)
+        idx = _unfilter(scan, h, w, 1)
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     bytes_per_sample = bit_depth // 8
     bpp = channels * bytes_per_sample

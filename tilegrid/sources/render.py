@@ -32,6 +32,19 @@ class ColorMap:
         alpha = np.where(np.isnan(arr), 0, 255).astype(np.uint8)
         return np.dstack([rgb, alpha])
 
+    def apply_indexed(self, arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(h, w) float -> (palette indices, PLTE, tRNS) for indexed PNG:
+        same classification as apply(), but 1 byte/px — NoData maps to a
+        dedicated transparent palette entry (index n)."""
+        idx = np.searchsorted(self.breaks, arr, side="left").clip(0, len(self.breaks) - 1)
+        idx = np.where(np.isnan(arr), len(self.colors), idx).astype(np.uint8)
+        # transparent entry carries colors[0]'s RGB so the expanded RGBA is
+        # byte-identical to apply() (which sends NaN to index 0, alpha 0)
+        palette = np.vstack([self.colors, self.colors[:1]])
+        trans = np.full(len(palette), 255, np.uint8)
+        trans[-1] = 0
+        return idx, palette, trans
+
     @staticmethod
     def ramp(vmin: float, vmax: float, n: int = 16) -> "ColorMap":
         """Simple grayscale ramp."""
@@ -96,9 +109,15 @@ COLOR_RAMPS = {
 }
 
 
-def render_png(layer: DataFrame, colormap: ColorMap | None = None) -> DataFrame:
+def render_png(
+    layer: DataFrame, colormap: ColorMap | None = None, indexed: bool = False
+) -> DataFrame:
     """Encode each tile to PNG bytes (Render.scala:35-90): grayscale clamp
-    without a colormap, RGBA with one. Output layer rows with fmt='png'."""
+    without a colormap, RGBA with one, or 1-byte/px indexed-palette PNG
+    (render/png/PngColorEncoding.scala Indexed) with indexed=True. Output
+    layer rows with fmt='png'."""
+    if indexed and colormap is None:
+        raise ValueError("indexed PNG needs a colormap")
 
     def run(it):
         for pdf in it:
@@ -107,6 +126,9 @@ def render_png(layer: DataFrame, colormap: ColorMap | None = None) -> DataFrame:
                 arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
                 if colormap is None:
                     img = np.where(np.isnan(arr), 0, arr).clip(0, 255).astype(np.uint8)
+                elif indexed:
+                    tiles.append(codec.png_encode_indexed(*colormap.apply_indexed(arr)))
+                    continue
                 else:
                     img = colormap.apply(arr)
                 tiles.append(codec.png_encode(img))
