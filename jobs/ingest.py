@@ -43,6 +43,15 @@ def main() -> int:
     ap.add_argument("--min-zoom", type=int, default=2)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
+        "--crs", default="latlng",
+        help="output layout CRS: latlng (default), webmercator, or any "
+             "tilegrid.proj name/proj-string (with --layout-extent)",
+    )
+    ap.add_argument(
+        "--layout-extent", default=None,
+        help="xmin,ymin,xmax,ymax world extent for a custom --crs layout",
+    )
+    ap.add_argument(
         "--multiband", action="store_true",
         help="keep RGB bands through the tiler instead of collapsing to luma",
     )
@@ -61,14 +70,28 @@ def main() -> int:
         spark = SparkSession.builder.appName("tilegrid-ingest").getOrCreate()
 
     from tilegrid.celltype import FLOAT64
-    from tilegrid.grid import GridBounds, LATLNG_WORLD, LayoutDefinition, TileLayout
+    from tilegrid.grid import (
+        Extent, GridBounds, LATLNG_WORLD, LayoutDefinition, TileLayout,
+        WEBMERCATOR_WORLD,
+    )
     from tilegrid.meta import LayerMeta
     from tilegrid.operators.pyramid import pyramid_up
     from tilegrid.operators.tiler import tile_to_layout, with_extent_from_center
     from tilegrid.sources.layer_io import write_layer
 
+    # output-CRS layout (Etl.scala:54-76 reprojects to the output CRS during
+    # ingest; image centers transform via tilegrid.proj forward_cols — pure
+    # whole-stage codegen, no UDF)
     n = 1 << args.zoom
-    layout = LayoutDefinition(LATLNG_WORLD, TileLayout(n, n, 256, 256))
+    if args.crs == "latlng":
+        world = LATLNG_WORLD
+    elif args.crs in ("webmercator", "epsg:3857"):
+        world = WEBMERCATOR_WORLD
+    elif args.layout_extent:
+        world = Extent(*(float(v) for v in args.layout_extent.split(",")))
+    else:
+        ap.error(f"--crs {args.crs} needs --layout-extent")
+    layout = LayoutDefinition(world, TileLayout(n, n, 256, 256))
 
     def meta_for(lyr, zoom, lo):
         from pyspark.sql import functions as F
@@ -80,7 +103,7 @@ def main() -> int:
         bounds = GridBounds(int(r["c0"]), int(r["r0"]), int(r["c1"]), int(r["r1"]))
         ext = lo.map_transform.extent_for_gridbounds(bounds)
         return LayerMeta(
-            cell_type=FLOAT64, layout=lo, extent=ext, crs="latlng",
+            cell_type=FLOAT64, layout=lo, extent=ext, crs=args.crs,
             bounds=bounds, zoom=zoom,
         )
 
@@ -112,7 +135,14 @@ def main() -> int:
             imgs = imgs.withColumnRenamed("bytes", "tile")
         parallelism = spark.sparkContext.defaultParallelism
         imgs = imgs.repartition(parallelism * 2, "image_id")
-        placed = with_extent_from_center(imgs, layout, "lon", "lat")
+        px, py = "lon", "lat"
+        if args.crs != "latlng":
+            from tilegrid.proj import crs as crs_fn
+
+            xc, yc = crs_fn(args.crs).forward_cols("lon", "lat")
+            imgs = imgs.withColumn("px", xc).withColumn("py", yc)
+            px, py = "px", "py"
+        placed = with_extent_from_center(imgs, layout, px, py)
         layer = tile_to_layout(
             placed, layout, args.zoom, multiband=args.multiband
         ).persist()
@@ -144,7 +174,10 @@ def main() -> int:
         t = time.time()
         nxt = pyramid_up(cur, method="average").persist()
         n_tiles = nxt.count()
-        write_layer(nxt, args.out, args.name, z - 1)
+        m = 1 << (z - 1)
+        lo = LayoutDefinition(world, TileLayout(m, m, 256, 256))
+        # per-level metadata like the reference's Pyramid.levelStream sink
+        write_layer(nxt, args.out, args.name, z - 1, meta=meta_for(nxt, z - 1, lo))
         metrics["levels"][z - 1] = {
             "tiles": n_tiles, "sec": round(time.time() - t, 2),
         }

@@ -393,3 +393,99 @@ def test_generic_warp_bilinear_utm_roundtrip_smoke(spark):
     assert (c0, r0) == (0, 0)
     assert not np.isnan(got).any()
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+# -------------------------------------- spherical azimuthal/cylindrical family
+
+
+@pytest.mark.parametrize(
+    "p, dom",
+    [
+        (P.EquidistantCylindrical(6371000.0, lat_ts=30.0), (-179.0, 179.0, -89.0, 89.0)),
+        (P.AzimuthalEquidistant(6371000.0, lon0=10.0, lat0=50.0), (-60.0, 80.0, 0.0, 85.0)),
+        (P.Orthographic(6371000.0, lon0=10.0, lat0=50.0), (-50.0, 70.0, 10.0, 85.0)),
+        (P.Gnomonic(6371000.0, lon0=10.0, lat0=50.0), (-40.0, 60.0, 15.0, 80.0)),
+        (P.Cassini(6371000.0, lon0=10.0, lat0=20.0), (-50.0, 70.0, -60.0, 60.0)),
+    ],
+)
+def test_spherical_family_roundtrip(p, dom):
+    lon, lat = _grid(*dom, n=7)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9, rtol=0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9, rtol=0)
+
+
+def test_aeqd_preserves_distance_from_center():
+    """Defining property: map distance from the center == great-circle
+    distance (Snyder ch.25)."""
+    from tilegrid.grid import EARTH_RADIUS, haversine_m
+
+    p = P.AzimuthalEquidistant(EARTH_RADIUS, lon0=10.0, lat0=50.0)
+    lon, lat = _grid(-120.0, 150.0, -80.0, 85.0, n=7)
+    x, y = p.forward(lon, lat)
+    want = haversine_m(np.full_like(lon, 10.0), np.full_like(lat, 50.0), lon, lat)
+    np.testing.assert_allclose(np.hypot(x, y), want, rtol=1e-9, atol=1e-6)
+
+
+def test_ortho_distance_is_r_sin_c():
+    from tilegrid.grid import EARTH_RADIUS, haversine_m
+
+    p = P.Orthographic(EARTH_RADIUS, lon0=0.0, lat0=0.0)
+    lon, lat = _grid(-60.0, 60.0, -60.0, 60.0, n=7)
+    x, y = p.forward(lon, lat)
+    c = haversine_m(np.zeros_like(lon), np.zeros_like(lat), lon, lat) / EARTH_RADIUS
+    np.testing.assert_allclose(np.hypot(x, y), EARTH_RADIUS * np.sin(c), rtol=1e-9, atol=1e-6)
+
+
+def test_gnomonic_maps_great_circles_to_lines():
+    """Three points on one great circle must be exactly collinear on the
+    map (Snyder ch.22's defining property)."""
+    p = P.Gnomonic(6371000.0, lon0=20.0, lat0=30.0)
+    # great circle through two anchor points: sample by SLERP on the sphere
+    def sph(lon, lat):
+        lam, phi = math.radians(lon), math.radians(lat)
+        return np.array(
+            [math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam), math.sin(phi)]
+        )
+
+    a, b = sph(-10.0, 10.0), sph(60.0, 55.0)
+    w = math.acos(float(np.dot(a, b)))
+    pts = []
+    for t in (0.15, 0.5, 0.85):
+        v = (math.sin((1 - t) * w) * a + math.sin(t * w) * b) / math.sin(w)
+        lon = math.degrees(math.atan2(v[1], v[0]))
+        lat = math.degrees(math.asin(v[2]))
+        pts.append(p.forward(lon, lat))
+    (x1, y1), (x2, y2), (x3, y3) = [(float(x), float(y)) for x, y in pts]
+    cross = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+    span = max(abs(x3 - x1), abs(y3 - y1))
+    assert abs(cross) / (span * span) < 1e-9
+
+
+def test_eqc_expression_twins(spark):
+    import pandas as pd
+
+    p = P.EquidistantCylindrical(6371000.0, lon0=5.0, lat_ts=45.0)
+    lon, lat = _grid(-170.0, 170.0, -85.0, 85.0, n=5)
+    x_np, y_np = p.forward(lon, lat)
+    xs, ys = p.forward_sql("lon", "lat")
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM pts").df()
+    np.testing.assert_allclose(got["x"].to_numpy(), x_np, rtol=1e-12)
+    np.testing.assert_allclose(got["y"].to_numpy(), y_np, rtol=1e-12)
+    sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    xc, yc = p.forward_cols("lon", "lat")
+    g2 = sdf.select(xc.alias("x"), yc.alias("y")).toPandas()
+    np.testing.assert_allclose(g2["x"].to_numpy(), x_np, rtol=1e-12)
+    np.testing.assert_allclose(g2["y"].to_numpy(), y_np, rtol=1e-12)
+
+
+def test_spherical_family_in_parser():
+    assert isinstance(P.crs("+proj=eqc +lat_ts=30"), P.EquidistantCylindrical)
+    assert isinstance(P.crs("+proj=aeqd +lat_0=50 +lon_0=10"), P.AzimuthalEquidistant)
+    assert isinstance(P.crs("+proj=ortho +lat_0=50"), P.Orthographic)
+    assert isinstance(P.crs("+proj=gnom +lat_0=50"), P.Gnomonic)
+    assert isinstance(P.crs("+proj=cass +lat_0=20"), P.Cassini)
+    assert P.crs("+proj=aeqd +R=6371000 +lat_0=50").R == 6371000.0

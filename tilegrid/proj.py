@@ -48,6 +48,11 @@ __all__ = [
     "AlbersEqualArea",
     "PolarStereographic",
     "Sinusoidal",
+    "EquidistantCylindrical",
+    "AzimuthalEquidistant",
+    "Orthographic",
+    "Gnomonic",
+    "Cassini",
     "crs",
     "utm",
     "transform",
@@ -737,6 +742,187 @@ class Sinusoidal(Proj):
         return x, y
 
 
+class _Spherical(Proj):
+    """Base for the spherical azimuthal/cylindrical family (the reference's
+    proj4j ships these spherical-only too: AzimuthalProjection.java,
+    GnomonicAzimuthalProjection.java, OrthographicAzimuthalProjection.java,
+    CassiniProjection.java, EquidistantAzimuthalProjection.java,
+    PlateCarreeProjection.java)."""
+
+    def __init__(self, R: float = 6371000.0, lon0: float = 0.0, lat0: float = 0.0):
+        self.ellipsoid = Ellipsoid(R, 0.0)
+        self.R = R
+        self.lon0, self.lat0 = lon0, lat0
+
+    def _ll(self, lon, lat):
+        lam = (np.asarray(lon, np.float64) - self.lon0) * _D2R
+        phi = np.asarray(lat, np.float64) * _D2R
+        return lam, phi
+
+
+class EquidistantCylindrical(_Spherical):
+    """eqc / Plate Carree with standard parallel lat_ts (Snyder ch.12)."""
+
+    name = "eqc"
+
+    def __init__(self, R: float = 6371000.0, lon0: float = 0.0, lat_ts: float = 0.0):
+        super().__init__(R, lon0, 0.0)
+        self.lat_ts = lat_ts
+        self._ct = math.cos(lat_ts * _D2R)
+
+    def forward(self, lon, lat):
+        lam, phi = self._ll(lon, lat)
+        return self.R * lam * self._ct, self.R * phi
+
+    def inverse(self, x, y):
+        lon = np.asarray(x, np.float64) / (self.R * self._ct) * _R2D + self.lon0
+        return lon, np.asarray(y, np.float64) / self.R * _R2D
+
+    def forward_cols(self, lon, lat):
+        from pyspark.sql import functions as F
+
+        lon = F.col(lon) if isinstance(lon, str) else lon
+        lat = F.col(lat) if isinstance(lat, str) else lat
+        return (
+            (lon - F.lit(self.lon0)) * F.lit(_D2R * self.R * self._ct),
+            lat * F.lit(_D2R * self.R),
+        )
+
+    def forward_sql(self, lon, lat):
+        return (
+            f"(({lon}) - {self.lon0!r}) * {_D2R * self.R * self._ct!r}",
+            f"({lat}) * {_D2R * self.R!r}",
+        )
+
+
+class AzimuthalEquidistant(_Spherical):
+    """aeqd, spherical (Snyder 25-1..25-15): map distance from the center
+    equals great-circle distance — the projection's defining property."""
+
+    name = "aeqd"
+
+    def forward(self, lon, lat):
+        lam, phi = self._ll(lon, lat)
+        p0 = self.lat0 * _D2R
+        cosc = np.sin(p0) * np.sin(phi) + np.cos(p0) * np.cos(phi) * np.cos(lam)
+        c = np.arccos(np.clip(cosc, -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = np.where(c == 0.0, 1.0, c / np.sin(c))
+        x = self.R * k * np.cos(phi) * np.sin(lam)
+        y = self.R * k * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        p0 = self.lat0 * _D2R
+        xs, ys = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        rho = np.hypot(xs, ys)
+        c = rho / self.R
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.where(
+                rho == 0.0,
+                p0,
+                np.arcsin(np.clip(
+                    np.cos(c) * np.sin(p0) + ys * np.sin(c) * np.cos(p0) / np.where(rho == 0, 1, rho),
+                    -1.0, 1.0,
+                )),
+            )
+            lam = np.arctan2(
+                xs * np.sin(c),
+                rho * np.cos(p0) * np.cos(c) - ys * np.sin(p0) * np.sin(c),
+            )
+        return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
+
+
+class Orthographic(_Spherical):
+    """ortho, spherical (Snyder 20-3..20-15): the view from infinity;
+    map distance from center == R sin(angular distance)."""
+
+    name = "ortho"
+
+    def forward(self, lon, lat):
+        lam, phi = self._ll(lon, lat)
+        p0 = self.lat0 * _D2R
+        x = self.R * np.cos(phi) * np.sin(lam)
+        y = self.R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        p0 = self.lat0 * _D2R
+        xs, ys = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        rho = np.hypot(xs, ys)
+        c = np.arcsin(np.clip(rho / self.R, -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.where(
+                rho == 0.0,
+                p0,
+                np.arcsin(np.clip(
+                    np.cos(c) * np.sin(p0) + ys * np.sin(c) * np.cos(p0) / np.where(rho == 0, 1, rho),
+                    -1.0, 1.0,
+                )),
+            )
+            lam = np.arctan2(
+                xs * np.sin(c),
+                rho * np.cos(c) * np.cos(p0) - ys * np.sin(c) * np.sin(p0),
+            )
+        return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
+
+
+class Gnomonic(_Spherical):
+    """gnom, spherical (Snyder 22-3..22-16): great circles map to straight
+    lines — its defining property."""
+
+    name = "gnom"
+
+    def forward(self, lon, lat):
+        lam, phi = self._ll(lon, lat)
+        p0 = self.lat0 * _D2R
+        cosc = np.sin(p0) * np.sin(phi) + np.cos(p0) * np.cos(phi) * np.cos(lam)
+        x = self.R * np.cos(phi) * np.sin(lam) / cosc
+        y = self.R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam)) / cosc
+        return x, y
+
+    def inverse(self, x, y):
+        p0 = self.lat0 * _D2R
+        xs, ys = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        rho = np.hypot(xs, ys)
+        c = np.arctan(rho / self.R)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.where(
+                rho == 0.0,
+                p0,
+                np.arcsin(np.clip(
+                    np.cos(c) * np.sin(p0) + ys * np.sin(c) * np.cos(p0) / np.where(rho == 0, 1, rho),
+                    -1.0, 1.0,
+                )),
+            )
+            lam = np.arctan2(
+                xs * np.sin(c),
+                rho * np.cos(c) * np.cos(p0) - ys * np.sin(c) * np.sin(p0),
+            )
+        return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
+
+
+class Cassini(_Spherical):
+    """cass, spherical (Snyder 13-1..13-5): transverse Plate Carree."""
+
+    name = "cass"
+
+    def forward(self, lon, lat):
+        lam, phi = self._ll(lon, lat)
+        p0 = self.lat0 * _D2R
+        x = self.R * np.arcsin(np.clip(np.cos(phi) * np.sin(lam), -1.0, 1.0))
+        y = self.R * (np.arctan2(np.tan(phi), np.cos(lam)) - p0)
+        return x, y
+
+    def inverse(self, x, y):
+        p0 = self.lat0 * _D2R
+        D = np.asarray(y, np.float64) / self.R + p0
+        xr = np.asarray(x, np.float64) / self.R
+        phi = np.arcsin(np.clip(np.sin(D) * np.cos(xr), -1.0, 1.0))
+        lam = np.arctan2(np.tan(xr), np.cos(D))
+        return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
+
+
 # ---------------------------------------------------------------------------
 # Registry + proj-string parser (Registry.java, parser/Proj4Parser.java)
 # ---------------------------------------------------------------------------
@@ -810,6 +996,17 @@ def _parse_projstr(s: str) -> Proj:
         )
     if p == "sinu":
         return Sinusoidal(ell, lon0=g("lon_0", 0.0))
+    R = ell.a  # the spherical family uses +R / +a as the sphere radius
+    if p == "eqc":
+        return EquidistantCylindrical(R, lon0=g("lon_0", 0.0), lat_ts=g("lat_ts", 0.0))
+    if p == "aeqd":
+        return AzimuthalEquidistant(R, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0))
+    if p == "ortho":
+        return Orthographic(R, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0))
+    if p == "gnom":
+        return Gnomonic(R, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0))
+    if p == "cass":
+        return Cassini(R, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0))
     raise ValueError(f"unsupported +proj={p}")
 
 
