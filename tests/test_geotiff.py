@@ -432,3 +432,45 @@ class TestWindowedRead:
         data = tiff_encode(a)
         with pytest.raises(ValueError):
             tiff_decode_window(data, 5, 5, 10, 2)
+
+
+class TestOverviews:
+    """Chained-IFD overviews (the cloud-optimized GeoTIFF layout; the
+    reference reads multi-IFD files via GeoTiffReader's segment layout)."""
+
+    def _file(self):
+        rng = np.random.default_rng(2)
+        full = (rng.random((128, 160)) * 255).astype(np.uint8)
+        o1 = full.reshape(64, 2, 80, 2).mean(axis=(1, 3)).astype(np.uint8)
+        o2 = o1.reshape(32, 2, 40, 2).mean(axis=(1, 3)).astype(np.uint8)
+        from tilegrid.grid import Extent
+
+        ext = Extent(0.0, 0.0, 16.0, 12.8)
+        data = tiff_encode(
+            full, extent=ext, compress="lzw", rows_per_strip=32, overviews=[o1, o2]
+        )
+        return data, full, o1, o2, ext
+
+    def test_each_ifd_roundtrips_with_shared_extent(self):
+        data, full, o1, o2, ext = self._file()
+        for i, want in enumerate((full, o1, o2)):
+            arr, got_ext = tiff_decode(data, ifd=i)
+            np.testing.assert_array_equal(arr, want)
+            assert got_ext.to_tuple() == ext.to_tuple()
+        with pytest.raises(ValueError, match="no IFD"):
+            tiff_decode(data, ifd=3)
+
+    def test_windowed_read_on_overview(self):
+        data, full, o1, _, _ = self._file()
+        w1, _ = tiff_decode_window(data, 10, 5, 30, 20, ifd=1)
+        np.testing.assert_array_equal(w1, o1[5:25, 10:40])
+        w0, _ = tiff_decode_window(data, 10, 5, 30, 20)
+        np.testing.assert_array_equal(w0, full[5:25, 10:40])
+
+    def test_bigtiff_chain(self):
+        rng = np.random.default_rng(3)
+        full = (rng.random((64, 64)) * 1000).astype(np.float32)
+        o1 = full[::2, ::2].copy()
+        data = tiff_encode(full, bigtiff=True, predictor=3, overviews=[o1])
+        np.testing.assert_array_equal(tiff_decode(data, ifd=1)[0], o1)
+        np.testing.assert_array_equal(tiff_decode(data)[0], full)

@@ -13,10 +13,12 @@ ingest actually needs — enough to read/write real georeferenced rasters:
          band-separate (PlanarConfiguration 2, strips and tiles); GeoTiff
          georeferencing via ModelPixelScale (33550) + ModelTiepoint
          (33922) -> Extent.
-  write: little-endian, striped, LZW / Deflate / uncompressed, optional
-         predictor 2 / 3, chunky or planar (planar=2: one strip per
-         band), same sample types, with the two geo tags; classic or
-         BigTIFF layout (bigtiff=True for >4 GiB outputs).
+  write: little-endian, striped, LZW / Deflate / JPEG / uncompressed,
+         optional predictor 2 / 3, chunky or planar (planar=2: one strip
+         per band), same sample types, with the two geo tags; classic or
+         BigTIFF layout (bigtiff=True for >4 GiB outputs); chained-IFD
+         overviews (`overviews=[...]`, the cloud-optimized layout) read
+         back via tiff_decode(data, ifd=k) / windowed reads per level.
 
 LZW follows the TIFF6 early-change convention the reference decodes
 (LZWDecompression.scala:95-99: the decoder widens its code size when its
@@ -54,18 +56,33 @@ _PIXEL_SCALE, _TIEPOINT = 33550, 33922
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 11: 4, 12: 8, 16: 8, 17: 8}
 
 
-def _read_ifd(data: bytes, bo: str, big: bool = False):
-    """Parse the first IFD. Classic TIFF: u32 IFD offset at byte 4, u16
-    entry count, 12-byte entries with a 4-byte inline-value window.
-    BigTIFF (version 43): u64 IFD offset at byte 8, u64 entry count,
-    20-byte entries (tag u16, type u16, count u64, value/offset 8 bytes)
-    with an 8-byte inline window and LONG8/SLONG8/IFD8 value types."""
+def _read_ifd(data: bytes, bo: str, big: bool = False, ifd: int = 0):
+    """Parse one IFD (the `ifd`-th, following next-IFD pointers — wild
+    files chain overview/reduced-resolution IFDs this way). Classic TIFF:
+    u32 IFD offset at byte 4, u16 entry count, 12-byte entries with a
+    4-byte inline-value window. BigTIFF (version 43): u64 IFD offset at
+    byte 8, u64 entry count, 20-byte entries (tag u16, type u16, count
+    u64, value/offset 8 bytes) with an 8-byte inline window and
+    LONG8/SLONG8/IFD8 value types."""
     if big:
         (off,) = struct.unpack_from(bo + "Q", data, 8)
+    else:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
+    for _ in range(ifd):  # hop to the requested IFD
+        if off == 0:
+            raise ValueError(f"TIFF has no IFD #{ifd}")
+        if big:
+            (n,) = struct.unpack_from(bo + "Q", data, off)
+            (off,) = struct.unpack_from(bo + "Q", data, off + 8 + n * 20)
+        else:
+            (n,) = struct.unpack_from(bo + "H", data, off)
+            (off,) = struct.unpack_from(bo + "I", data, off + 2 + n * 12)
+    if off == 0:
+        raise ValueError(f"TIFF has no IFD #{ifd}")
+    if big:
         (n,) = struct.unpack_from(bo + "Q", data, off)
         ent0, ent_sz, inline = off + 8, 20, 8
     else:
-        (off,) = struct.unpack_from(bo + "I", data, 4)
         (n,) = struct.unpack_from(bo + "H", data, off)
         ent0, ent_sz, inline = off + 2, 12, 4
     tags: dict[int, list] = {}
@@ -326,8 +343,8 @@ def _dtype(bits: int, fmt: int, bo: str) -> np.dtype:
     return np.dtype(e + {8: "u1", 16: "u2", 32: "u4"}[bits])
 
 
-def _open_tiff(data: bytes) -> tuple[str, dict]:
-    """Parse header + IFD -> (byte order, tags)."""
+def _open_tiff(data: bytes, ifd: int = 0) -> tuple[str, dict]:
+    """Parse header + the ifd-th IFD -> (byte order, tags)."""
     big = False
     if data[:4] == b"II*\x00":
         bo = "<"
@@ -343,14 +360,15 @@ def _open_tiff(data: bytes) -> tuple[str, dict]:
         osz, pad = struct.unpack_from(bo + "HH", data, 4)
         if osz != 8 or pad != 0:
             raise ValueError(f"BigTIFF with offset size {osz} unsupported")
-    return bo, _read_ifd(data, bo, big)
+    return bo, _read_ifd(data, bo, big, ifd)
 
 
-def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
+def tiff_decode(data: bytes, ifd: int = 0) -> tuple[np.ndarray, Extent | None]:
     """Decode -> ((h, w) or (h, w, bands) array, Extent or None).
     Accepts classic TIFF (version 42) and BigTIFF (version 43, 64-bit
-    offsets — the layout >4 GiB rasters are written in)."""
-    bo, tags = _open_tiff(data)
+    offsets — the layout >4 GiB rasters are written in). ifd selects a
+    chained IFD (0 = full resolution, 1.. = overviews)."""
+    bo, tags = _open_tiff(data, ifd)
     w, h = tags[_W][0], tags[_H][0]
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])[0]
@@ -414,15 +432,16 @@ def tiff_decode(data: bytes) -> tuple[np.ndarray, Extent | None]:
 
 
 def tiff_decode_window(
-    data: bytes, x0: int, y0: int, ww: int, wh: int
+    data: bytes, x0: int, y0: int, ww: int, wh: int, ifd: int = 0
 ) -> tuple[np.ndarray, Extent | None]:
     """Windowed read — decode ONLY the strips/tiles intersecting the pixel
     window [x0, x0+ww) x [y0, y0+wh) (the reference's WindowedGeoTiffReader,
     raster/.../io/geotiff/SinglebandGeoTiff.scala:61-88 + windowed docs
     docs/raster/WindowedGeoTiffReaderDemo.md). Returns ((wh, ww) or
     (wh, ww, bands) array, window Extent or None). Cost scales with the
-    window's share of the file's chunks, not the file size."""
-    bo, tags = _open_tiff(data)
+    window's share of the file's chunks, not the file size. ifd selects a
+    chained IFD (overviews)."""
+    bo, tags = _open_tiff(data, ifd)
     w, h = tags[_W][0], tags[_H][0]
     if not (0 <= x0 and 0 <= y0 and x0 + ww <= w and y0 + wh <= h and ww > 0 and wh > 0):
         raise ValueError(f"window {(x0, y0, ww, wh)} outside raster {w}x{h}")
@@ -501,18 +520,59 @@ def tiff_encode(
     bigtiff: bool = False,
     planar: int = 1,
     rows_per_strip: int | None = None,
+    overviews: list[np.ndarray] | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) uint8/uint16/float32/float64 as a
     little-endian striped (Geo)TIFF. compress: True/"deflate", "lzw",
-    False/"none". predictor: 1 (none), 2 (horizontal differencing, int
-    samples), 3 (floating-point). bigtiff: version-43 layout with 64-bit
-    counts/offsets (strip offset/count as LONG8) — required once any
-    offset would exceed 2^32; enable for >4 GiB outputs. planar: 1
+    "jpeg", False/"none". predictor: 1 (none), 2 (horizontal differencing,
+    int samples), 3 (floating-point). bigtiff: version-43 layout with
+    64-bit counts/offsets (strip offset/count as LONG8) — required once
+    any offset would exceed 2^32; enable for >4 GiB outputs. planar: 1
     (pixel-interleaved, chunky) or 2 (PlanarConfiguration 2 — band-
     separate strips, each compressed separately). rows_per_strip: chunk
     the image into multiple strips of this many rows (default: one strip
     of h rows) — write multi-strip files so tiff_decode_window can skip
-    chunks outside its window."""
+    chunks outside its window. overviews: reduced-resolution rasters
+    (e.g. from tiles.block_reduce or pyramid levels) appended as chained
+    IFDs over the same extent — the cloud-optimized layout; read back
+    with tiff_decode(data, ifd=k)."""
+    if bigtiff:
+        header = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+    else:
+        header = b"II*\x00" + struct.pack("<I", 8)
+    arrs = [arr] + list(overviews or [])
+    out = bytearray(header)
+    blocks: list[tuple[bytearray, int, int]] = []  # block, next-ptr pos, base
+    base = len(out)
+    for a2 in arrs:
+        blk, npos = _encode_ifd_block(
+            a2, extent, compress, predictor, bigtiff, planar, rows_per_strip, base
+        )
+        blocks.append((bytearray(blk), npos, base))
+        base += len(blk)
+    ptr_fmt = "<Q" if bigtiff else "<I"
+    psz = 8 if bigtiff else 4
+    for i in range(len(blocks) - 1):
+        blk, npos, _ = blocks[i]
+        blk[npos : npos + psz] = struct.pack(ptr_fmt, blocks[i + 1][2])
+    for blk, _, _ in blocks:
+        out += blk
+    return bytes(out)
+
+
+def _encode_ifd_block(
+    arr: np.ndarray,
+    extent: Extent | None,
+    compress: bool | str,
+    predictor: int,
+    bigtiff: bool,
+    planar: int,
+    rows_per_strip: int | None,
+    base: int,
+) -> tuple[bytes, int]:
+    """One IFD + its value blobs + strip payloads, with absolute offsets
+    assuming the block starts at file offset `base`. Returns (block bytes,
+    position of the next-IFD pointer within the block)."""
     a = np.ascontiguousarray(arr)
     h, w = a.shape[:2]
     spp = a.shape[2] if a.ndim == 3 else 1
@@ -604,13 +664,14 @@ def tiff_encode(
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    # classic: 8-byte header, u16 count, 12-byte entries, 4-byte inline +
-    # next-IFD; BigTIFF: 16-byte header, u64 count, 20-byte entries,
-    # 8-byte inline + next-IFD
+    # classic: u16 count, 12-byte entries, 4-byte inline values + 4-byte
+    # next-IFD pointer; BigTIFF: u64 count, 20-byte entries, 8-byte
+    # inline + 8-byte next-IFD pointer. All offsets are absolute
+    # (base-relative block layout).
     inline = 8 if bigtiff else 4
     ent_sz = 20 if bigtiff else 12
-    ifd_off = 16 if bigtiff else 8
-    data_off = ifd_off + (8 if bigtiff else 2) + n * ent_sz + inline
+    count_sz = 8 if bigtiff else 2
+    data_off = base + count_sz + n * ent_sz + inline
     # lay out oversized values
     blobs = []
     for tag, typ, cnt, raw in entries:
@@ -627,10 +688,8 @@ def tiff_encode(
 
     out = bytearray()
     if bigtiff:
-        out += b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_off)
         out += struct.pack("<Q", n)
     else:
-        out += b"II*\x00" + struct.pack("<I", ifd_off)
         out += struct.pack("<H", n)
     cnt_fmt = "<HHQ" if bigtiff else "<HHI"
     ptr_fmt = "<Q" if bigtiff else "<I"
@@ -642,8 +701,9 @@ def tiff_encode(
             out += struct.pack(ptr_fmt, blob_at[tag])
         else:
             out += raw.ljust(inline, b"\x00")
-    out += struct.pack(ptr_fmt, 0)  # no next IFD
+    next_ptr_pos = len(out)
+    out += struct.pack(ptr_fmt, 0)  # patched by tiff_encode when chaining
     for tag, _, raw in blobs:
         out += off_raw if tag == _STRIP_OFF else raw
     out += b"".join(payloads)
-    return bytes(out)
+    return bytes(out), next_ptr_pos
