@@ -489,3 +489,37 @@ def test_spherical_family_in_parser():
     assert isinstance(P.crs("+proj=gnom +lat_0=50"), P.Gnomonic)
     assert isinstance(P.crs("+proj=cass +lat_0=20"), P.Cassini)
     assert P.crs("+proj=aeqd +R=6371000 +lat_0=50").R == 6371000.0
+
+
+def test_reproject_geoms_roundtrip(spark):
+    """WKB polygons through latlng -> UTM -> latlng come back within
+    sub-mm; multipolygon and point shapes are preserved."""
+    import pandas as pd
+
+    from tilegrid.geometry import (
+        wkb_decode, wkb_encode_multipolygon, wkb_encode_point, wkb_encode_polygon,
+    )
+    from tilegrid.operators.vector import reproject_geoms
+
+    shell = np.array([[14.0, 45.0], [16.0, 45.0], [16.0, 47.0], [14.0, 47.0]])
+    hole = np.array([[14.6, 45.6], [15.4, 45.6], [15.4, 46.4], [14.6, 46.4]])[::-1]
+    rows = [
+        ("poly", wkb_encode_polygon([shell, hole])),
+        ("multi", wkb_encode_multipolygon([[shell + 0.1], [shell - 3.0]])),
+        ("pt", wkb_encode_point(15.0, 46.0)),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["gid", "wkb"]))
+    there = reproject_geoms(df, "latlng", "epsg:32633")
+    back = reproject_geoms(there, "epsg:32633", "latlng").toPandas().set_index("gid")
+    g = wkb_decode(bytes(back.loc["poly", "wkb"]))
+    np.testing.assert_allclose(g[0], shell, atol=1e-8)
+    np.testing.assert_allclose(g[1], hole, atol=1e-8)
+    m = wkb_decode(bytes(back.loc["multi", "wkb"]))
+    assert len(m) == 2 and len(m[0]) == 1
+    np.testing.assert_allclose(m[0][0], shell + 0.1, atol=1e-8)
+    np.testing.assert_allclose(m[1][0], shell - 3.0, atol=1e-8)
+    x, y = wkb_decode(bytes(back.loc["pt", "wkb"]))
+    assert abs(x - 15.0) < 1e-8 and abs(y - 46.0) < 1e-8
+    # projected coordinates really are in meters (UTM northings ~ 5e6)
+    mid = wkb_decode(bytes(there.toPandas().set_index("gid").loc["pt", "wkb"]))
+    assert 4.9e6 < mid[1] < 5.2e6 and 3e5 < mid[0] < 7e5

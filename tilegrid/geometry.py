@@ -38,6 +38,14 @@ def wkb_encode_polygon(rings: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def wkb_encode_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    """Encode a list of polygons (each a list of rings) as WKB MULTIPOLYGON."""
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_encode_polygon(rings))
+    return b"".join(out)
+
+
 def wkb_decode(data: bytes):
     """Decode point -> (x, y); polygon -> list[rings]; multipolygon ->
     list[list[rings]]. Rings are returned unclosed (last==first removed)."""
