@@ -474,3 +474,47 @@ class TestOverviews:
         data = tiff_encode(full, bigtiff=True, predictor=3, overviews=[o1])
         np.testing.assert_array_equal(tiff_decode(data, ifd=1)[0], o1)
         np.testing.assert_array_equal(tiff_decode(data)[0], full)
+
+
+class TestOldStyleJpeg:
+    def test_compression_6_interchange_form(self):
+        """Hand-built old-style JPEG TIFF: compression 6 with
+        JPEGInterchangeFormat/Length (513/514) pointing at one complete
+        stream — the common wild form."""
+        from tilegrid import jpeg
+
+        gx, gy = np.meshgrid(np.arange(40), np.arange(24))
+        img = ((gx * 3 + gy * 5) % 200).astype(np.uint8)
+        stream = jpeg.encode(img, quality=95)
+        ifd_off = 8
+        entries = [
+            (256, 4, 1, struct.pack("<I", 40)),
+            (257, 4, 1, struct.pack("<I", 24)),
+            (258, 3, 1, struct.pack("<H", 8)),
+            (259, 3, 1, struct.pack("<H", 6)),
+            (262, 3, 1, struct.pack("<H", 1)),
+            (277, 3, 1, struct.pack("<H", 1)),
+            (514, 4, 1, struct.pack("<I", len(stream))),
+        ]
+        n = len(entries) + 1
+        data_off = ifd_off + 2 + n * 12 + 4
+        entries.append((513, 4, 1, struct.pack("<I", data_off)))
+        entries.sort(key=lambda x: x[0])
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+        out += struct.pack("<H", n)
+        for tag, typ, cnt, raw in entries:
+            out += struct.pack("<HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")
+        out += struct.pack("<I", 0)
+        out += stream
+        back, ext = tiff_decode(bytes(out))
+        assert ext is None
+        np.testing.assert_array_equal(back, jpeg.decode(stream))
+        assert codec.psnr(img.astype(float), back.astype(float)) >= 40.0
+
+    def test_compression_6_without_pointer_raises(self):
+        arr = np.zeros((4, 4), dtype=np.uint8)
+        data = bytearray(tiff_encode(arr, compress=False))
+        pos = data.find(struct.pack("<HH", 259, 3))
+        data[pos + 8 : pos + 10] = struct.pack("<H", 6)
+        with pytest.raises(ValueError, match="JPEGInterchangeFormat"):
+            tiff_decode(bytes(data))

@@ -27,10 +27,12 @@ writer flushes the dictionary with a ClearCode at 4094 like libtiff.
 
 JPEG-in-TIFF: compression 7 (new-style) reads and writes through the
 from-scratch baseline codec in tilegrid/jpeg.py — abbreviated per-chunk
-streams pick their DQT/DHT up from the JPEGTables (347) tag. Still
-unsupported shapes (old-style compression 6 offsets, progressive scans,
-12-bit JPEG) raise ValueError with the tag that triggered it — honest
-partial coverage, not silent corruption.
+streams pick their DQT/DHT up from the JPEGTables (347) tag; old-style
+compression 6 reads in its common whole-image interchange form
+(JPEGInterchangeFormat/Length tags 513/514). Still unsupported shapes
+(per-tile compression-6 offset tables, progressive scans, 12-bit JPEG)
+raise ValueError with the tag that triggered it — honest partial
+coverage, not silent corruption.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ _PLANAR = 284
 _PREDICTOR = 317
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SAMPLE_FMT = 339
+_JPEG_IF, _JPEG_IF_LEN = 513, 514  # old-style JPEG (compression 6) pointers
 _JPEG_TABLES = 347
 _PIXEL_SCALE, _TIEPOINT = 33550, 33922
 
@@ -375,6 +378,23 @@ def tiff_decode(data: bytes, ifd: int = 0) -> tuple[np.ndarray, Extent | None]:
     comp = tags.get(_COMP, [1])[0]
     fmt = tags.get(_SAMPLE_FMT, [1])[0]
     planar = tags.get(_PLANAR, [1])[0]
+    if comp == 6:
+        # old-style JPEG: only the common whole-image interchange form
+        # (JPEGInterchangeFormat/Length point at one complete stream);
+        # per-tile comp-6 offset tables stay unsupported and raise below
+        if _JPEG_IF not in tags:
+            raise ValueError(
+                "old-style JPEG (compression 6) without JPEGInterchangeFormat"
+            )
+        o = tags[_JPEG_IF][0]
+        ln = tags.get(_JPEG_IF_LEN, [len(data) - o])[0]
+        from . import jpeg as _jpeg
+
+        img = _jpeg.decode(bytes(data[o : o + ln]))
+        if img.ndim == 2:
+            img = img[:, :, None]
+        arr2 = img[:h, :w, 0] if spp == 1 else img[:h, :w]
+        return arr2, _geo_extent(tags, h, w)
     if planar not in (1, 2):
         raise ValueError(f"unsupported PlanarConfiguration {planar}")
     dt = _dtype(bits, fmt, bo)
@@ -418,17 +438,21 @@ def tiff_decode(data: bytes, ifd: int = 0) -> tuple[np.ndarray, Extent | None]:
             else:
                 out[y : y + rows] = arr
                 y += rows
-    ext = None
-    if _PIXEL_SCALE in tags and _TIEPOINT in tags:
-        sx, sy = tags[_PIXEL_SCALE][0], tags[_PIXEL_SCALE][1]
-        tp = tags[_TIEPOINT]
-        # tiepoint: raster (i, j, k) -> model (x, y, z); standard NW anchor
-        i, j, x, y_ = tp[0], tp[1], tp[3], tp[4]
-        xmin = x - i * sx
-        ymax = y_ + j * sy
-        ext = Extent(xmin, ymax - h * sy, xmin + w * sx, ymax)
     arr2 = out[:, :, 0] if spp == 1 else out
-    return arr2, ext
+    return arr2, _geo_extent(tags, h, w)
+
+
+def _geo_extent(tags: dict, h: int, w: int) -> Extent | None:
+    """ModelPixelScale + ModelTiepoint -> Extent (standard NW anchor)."""
+    if _PIXEL_SCALE not in tags or _TIEPOINT not in tags:
+        return None
+    sx, sy = tags[_PIXEL_SCALE][0], tags[_PIXEL_SCALE][1]
+    tp = tags[_TIEPOINT]
+    # tiepoint: raster (i, j, k) -> model (x, y, z)
+    i, j, x, y_ = tp[0], tp[1], tp[3], tp[4]
+    xmin = x - i * sx
+    ymax = y_ + j * sy
+    return Extent(xmin, ymax - h * sy, xmin + w * sx, ymax)
 
 
 def tiff_decode_window(
