@@ -518,3 +518,54 @@ class TestOldStyleJpeg:
         data[pos + 8 : pos + 10] = struct.pack("<H", 6)
         with pytest.raises(ValueError, match="JPEGInterchangeFormat"):
             tiff_decode(bytes(data))
+
+
+class TestTiledWrite:
+    """Tiled-layout writes (TileWidth/TileLength/TileOffsets) — the layout
+    the reference's tiled GeoTiffs and COGs use; pairs with 2-D windowed
+    reads that skip whole tiles on both axes."""
+
+    @pytest.mark.parametrize(
+        "shape,dtype,compress,predictor,planar",
+        [
+            ((70, 90), "uint8", "lzw", 2, 1),
+            ((70, 90), "float64", "deflate", 3, 1),
+            ((50, 70, 3), "uint8", "deflate", 1, 1),
+            ((50, 70, 3), "uint16", False, 1, 2),
+        ],
+    )
+    def test_roundtrip_and_window(self, shape, dtype, compress, predictor, planar):
+        rng = np.random.default_rng(4)
+        arr = (rng.random(shape) * 200).astype(dtype)
+        data = tiff_encode(
+            arr, compress=compress, predictor=predictor, planar=planar, tile_size=32
+        )
+        back, _ = tiff_decode(data)
+        np.testing.assert_array_equal(back, arr)
+        win, _ = tiff_decode_window(data, 5, 7, 30, 25)
+        np.testing.assert_array_equal(win, arr[7:32, 5:35])
+
+    def test_jpeg_tiled(self):
+        gx, gy = np.meshgrid(np.arange(60), np.arange(40))
+        arr = ((gx * 3 + gy * 2) % 220).astype(np.uint8)
+        data = tiff_encode(arr, compress="jpeg", tile_size=32)
+        back, _ = tiff_decode(data)
+        assert codec.psnr(arr.astype(float), back.astype(float)) >= 40.0
+
+    def test_tiled_overviews_bigtiff(self):
+        rng = np.random.default_rng(5)
+        full = (rng.random((128, 96)) * 255).astype(np.uint8)
+        o1 = full[::2, ::2].copy()
+        data = tiff_encode(
+            full, extent=Extent(0, 0, 9.6, 12.8), compress="lzw",
+            tile_size=64, overviews=[o1], bigtiff=True,
+        )
+        np.testing.assert_array_equal(tiff_decode(data)[0], full)
+        np.testing.assert_array_equal(tiff_decode(data, ifd=1)[0], o1)
+        w, ext = tiff_decode_window(data, 8, 8, 40, 40, ifd=0)
+        np.testing.assert_array_equal(w, full[8:48, 8:48])
+        assert ext is not None
+
+    def test_bad_tile_size_raises(self):
+        with pytest.raises(ValueError, match="multiple of 16"):
+            tiff_encode(np.zeros((8, 8), np.uint8), tile_size=20)

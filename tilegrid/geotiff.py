@@ -13,12 +13,14 @@ ingest actually needs — enough to read/write real georeferenced rasters:
          band-separate (PlanarConfiguration 2, strips and tiles); GeoTiff
          georeferencing via ModelPixelScale (33550) + ModelTiepoint
          (33922) -> Extent.
-  write: little-endian, striped, LZW / Deflate / JPEG / uncompressed,
-         optional predictor 2 / 3, chunky or planar (planar=2: one strip
-         per band), same sample types, with the two geo tags; classic or
-         BigTIFF layout (bigtiff=True for >4 GiB outputs); chained-IFD
-         overviews (`overviews=[...]`, the cloud-optimized layout) read
-         back via tiff_decode(data, ifd=k) / windowed reads per level.
+  write: little-endian, striped or TILED (tile_size=N: square tiles,
+         edge-padded, TileOffsets layout), LZW / Deflate / JPEG /
+         uncompressed, optional predictor 2 / 3, chunky or planar
+         (planar=2: band-separate chunks), same sample types, with the
+         two geo tags; classic or BigTIFF layout (bigtiff=True for
+         >4 GiB outputs); chained-IFD overviews (`overviews=[...]`,
+         the cloud-optimized layout) read back via
+         tiff_decode(data, ifd=k) / windowed reads per level.
 
 LZW follows the TIFF6 early-change convention the reference decodes
 (LZWDecompression.scala:95-99: the decoder widens its code size when its
@@ -545,6 +547,7 @@ def tiff_encode(
     planar: int = 1,
     rows_per_strip: int | None = None,
     overviews: list[np.ndarray] | None = None,
+    tile_size: int | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) uint8/uint16/float32/float64 as a
     little-endian striped (Geo)TIFF. compress: True/"deflate", "lzw",
@@ -559,7 +562,10 @@ def tiff_encode(
     chunks outside its window. overviews: reduced-resolution rasters
     (e.g. from tiles.block_reduce or pyramid levels) appended as chained
     IFDs over the same extent — the cloud-optimized layout; read back
-    with tiff_decode(data, ifd=k)."""
+    with tiff_decode(data, ifd=k). tile_size: write a TILED layout
+    (TileWidth/TileLength/TileOffsets, square tiles, multiple of 16,
+    edge-padded) instead of strips — 2-D windowed reads then skip whole
+    tiles on both axes."""
     if bigtiff:
         header = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
     else:
@@ -570,7 +576,8 @@ def tiff_encode(
     base = len(out)
     for a2 in arrs:
         blk, npos = _encode_ifd_block(
-            a2, extent, compress, predictor, bigtiff, planar, rows_per_strip, base
+            a2, extent, compress, predictor, bigtiff, planar, rows_per_strip,
+            base, tile_size,
         )
         blocks.append((bytearray(blk), npos, base))
         base += len(blk)
@@ -593,6 +600,7 @@ def _encode_ifd_block(
     planar: int,
     rows_per_strip: int | None,
     base: int,
+    tile_size: int | None = None,
 ) -> tuple[bytes, int]:
     """One IFD + its value blobs + strip payloads, with absolute offsets
     assuming the block starts at file offset `base`. Returns (block bytes,
@@ -617,28 +625,43 @@ def _encode_ifd_block(
         raise ValueError("predictor 3 requires float samples")
 
     rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    use_tiles = tile_size is not None
+    if use_tiles:
+        ts = int(tile_size)
+        if ts <= 0 or ts % 16 != 0:
+            raise ValueError("TIFF tile size must be a positive multiple of 16")
+        pad_h, pad_w = (-h) % ts, (-w) % ts
+        ap = np.pad(
+            a, [(0, pad_h), (0, pad_w)] + ([(0, 0)] if a.ndim == 3 else []),
+            mode="edge",
+        )
+    else:
+        ap = a
 
-    def strip_bodies(band: np.ndarray, bspp: int) -> list[bytes]:
-        out = []
-        for y in range(0, h, rps):
-            rows = np.ascontiguousarray(band[y : y + rps])
-            if predictor == 1:
-                out.append(rows.astype(rows.dtype.newbyteorder("<")).tobytes())
-            else:  # both predictors are row-local: per-strip == whole-image
-                out.append(_apply_predictor(
-                    rows.reshape(rows.shape[0], w, bspp), predictor))
-        return out
+    def chunk_arrays(band: np.ndarray) -> list[np.ndarray]:
+        """Pixel chunks in chunk order: tiles row-major, or strips."""
+        if use_tiles:
+            return [
+                np.ascontiguousarray(band[ty : ty + ts, tx : tx + ts])
+                for ty in range(0, band.shape[0], ts)
+                for tx in range(0, band.shape[1], ts)
+            ]
+        return [np.ascontiguousarray(band[y : y + rps]) for y in range(0, h, rps)]
+
+    def body(rows: np.ndarray, bspp: int) -> bytes:
+        if predictor == 1:
+            return rows.astype(rows.dtype.newbyteorder("<")).tobytes()
+        # both predictors are row-local: per-chunk == whole-image
+        return _apply_predictor(
+            rows.reshape(rows.shape[0], rows.shape[1], bspp), predictor
+        )
 
     if planar == 2:
-        bodies = [s for b in range(spp) for s in strip_bodies(a[:, :, b], 1)]
+        chunks = [(c, 1) for b in range(spp) for c in chunk_arrays(ap[:, :, b])]
     else:
-        bodies = strip_bodies(a, spp)
-    if compress is True or compress == "deflate":
-        comp, payloads = 8, [zlib.compress(b, 6) for b in bodies]
-    elif compress == "lzw":
-        comp, payloads = 5, [_lzw_encode(b) for b in bodies]
-    elif compress == "jpeg":
-        # new-style JPEG (compression 7): each strip is a complete baseline
+        chunks = [(c, spp) for c in chunk_arrays(ap)]
+    if compress == "jpeg":
+        # JPEG (compression 7): each strip/tile is a complete baseline
         # stream (JPEGTables omitted — legal per TIFF/EP, and decoders that
         # honor it, ours included, fall back to in-stream tables)
         if a.dtype != np.uint8 or predictor != 1 or planar != 1 or spp not in (1, 3):
@@ -648,14 +671,17 @@ def _encode_ifd_block(
         from . import jpeg as _jpeg
 
         comp = 7
-        payloads = [
-            _jpeg.encode(np.ascontiguousarray(a[y : y + rps]), quality=90, subsample=False)
-            for y in range(0, h, rps)
-        ]
-    elif compress is False or compress in (None, "none"):
-        comp, payloads = 1, bodies
+        payloads = [_jpeg.encode(c, quality=90, subsample=False) for c, _ in chunks]
     else:
-        raise ValueError(f"unknown compress {compress!r}")
+        bodies = [body(c, bspp) for c, bspp in chunks]
+        if compress is True or compress == "deflate":
+            comp, payloads = 8, [zlib.compress(b, 6) for b in bodies]
+        elif compress == "lzw":
+            comp, payloads = 5, [_lzw_encode(b) for b in bodies]
+        elif compress is False or compress in (None, "none"):
+            comp, payloads = 1, bodies
+        else:
+            raise ValueError(f"unknown compress {compress!r}")
 
     entries: list[tuple[int, int, int, bytes]] = []  # tag, type, count, value
     extra: list[bytes] = []
@@ -672,8 +698,13 @@ def _encode_ifd_block(
     add(_COMP, 3, [comp], "H")
     add(_PHOTO, 3, [2 if spp >= 3 else 1], "H")
     add(_SPP, 3, [spp], "H")
-    add(_ROWS_PER_STRIP, 4, [rps], "I")
-    add(_STRIP_CNT, off_c, [len(p) for p in payloads], off_t)
+    if use_tiles:
+        add(_TILE_W, 4, [ts], "I")
+        add(_TILE_H, 4, [ts], "I")
+        add(_TILE_CNT, off_c, [len(p) for p in payloads], off_t)
+    else:
+        add(_ROWS_PER_STRIP, 4, [rps], "I")
+        add(_STRIP_CNT, off_c, [len(p) for p in payloads], off_t)
     add(_SAMPLE_FMT, 3, [fmt] * spp, "H")
     if planar == 2:
         add(_PLANAR, 3, [2], "H")
@@ -684,7 +715,8 @@ def _encode_ifd_block(
         sy = extent.height / h
         add(_PIXEL_SCALE, 12, [sx, sy, 0.0], "d")
         add(_TIEPOINT, 12, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0], "d")
-    add(_STRIP_OFF, off_c, [0] * len(payloads), off_t)  # patched below
+    off_tag = _TILE_OFF if use_tiles else _STRIP_OFF
+    add(off_tag, off_c, [0] * len(payloads), off_t)  # patched below
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
@@ -718,7 +750,7 @@ def _encode_ifd_block(
     cnt_fmt = "<HHQ" if bigtiff else "<HHI"
     ptr_fmt = "<Q" if bigtiff else "<I"
     for tag, typ, cnt, raw in entries:
-        if tag == _STRIP_OFF:
+        if tag == off_tag:
             raw = off_raw
         out += struct.pack(cnt_fmt, tag, typ, cnt)
         if len(raw) > inline:
@@ -728,6 +760,6 @@ def _encode_ifd_block(
     next_ptr_pos = len(out)
     out += struct.pack(ptr_fmt, 0)  # patched by tiff_encode when chaining
     for tag, _, raw in blobs:
-        out += off_raw if tag == _STRIP_OFF else raw
+        out += off_raw if tag == off_tag else raw
     out += b"".join(payloads)
     return bytes(out), next_ptr_pos
