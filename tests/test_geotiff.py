@@ -569,3 +569,72 @@ class TestTiledWrite:
     def test_bad_tile_size_raises(self):
         with pytest.raises(ValueError, match="multiple of 16"):
             tiff_encode(np.zeros((8, 8), np.uint8), tile_size=20)
+
+
+class TestArgFormat:
+    """ARG (Azavea Raster Grid) sidecar+binary format parity
+    (raster/.../io/arg/{ArgWriter,ArgReader,CellWriter}.scala)."""
+
+    @pytest.mark.parametrize(
+        "datatype", ["int8", "uint8", "int16", "uint16", "int32", "float32", "float64"]
+    )
+    def test_roundtrip_with_nodata(self, tmp_path, datatype):
+        from tilegrid.arg import arg_read, arg_write
+
+        rng = np.random.default_rng(7)
+        arr = np.floor(rng.random((9, 13)) * 100).astype(np.float64)
+        arr[0, 0] = np.nan
+        arr[5, 7] = np.nan
+        base = str(tmp_path / "t")
+        ext = Extent(1.0, 2.0, 14.0, 11.0)
+        arg_write(base, arr, ext, layer="t", datatype=datatype)
+        back, got_ext, meta = arg_read(base + ".json")
+        assert meta["datatype"] == datatype and meta["epsg"] == 3785
+        assert got_ext.to_tuple() == ext.to_tuple()
+        if datatype in ("uint8", "uint16"):
+            # sentinel 0: NaN and literal 0 both read back as NoData
+            want = arr.copy()
+            want[want == 0] = np.nan
+            np.testing.assert_array_equal(np.isnan(back), np.isnan(want))
+            np.testing.assert_array_equal(back[~np.isnan(want)], want[~np.isnan(want)])
+        else:
+            np.testing.assert_array_equal(np.isnan(back), np.isnan(arr))
+            m = ~np.isnan(arr)
+            np.testing.assert_array_equal(back[m], arr[m])
+
+    def test_bool_bitpacked(self, tmp_path):
+        from tilegrid.arg import arg_read, arg_write
+
+        arr = (np.arange(7 * 11).reshape(7, 11) % 3 == 0)
+        base = str(tmp_path / "b")
+        arg_write(base, arr, Extent(0, 0, 11, 7))
+        back, _, meta = arg_read(base)
+        assert meta["datatype"] == "bool"
+        np.testing.assert_array_equal(back, arr.astype(np.float64))
+        # packed size: ceil(77/8) bytes
+        assert (tmp_path / "b.arg").stat().st_size == 10
+
+    def test_constant_tile_metadata_only(self, tmp_path):
+        import json as _json
+
+        from tilegrid.arg import arg_read
+
+        meta = {
+            "layer": "c", "datatype": "int32", "type": "constant",
+            "xmin": 0.0, "xmax": 4.0, "ymin": 0.0, "ymax": 2.0,
+            "cols": 4, "rows": 2, "cellwidth": 1.0, "cellheight": 1.0,
+            "epsg": 3785, "yskew": 0.0, "xskew": 0.0, "constant": 9,
+        }
+        (tmp_path / "c.json").write_text(_json.dumps(meta))
+        back, ext, _ = arg_read(str(tmp_path / "c.json"))
+        np.testing.assert_array_equal(back, np.full((2, 4), 9.0))
+        assert ext.to_tuple() == (0.0, 0.0, 4.0, 2.0)
+
+    def test_big_endian_on_disk(self, tmp_path):
+        from tilegrid.arg import arg_write
+
+        arr = np.array([[1.0, 258.0]])
+        base = str(tmp_path / "be")
+        arg_write(base, arr, Extent(0, 0, 2, 1), datatype="int16")
+        raw = (tmp_path / "be.arg").read_bytes()
+        assert raw == b"\x00\x01\x01\x02"  # big-endian 1, 258
