@@ -638,3 +638,24 @@ class TestArgFormat:
         arg_write(base, arr, Extent(0, 0, 2, 1), datatype="int16")
         raw = (tmp_path / "be.arg").read_bytes()
         assert raw == b"\x00\x01\x01\x02"  # big-endian 1, 258
+
+
+class TestWriteCog:
+    def test_cog_levels_and_windows(self):
+        from tilegrid.geotiff import write_cog
+
+        rng = np.random.default_rng(9)
+        full = (rng.random((1024, 768)) * 255).astype(np.uint8)
+        data = write_cog(full, extent=Extent(0, 0, 76.8, 102.4), tile_size=256, min_dim=256)
+        a0, e0 = tiff_decode(data)
+        np.testing.assert_array_equal(a0, full)
+        a1, _ = tiff_decode(data, ifd=1)
+        assert a1.shape == (512, 384)
+        from tilegrid.tiles import block_reduce
+
+        want1 = np.round(block_reduce(full, 2, "average")).astype(np.uint8)
+        np.testing.assert_array_equal(a1, want1)
+        with pytest.raises(ValueError, match="no IFD"):
+            tiff_decode(data, ifd=2)  # 256x192 < min_dim stops the chain
+        w, _ = tiff_decode_window(data, 100, 200, 64, 64, ifd=1)
+        np.testing.assert_array_equal(w, want1[200:264, 100:164])

@@ -763,3 +763,34 @@ def _encode_ifd_block(
         out += off_raw if tag == off_tag else raw
     out += b"".join(payloads)
     return bytes(out), next_ptr_pos
+
+
+def write_cog(
+    arr: np.ndarray,
+    extent: Extent | None = None,
+    tile_size: int = 256,
+    compress: bool | str = "deflate",
+    min_dim: int = 256,
+    resample: str = "average",
+    bigtiff: bool = False,
+) -> bytes:
+    """Cloud-optimized layout in one call: tiled full-resolution IFD plus a
+    chain of 2x-decimated overviews (tiles.block_reduce) down to ~min_dim.
+    The reference reaches the same layout via GeoTiffBuilder + pyramid
+    sinks; readers window any level with tiff_decode_window(..., ifd=k)."""
+    from .tiles import block_reduce
+
+    overviews: list[np.ndarray] = []
+    cur = np.asarray(arr)
+    while min(cur.shape[:2]) // 2 >= min_dim:
+        red = block_reduce(cur, 2, resample)
+        if np.issubdtype(arr.dtype, np.integer):
+            red = np.round(red).astype(arr.dtype)
+        else:
+            red = red.astype(arr.dtype)
+        overviews.append(red)
+        cur = red
+    return tiff_encode(
+        arr, extent=extent, compress=compress, tile_size=tile_size,
+        overviews=overviews, bigtiff=bigtiff,
+    )
