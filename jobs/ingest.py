@@ -45,7 +45,9 @@ def main() -> int:
     ap.add_argument(
         "--crs", default="latlng",
         help="output layout CRS: latlng (default), webmercator, or any "
-             "tilegrid.proj name/proj-string (with --layout-extent)",
+             "tilegrid.proj name/proj-string whose projection has a Column "
+             "expression form (tmerc/utm, lcc, merc, sinu, eqc, longlat); "
+             "non-world CRS also needs --layout-extent",
     )
     ap.add_argument(
         "--layout-extent", default=None,
@@ -83,6 +85,13 @@ def main() -> int:
     # ingest; image centers transform via tilegrid.proj forward_cols — pure
     # whole-stage codegen, no UDF)
     n = 1 << args.zoom
+    if args.crs != "latlng":
+        from tilegrid.proj import crs as crs_fn
+
+        try:  # fail fast: the tiler needs the codegen forward
+            crs_fn(args.crs).forward_cols("lon", "lat")
+        except (NotImplementedError, ValueError) as e:
+            ap.error(f"--crs {args.crs}: {e}")
     if args.crs == "latlng":
         world = LATLNG_WORLD
     elif args.crs in ("webmercator", "epsg:3857"):

@@ -322,3 +322,26 @@ class TestIndexedPng:
         small = len(codec.png_encode_indexed(idx, plte, trns))
         big = len(codec.png_encode(cm.apply(arr)))
         assert small < big
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 permits 0xFF fill bytes before any marker; the decoder
+    must skip them rather than misparse the stream."""
+    img = _gradient(24, 24)
+    e = jpeg.encode(img, quality=90)
+    want = jpeg.decode(e)
+    # inject fill bytes before the EOI marker (after the entropy data)
+    assert e[-2:] == b"\xff\xd9"
+    padded = e[:-2] + b"\xff\xff\xff" + e[-2:]
+    got = jpeg.decode(padded)
+    assert np.array_equal(got, want)
+
+
+def test_indexed_palette_256_colors_raises_clearly():
+    from tilegrid.sources.render import ColorMap
+
+    cm = ColorMap(list(range(256)), [(i, i, i) for i in range(256)])
+    arr = np.linspace(0, 255, 16 * 16).reshape(16, 16)
+    cm.apply(arr)  # RGBA path still fine
+    with pytest.raises(ValueError, match="255 colors"):
+        cm.apply_indexed(arr)

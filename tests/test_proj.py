@@ -523,3 +523,38 @@ def test_reproject_geoms_roundtrip(spark):
     # projected coordinates really are in meters (UTM northings ~ 5e6)
     mid = wkb_decode(bytes(there.toPandas().set_index("gid").loc["pt", "wkb"]))
     assert 4.9e6 < mid[1] < 5.2e6 and 3e5 < mid[0] < 7e5
+
+
+def test_far_hemisphere_is_unprojectable():
+    """Orthographic/gnomonic must NOT return mirrored finite coordinates
+    for the invisible hemisphere (proj4j throws ProjectionException; we
+    return NaN)."""
+    o = P.Orthographic(6371000.0, lon0=0.0, lat0=0.0)
+    x, y = o.forward(np.array([45.0, 135.0, 180.0]), np.array([0.0, 0.0, 0.0]))
+    assert np.isfinite(x[0]) and np.isnan(x[1]) and np.isnan(x[2])
+    g = P.Gnomonic(6371000.0, lon0=0.0, lat0=0.0)
+    xg, yg = g.forward(np.array([30.0, 90.0, 135.0]), np.array([0.0, 0.0, 0.0]))
+    assert np.isfinite(xg[0]) and np.isnan(xg[1]) and np.isnan(xg[2])
+
+
+def test_tmerc_projstring_uses_proj4_defaults():
+    """Raw +proj=tmerc defaults x_0=0, k=1 (proj4 parity); UTM's
+    0.9996/500000 come only from the utm() factory / EPSG codes."""
+    p = P.crs("+proj=tmerc +lon_0=9")
+    assert p.fe == 0.0 and p.k0 == 1.0
+    x, _ = p.forward(9.0, 0.0)
+    assert abs(float(x)) < 1e-9  # central meridian at x=0, not 500000
+    assert P.crs("epsg:32632").fe == 500000.0
+
+
+def test_reproject_geoms_preserves_empty_multipolygon_type(spark):
+    import pandas as pd
+    import struct as _struct
+
+    from tilegrid.geometry import wkb_encode_multipolygon
+    from tilegrid.operators.vector import reproject_geoms
+
+    empty = wkb_encode_multipolygon([])
+    df = spark.createDataFrame(pd.DataFrame([("e", empty)], columns=["gid", "wkb"]))
+    out = reproject_geoms(df, "latlng", "epsg:32633").toPandas()
+    assert _struct.unpack_from("<I", bytes(out.iloc[0]["wkb"]), 1)[0] == 6

@@ -583,3 +583,24 @@ class TestLayerUpdate:
             " h int, w int, fmt string")
         with pytest.raises(ValueError):
             IO.update_layer(spark, empty, root, "e", 8)
+
+
+class TestLayerManagerRegressions:
+    def test_value_reader_follows_reindex(self, spark, tmp_path):
+        """value_reader must consult the stored key_index — after a hilbert
+        reindex the z2 cell id would never match."""
+        root = str(tmp_path / "layers")
+        IO.write_layer(layer_df(spark, "increasing"), root, "src", 8, meta=make_meta())
+        IO.reindex_layer(spark, root, "src", 8, index="hilbert")
+        row = IO.value_reader(spark, root, "src", 8)(2, 3)
+        assert row is not None and row["col"] == 2 and row["row"] == 3
+        want = fixtures.layer_tile("increasing", 2, 3, 16)
+        np.testing.assert_allclose(codec.decode_tile(bytes(row["tile"]), "raw"), want)
+
+    def test_delete_missing_zoom_raises(self, spark, tmp_path):
+        root = str(tmp_path / "layers")
+        IO.write_layer(layer_df(spark, "all-ones"), root, "ones", 8, meta=make_meta())
+        with pytest.raises(ValueError, match="not found"):
+            IO.delete_layer(root, "ones", 7)
+        with pytest.raises(ValueError, match="not found"):
+            IO.delete_layer(root, "nope", 8)

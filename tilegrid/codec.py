@@ -32,6 +32,17 @@ import zlib
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
 _FJPG_MAGIC = b"FJPG"
 _RAW_MAGIC = b"RAWT"
 _FAKE_JPEG_STEP = 5  # uniform quantization step -> ~45 dB PSNR
@@ -65,17 +76,11 @@ def png_encode(arr: np.ndarray) -> bytes:
     scan = np.zeros((h, row_bytes + 1), dtype=np.uint8)
     scan[:, 1:] = body
     idat = zlib.compress(scan.tobytes(), 6)
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
-    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def png_encode_indexed(
@@ -96,20 +101,11 @@ def png_encode_indexed(
     scan = np.zeros((h, w + 1), dtype=np.uint8)
     scan[:, 1:] = indices
     idat = zlib.compress(scan.tobytes(), 6)
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    out = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette.tobytes())
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", palette.tobytes())
     if trans is not None:
-        out += chunk(b"tRNS", np.asarray(trans, np.uint8).tobytes())
-    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        out += _png_chunk(b"tRNS", np.asarray(trans, np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
 
 
 # ---------------------------------------------------------------- PNG decode

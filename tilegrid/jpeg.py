@@ -534,6 +534,9 @@ def decode(data: bytes, tables: bytes | None = None) -> np.ndarray:
                         cur.append(0xFF)
                         j += 2
                         continue
+                    if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+                        j += 1
+                        continue
                     if 0xD0 <= nxt <= 0xD7:
                         segs.append(bytes(cur))
                         cur = bytearray()
@@ -542,6 +545,8 @@ def decode(data: bytes, tables: bytes | None = None) -> np.ndarray:
                     break
                 cur.append(data[j])
                 j += 1
+            if j == n - 1 and data[j] != 0xFF:
+                cur.append(data[j])  # stream truncated without EOI
             segs.append(bytes(cur))
             out = _decode_scan(st, frame, sel, segs, H, W)
             i = j

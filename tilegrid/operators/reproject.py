@@ -49,9 +49,15 @@ def _fwd(src_crs: str, dst_crs: str):
     return transform_fn(src_crs, dst_crs)
 
 
-def _dst_bbox(fwd, sext: Extent, dst_world: Extent, k: int = 9) -> Extent | None:
+_SEPARABLE = {("latlng", "webmercator"), ("webmercator", "latlng")}
+
+
+def _dst_bbox(
+    fwd, sext: Extent, dst_world: Extent, k: int = 9, pad_frac: float = 0.05
+) -> Extent | None:
     """Footprint of a src tile in dst coords. Corners alone are exact only
-    for per-axis monotone transforms (the latlng<->webmercator fast paths);
+    for per-axis monotone transforms (the latlng<->webmercator fast paths,
+    which pass k=2/pad_frac=0 and keep their old exact-corner cost);
     conic/transverse projections bow tile edges, so sample the boundary and
     pad 5% — over-coverage is free (the per-pixel ownership mask drops
     foreign pixels), under-coverage would leave NaN holes."""
@@ -62,12 +68,17 @@ def _dst_bbox(fwd, sext: Extent, dst_world: Extent, k: int = 9) -> Extent | None
     with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
         X, Y = fwd(bx, by)
     X, Y = np.asarray(X, np.float64), np.asarray(Y, np.float64)
-    ok = np.isfinite(X) & np.isfinite(Y)
+    # +-inf means "beyond the dst world edge" (lat 90 -> WM infinity): clamp
+    # into the world so the tile still covers up to the edge; NaN means
+    # unprojectable (e.g. a far-hemisphere point) and is dropped
+    X = np.clip(X, dst_world.xmin, dst_world.xmax)
+    Y = np.clip(Y, dst_world.ymin, dst_world.ymax)
+    ok = ~(np.isnan(X) | np.isnan(Y))
     if not ok.any():
         return None
     x0, x1 = float(X[ok].min()), float(X[ok].max())
     y0, y1 = float(Y[ok].min()), float(Y[ok].max())
-    pad = 0.05 * max(x1 - x0, y1 - y0)
+    pad = pad_frac * max(x1 - x0, y1 - y0)
     box = Extent(
         max(x0 - pad, dst_world.xmin),
         max(y0 - pad, dst_world.ymin),
@@ -103,6 +114,7 @@ def reproject_layer(
         raise ValueError(f"unsupported warp method {method!r}")
     fwd = _fwd(src_crs, dst_crs)
     inv = _fwd(dst_crs, src_crs)
+    _bk, _bp = ((2, 0.0) if (src_crs, dst_crs) in _SEPARABLE else (9, 0.05))
     smt = src_layout.map_transform
     dmt = dst_layout.map_transform
     dtl = dst_layout.tile_layout
@@ -124,7 +136,7 @@ def reproject_layer(
                 # src tile footprint in dst coords (boundary-sampled +
                 # padded; non-finite images like lat = +-90 -> +-inf in WM
                 # are dropped by the finite mask inside _dst_bbox)
-                box = _dst_bbox(fwd, sext, dst_world)
+                box = _dst_bbox(fwd, sext, dst_world, _bk, _bp)
                 if box is None:
                     continue
                 gb = dmt.gridbounds_for_extent(box)
@@ -213,6 +225,7 @@ def reproject_layer_bilinear(
 
     fwd = _fwd(src_crs, dst_crs)
     inv = _fwd(dst_crs, src_crs)
+    _bk, _bp = ((2, 0.0) if (src_crs, dst_crs) in _SEPARABLE else (9, 0.05))
     dmt = dst_layout.map_transform
     smt = src_layout.map_transform
     dtl = dst_layout.tile_layout
@@ -237,7 +250,7 @@ def reproject_layer_bilinear(
         first = pdf.iloc[0]
         col, row = int(first["tcol"]), int(first["trow"])
         sext = smt.extent_for_key(col, row)
-        box = _dst_bbox(fwd, sext, dst_world)
+        box = _dst_bbox(fwd, sext, dst_world, _bk, _bp)
         if box is None:
             return empty
         gb = dmt.gridbounds_for_extent(box)

@@ -303,6 +303,8 @@ def reproject_geoms(
     from ..geometry import wkb_encode_multipolygon
     from ..proj import transform_fn
 
+    import struct as _struct
+
     fn = transform_fn(src_crs, dst_crs)
     schema = df.schema
 
@@ -311,11 +313,15 @@ def reproject_geoms(
             out = pdf.copy()
             enc = []
             for raw in out[wkb_col]:
-                g = wkb_decode(bytes(raw))
-                if isinstance(g, tuple):  # point
+                raw = bytes(raw)
+                # dispatch on the WKB type byte, not the decoded shape —
+                # an EMPTY multipolygon decodes to [] and must stay one
+                gtype = _struct.unpack_from("<I", raw, 1)[0]
+                g = wkb_decode(raw)
+                if gtype == 1:  # point
                     x, y = fn(np.array([g[0]]), np.array([g[1]]))
                     enc.append(wkb_encode_point(float(x[0]), float(y[0])))
-                elif g and isinstance(g[0], list):  # multipolygon
+                elif gtype == 6:  # multipolygon
                     polys = [
                         [np.column_stack(fn(r[:, 0], r[:, 1])) for r in rings]
                         for rings in g

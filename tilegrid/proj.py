@@ -842,8 +842,14 @@ class Orthographic(_Spherical):
     def forward(self, lon, lat):
         lam, phi = self._ll(lon, lat)
         p0 = self.lat0 * _D2R
-        x = self.R * np.cos(phi) * np.sin(lam)
-        y = self.R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam))
+        cosc = np.sin(p0) * np.sin(phi) + np.cos(p0) * np.cos(phi) * np.cos(lam)
+        vis = cosc >= 0.0  # far hemisphere is unprojectable (Snyder p.148)
+        x = np.where(vis, self.R * np.cos(phi) * np.sin(lam), np.nan)
+        y = np.where(
+            vis,
+            self.R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam)),
+            np.nan,
+        )
         return x, y
 
     def inverse(self, x, y):
@@ -877,8 +883,11 @@ class Gnomonic(_Spherical):
         lam, phi = self._ll(lon, lat)
         p0 = self.lat0 * _D2R
         cosc = np.sin(p0) * np.sin(phi) + np.cos(p0) * np.cos(phi) * np.cos(lam)
-        x = self.R * np.cos(phi) * np.sin(lam) / cosc
-        y = self.R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam)) / cosc
+        # the horizon and far hemisphere are unprojectable (Snyder p.164);
+        # the epsilon also catches cos(90 deg) == 6.1e-17 in floating point
+        d = np.where(cosc > 1e-10, cosc, np.nan)
+        x = self.R * np.cos(phi) * np.sin(lam) / d
+        y = self.R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam)) / d
         return x, y
 
     def inverse(self, x, y):
@@ -975,9 +984,11 @@ def _parse_projstr(s: str) -> Proj:
     if p == "utm":
         return utm(int(kv["zone"]), south="south" in kv, ellipsoid=ell)
     if p == "tmerc":
+        # proj4 defaults: x_0=0, y_0=0, k=1 (UTM's 0.9996/500000 come from
+        # the utm() factory, not raw tmerc strings — Proj4Parser parity)
         return TransverseMercator(
-            ell, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0), k0=g("k", 0.9996),
-            fe=g("x_0", 500000.0), fn=g("y_0", 0.0),
+            ell, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0), k0=g("k", 1.0),
+            fe=g("x_0", 0.0), fn=g("y_0", 0.0),
         )
     if p == "lcc":
         return LambertConformalConic(

@@ -299,6 +299,9 @@ def delete_layer(root: str, name: str, zoom: int | None = None) -> None:
     """LayerDeleter.delete: remove stored data + metadata/manifest/marker
     sidecars. zoom=None removes every level (LayerManager.delete)."""
     store = AttributeStore(root)
+    if zoom is not None and not store.layer_exists(name, zoom):
+        # LayerDeleter raises LayerNotFoundError for missing layers
+        raise ValueError(f"layer {name!r} zoom {zoom} not found")
     zooms = [zoom] if zoom is not None else store.zooms(name)
     if not zooms:
         raise ValueError(f"layer {name!r} not found")  # AttributeStore parity
@@ -374,13 +377,27 @@ def value_reader(spark: SparkSession, root: str, name: str, zoom: int):
     """ValueReader.reader: random access to single tiles by key. Returns a
     `read(col, row) -> Row | None` closure whose scan pushes `cell = <sfc>`
     into the parquet source, so only the one sorted block containing the
-    key is read (the reference's backend seek-by-index)."""
+    key is read (the reference's backend seek-by-index). The SFC used is
+    the layer's stored key_index attribute (reindex_layer updates it)."""
+    from ..cell import hilbert_encode, rowmajor_encode, z2_encode
+
     df = spark.read.parquet(_layer_path(root, name, zoom))
+    store = AttributeStore(root)
+    try:
+        ki = store.read_attr(name, zoom, "key_index") or {}
+    except Exception:
+        ki = {}
+    index, order = ki.get("index", "z2"), int(ki.get("order", 1))
+    meta = store.read_meta(name, zoom)
+    layout_cols = meta.layout.tile_layout.layout_cols if meta else 0
 
     def read(col: int, row: int):
-        from ..cell import z2_encode
-
-        c = int(z2_encode(col, row))
+        if index == "hilbert":
+            c = int(hilbert_encode(col, row, order))
+        elif index == "rowmajor":
+            c = int(rowmajor_encode(col, row, layout_cols))
+        else:
+            c = int(z2_encode(col, row))
         got = df.where(
             (F.col("cell") == c) & (F.col("col") == col) & (F.col("row") == row)
         ).collect()

@@ -35,7 +35,13 @@ class ColorMap:
     def apply_indexed(self, arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(h, w) float -> (palette indices, PLTE, tRNS) for indexed PNG:
         same classification as apply(), but 1 byte/px — NoData maps to a
-        dedicated transparent palette entry (index n)."""
+        dedicated transparent palette entry (index n), so at most 255
+        colors fit an indexed PNG's 256-entry palette."""
+        if len(self.colors) > 255:
+            raise ValueError(
+                "indexed PNG supports at most 255 colors"
+                " (one palette slot is reserved for NoData)"
+            )
         idx = np.searchsorted(self.breaks, arr, side="left").clip(0, len(self.breaks) - 1)
         idx = np.where(np.isnan(arr), len(self.colors), idx).astype(np.uint8)
         # transparent entry carries colors[0]'s RGB so the expanded RGBA is
