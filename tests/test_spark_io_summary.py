@@ -604,3 +604,45 @@ class TestLayerManagerRegressions:
             IO.delete_layer(root, "ones", 7)
         with pytest.raises(ValueError, match="not found"):
             IO.delete_layer(root, "nope", 8)
+
+
+class TestRasterizeLine:
+    """Supercover polyline rasterization (Rasterizer.foreachCellByLineString)."""
+
+    def test_axis_aligned_and_diagonal(self):
+        ext = Extent(0, 0, 10, 10)
+        mh = R.rasterize_line(np.array([[0.2, 5.5], [9.8, 5.5]]), ext, 10, 10)
+        assert mh.sum() == 10 and mh[4].all()
+        mv = R.rasterize_line(np.array([[3.5, 0.2], [3.5, 9.8]]), ext, 10, 10)
+        assert mv.sum() == 10 and mv[:, 3].all()
+        md = R.rasterize_line(np.array([[0.5, 0.5], [9.5, 9.5]]), ext, 10, 10)
+        assert md.sum() == 10  # perfect diagonal through cell centers
+
+    def test_supercover_is_exactly_the_touched_cells(self):
+        """Dense parametric sampling finds the same cell set the traversal
+        marks — no misses (holes) and no extras (overshoot)."""
+        rng = np.random.default_rng(11)
+        ext = Extent(0, 0, 16, 16)
+        for _ in range(20):
+            p = rng.random((2, 2)) * 15.0 + 0.5
+            m = R.rasterize_line(p, ext, 16, 16)
+            t = np.linspace(0.0, 1.0, 20001)[:, None]
+            pts = p[0] * (1 - t) + p[1] * t
+            cx = np.floor(pts[:, 0]).astype(int)
+            cy = np.floor(16.0 - pts[:, 1]).astype(int)
+            sampled = set(zip(cy.tolist(), cx.tolist()))
+            marked = set(zip(*(a.tolist() for a in np.nonzero(m))))
+            assert sampled == marked
+
+    def test_polyline_and_degenerate(self):
+        ext = Extent(0, 0, 10, 10)
+        mp = R.rasterize_line(
+            np.array([[0.5, 0.5], [5.5, 0.5], [5.5, 8.5]]), ext, 10, 10
+        )
+        assert mp.sum() == 14  # 6 along the bottom + 8 more up the column
+        # zero-length segment burns its own cell
+        m0 = R.rasterize_line(np.array([[2.5, 2.5], [2.5, 2.5]]), ext, 10, 10)
+        assert m0.sum() == 1 and m0[7, 2]
+        # fully outside the extent burns nothing
+        mo = R.rasterize_line(np.array([[-5.0, -5.0], [-1.0, -1.0]]), ext, 10, 10)
+        assert mo.sum() == 0

@@ -14,6 +14,8 @@ of O(pixels x edges).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -50,6 +52,50 @@ def scanline_rasterize(
             # centers that fall on an edge), geometry.points_in_ring
             parity = (len(xi) - np.searchsorted(xi, cxs, side="right")) % 2
             mask[r] ^= parity.astype(bool)
+    return mask
+
+
+def rasterize_line(
+    coords: np.ndarray, ext: Extent, cols: int, rows: int
+) -> np.ndarray:
+    """Boolean mask of every cell a polyline passes through (supercover
+    grid traversal — the reference's Rasterizer.foreachCellByLineString,
+    raster/.../rasterize/Rasterizer.scala line dispatch via
+    polygon/LineRasterizer traversal). Vectorized per segment: collect the
+    parametric t of every integer x- and y-grid crossing, sort, and floor
+    the midpoints of consecutive spans to cell indices — each span lies in
+    exactly one cell."""
+    coords = np.asarray(coords, np.float64)
+    cw, ch = ext.width / cols, ext.height / rows
+    # continuous pixel coordinates (x right, y down)
+    px = (coords[:, 0] - ext.xmin) / cw
+    py = (ext.ymax - coords[:, 1]) / ch
+    mask = np.zeros((rows, cols), dtype=bool)
+    for i in range(len(coords) - 1):
+        x0, y0, x1, y1 = px[i], py[i], px[i + 1], py[i + 1]
+        dx, dy = x1 - x0, y1 - y0
+        ts = [np.array([0.0, 1.0])]
+        if dx != 0.0:
+            kx = np.arange(math.ceil(min(x0, x1)), math.floor(max(x0, x1)) + 1)
+            ts.append((kx - x0) / dx)
+        if dy != 0.0:
+            ky = np.arange(math.ceil(min(y0, y1)), math.floor(max(y0, y1)) + 1)
+            ts.append((ky - y0) / dy)
+        t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+        tm = (t[:-1] + t[1:]) / 2.0
+        cx = np.floor(x0 + tm * dx).astype(np.int64)
+        cy = np.floor(y0 + tm * dy).astype(np.int64)
+        ok = (cx >= 0) & (cx < cols) & (cy >= 0) & (cy < rows)
+        mask[cy[ok], cx[ok]] = True
+        # a zero-length segment (or endpoint exactly on the grid) still
+        # burns its own cell
+        exi, eyi = int(np.floor(x0)), int(np.floor(y0))
+        if 0 <= exi < cols and 0 <= eyi < rows:
+            mask[eyi, exi] = True
+    exi = int(np.floor(px[-1])) if len(px) else -1
+    eyi = int(np.floor(py[-1])) if len(py) else -1
+    if 0 <= exi < cols and 0 <= eyi < rows:
+        mask[eyi, exi] = True
     return mask
 
 
