@@ -241,7 +241,11 @@ def flow_accumulation(
     the vectorize_merged label-propagation loop shape. Rounds needed = max
     tile-boundary crossings of any flow path (<= layout diameter)."""
     spark = dir_layer.sparkSession
-    tiles = dir_layer.persist()
+    # one-time hash partitioning on the group key: per-round cogroups then
+    # shuffle only the small inflow rows (see cost_distance's note)
+    tiles = dir_layer.repartition(
+        spark.sparkContext.defaultParallelism, "zoom", "col", "row"
+    ).persist()
 
     def sweep(emit_layer: bool):
         def run(tile_pdf: pd.DataFrame, inflow_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -428,9 +432,16 @@ def cost_distance(
         )
 
     key = ["zoom", "col", "row"]
-    part_keyed = parts.withColumnRenamed("tcol", "col").withColumnRenamed(
-        "trow", "row"
-    ).persist()
+    # pre-hash-partition the heavy buffered-tile side ONCE: cogroup needs
+    # ClusteredDistribution(key), which HashPartitioning(key, N) already
+    # satisfies, so every round's cogroup shuffles only the tiny offer
+    # table instead of re-exchanging the tile bytes each iteration
+    part_keyed = (
+        parts.withColumnRenamed("tcol", "col")
+        .withColumnRenamed("trow", "row")
+        .repartition(spark.sparkContext.defaultParallelism, *key)
+        .persist()
+    )
     offers = spark.createDataFrame([], _OFFER_SCHEMA)
     prev = (-1, 0.0)
     for _ in range(max_rounds):
