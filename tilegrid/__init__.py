@@ -11,7 +11,14 @@ Layout:
   cell       — hierarchical cell index (Z-order / quadtree), k_ring, cover,
                zranges range decomposition + MergeQueue
   celltype   — (dtype, nodata) cell types + masked NoData arithmetic
-  codec      — tile <-> bytes codecs (real PNG, raw, deterministic fake JPEG)
+  codec      — tile <-> bytes codecs (real PNG incl. indexed palette, real
+               baseline JPEG via tilegrid.jpeg, raw, fast 'fjpg' stand-in)
+  jpeg       — from-scratch baseline JPEG encoder/decoder (T.81)
+  proj       — map projections (proj4 analogue): UTM/TM, LCC, Albers, polar
+               stereo, sinusoidal, spherical family; EPSG + proj strings
+  geotiff    — GeoTiff/BigTIFF codec: strips/tiles, LZW/deflate/JPEG,
+               predictors, windowed reads, chained-IFD overviews, write_cog
+  arg        — Azavea Raster Grid sidecar+binary format
   geometry   — from-scratch WKB, ray-casting point-in-polygon, bbox ops
   meta       — layer metadata + attribute store
   oracle     — single-process NumPy reference implementations (test oracle)
