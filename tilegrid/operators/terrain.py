@@ -170,19 +170,23 @@ def flow_direction(layer: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------- flow accumulation
 
-def _targets_of(code: float) -> list[tuple[int, int]]:
-    """Decode a Greenlee bitmask into (dc, dr) offsets (multi-bit on ties —
-    Accumulation.doesFlow semantics)."""
-    if np.isnan(code):
-        return []
-    c = int(code)
-    return [off for bit, off in DIR_OFFSETS.items() if c & bit]
+def _shift_add(dst: np.ndarray, src: np.ndarray, dc: int, dr: int) -> None:
+    """dst[y+dr, x+dc] += src[y, x] for all in-bounds targets."""
+    h, w = dst.shape
+    ys = slice(max(0, -dr), h - max(0, dr))
+    xs = slice(max(0, -dc), w - max(0, dc))
+    yd = slice(max(0, dr), h + min(0, dr))
+    xd = slice(max(0, dc), w + min(0, dc))
+    dst[yd, xd] += src[ys, xs]
 
 
 def _local_accumulation(
     dirs: np.ndarray, inflow: np.ndarray
 ) -> tuple[np.ndarray, list[tuple[int, int, float]]]:
-    """Kahn topological sweep of one tile's in-tile flow DAG.
+    """Kahn topological sweep of one tile's in-tile flow DAG, VECTORIZED:
+    peel indegree-0 layers with whole-array shifts (8 gathers per layer)
+    instead of the former per-cell Python queue (O(h*w) interpreter
+    iterations per tile per round).
 
     dirs: (h, w) Greenlee bitmask (NaN = sink/NoData). inflow: (h, w)
     external contributions (sum of upstream acc+1 entering each cell from
@@ -190,61 +194,114 @@ def _local_accumulation(
     emissions where value = acc + 1 and px/py are OUT-OF-TILE offsets
     relative to this tile's origin — the caller maps them to neighbor
     keys). Cells on unresolvable cycles (flat ties looping) stay NaN, like
-    the reference which never terminates on them — we fail soft instead."""
+    the reference which never terminates on them — we fail soft instead.
+    A layer-peel iteration count equals the longest in-tile flow path;
+    no same-layer edges exist (an edge a->b forces indeg(b) >= 1 while a
+    is ready), so every ready cell's acc is final when it contributes."""
     h, w = dirs.shape
-    targets: list[list[list[tuple[int, int]]]] = [
-        [_targets_of(dirs[y, x]) for x in range(w)] for y in range(h)
-    ]
+    code = np.where(np.isnan(dirs), 0, dirs).astype(np.int64)
+    flows = {bit: (code & bit) > 0 for bit in DIR_OFFSETS}
     indeg = np.zeros((h, w), dtype=np.int64)
-    for y in range(h):
-        for x in range(w):
-            for dc, dr in targets[y][x]:
-                tx, ty = x + dc, y + dr
-                if 0 <= tx < w and 0 <= ty < h:
-                    indeg[ty, tx] += 1
+    for bit, (dc, dr) in DIR_OFFSETS.items():
+        _shift_add(indeg, flows[bit].astype(np.int64), dc, dr)
     acc = inflow.astype(np.float64).copy()
     done = np.zeros((h, w), dtype=bool)
-    queue = [(y, x) for y in range(h) for x in range(w) if indeg[y, x] == 0]
+    ready = indeg == 0
+    while ready.any():
+        contrib = np.where(ready, acc + 1.0, 0.0)
+        for bit, (dc, dr) in DIR_OFFSETS.items():
+            firing = flows[bit] & ready
+            if not firing.any():
+                continue
+            _shift_add(acc, np.where(firing, contrib, 0.0), dc, dr)
+            _shift_add(indeg, -firing.astype(np.int64), dc, dr)
+        done |= ready
+        ready = (indeg == 0) & ~done
+    # boundary emissions: done cells whose flow target falls outside the
+    # tile contribute acc+1 there (value depends only on the final acc,
+    # so emitting after the sweep is equivalent to emitting on pop)
     emits: list[tuple[int, int, float]] = []
-    while queue:
-        y, x = queue.pop()
-        done[y, x] = True
-        contribution = acc[y, x] + 1.0
-        for dc, dr in targets[y][x]:
-            tx, ty = x + dc, y + dr
-            if 0 <= tx < w and 0 <= ty < h:
-                acc[ty, tx] += contribution
-                indeg[ty, tx] -= 1
-                if indeg[ty, tx] == 0:
-                    queue.append((ty, tx))
-            else:
-                emits.append((tx, ty, contribution))
+    border = np.zeros((h, w), dtype=bool)
+    border[0, :] = border[-1, :] = True
+    border[:, 0] = border[:, -1] = True
+    for bit, (dc, dr) in DIR_OFFSETS.items():
+        src = flows[bit] & done & border
+        if not src.any():
+            continue
+        yy, xx = np.nonzero(src)
+        tx, ty = xx + dc, yy + dr
+        m = (tx < 0) | (tx >= w) | (ty < 0) | (ty >= h)
+        if m.any():
+            vals = acc[yy[m], xx[m]] + 1.0
+            emits.extend(zip(tx[m].tolist(), ty[m].tolist(), vals.tolist()))
     acc[~done] = np.nan  # in-tile cycles (flat ties): unresolvable
     return acc, emits
 
 
 _INFLOW_SCHEMA = "zoom int, col int, row int, px int, py int, v double"
+# emissions keyed by the EMITTING tile too, so an unchanged tile's rows can
+# be carried over instead of re-swept
+_EMIT_SCHEMA = (
+    "zoom int, scol int, srow int, col int, row int, px int, py int, v double"
+)
+
+# driver-side instrumentation (same contract as cost_distance's): tiles
+# swept per round on the most recent flow_accumulation call
+LAST_ACC_FRONTIER_SIZES: list[int] = []
+
+# above this many frontier keys, fall back from a codegen InSet filter to a
+# broadcast semi-join (an In-list of 10^5 literals bloats the plan)
+_ISIN_CAP = 10_000
+_KOFF = 1 << 20  # tile cols/rows are < 2^20 on any registered layout
+_KMUL = 1 << 22
+
+
+def _frontier_filter(df: DataFrame, keys: list[tuple[int, int]],
+                     col: str = "col", row: str = "row",
+                     anti: bool = False) -> DataFrame:
+    """Keep (or with anti=True drop) rows whose (col, row) is in the
+    frontier key list. Small frontiers become ONE codegen InSet over an
+    encoded long — no broadcast exchange, no extra job, and the filter runs
+    narrow over the cached partitioning; huge frontiers fall back to a
+    broadcast semi/anti-join."""
+    if len(keys) <= _ISIN_CAP:
+        enc = (F.col(col).cast("long") + F.lit(_KOFF)) * F.lit(_KMUL) \
+            + (F.col(row).cast("long") + F.lit(_KOFF))
+        pred = enc.isin([(c + _KOFF) * _KMUL + (r + _KOFF) for c, r in keys])
+        return df.filter(~pred if anti else pred)
+    fdf = df.sparkSession.createDataFrame(keys, f"{col} int, {row} int")
+    return df.join(F.broadcast(fdf), [col, row],
+                   "left_anti" if anti else "left_semi")
 
 
 def flow_accumulation(
-    dir_layer: DataFrame, max_rounds: int = 64, final: bool = True
+    dir_layer: DataFrame, max_rounds: int = 64, final: bool = True,
+    frontier: str = "auto",
 ) -> DataFrame:
     """D8 flow accumulation (Accumulation.scala:29-216):
     acc(c) = sum over inflowing neighbors n of (acc(n) + 1), distributed as
-    iterative per-tile Kahn sweeps exchanging boundary contributions.
+    FRONTIER-FILTERED per-tile Kahn sweeps exchanging boundary
+    contributions.
 
-    Round k: every tile runs a local topological sweep seeded by the
-    accumulated external inflows, then emits (neighbor tile, px, py,
-    acc+1) rows for flow leaving the tile. Inflows grow monotonically to
-    the cross-tile fixpoint; convergence = boundary emission (count, sum)
-    unchanged — checked with one tiny driver aggregate per round, exactly
-    the vectorize_merged label-propagation loop shape. Rounds needed = max
-    tile-boundary crossings of any flow path (<= layout diameter)."""
+    A tile's emissions are a pure function of (dirs, aggregated inflow), so
+    only tiles whose inflow CHANGED since the last round are re-swept;
+    everyone else's emission rows (keyed by emitting tile) carry over.
+    Round 0 sweeps every tile with zero inflow (each tile has internal
+    flow); from round 1 on, work per round is O(frontier) — the set of
+    tiles downstream of a change — instead of O(layer). Inflow values are
+    exact integers (upstream cell counts), so the changed-cell comparison
+    is exact. Convergence = no inflow cell changed. Rounds needed = max
+    tile-boundary crossings of any flow path (<= layout diameter).
+    `frontier="auto"` applies the filter only when the skipped work clears
+    the per-round fixed latency (same rule and rationale as
+    cost_distance); a full re-sweep is result-identical because unchanged
+    tiles reproduce their old emissions exactly."""
     spark = dir_layer.sparkSession
+    key = ["zoom", "col", "row"]
     # one-time hash partitioning on the group key: per-round cogroups then
     # shuffle only the small inflow rows (see cost_distance's note)
     tiles = dir_layer.repartition(
-        spark.sparkContext.defaultParallelism, "zoom", "col", "row"
+        spark.sparkContext.defaultParallelism, *key
     ).persist()
 
     def sweep(emit_layer: bool):
@@ -253,23 +310,31 @@ def flow_accumulation(
                 return (
                     _empty_layer_pdf() if emit_layer
                     else pd.DataFrame({c: [] for c in (
-                        "zoom", "col", "row", "px", "py", "v")})
+                        "zoom", "scol", "srow", "col", "row", "px", "py", "v")})
                 )
             t = tile_pdf.iloc[0]
             zoom, col, row = int(t["zoom"]), int(t["col"]), int(t["row"])
             dirs = codec.decode_tile(bytes(t["tile"]), t["fmt"]).astype(np.float64)
             h, w = dirs.shape
             inflow = np.zeros((h, w), dtype=np.float64)
-            for r in inflow_pdf.itertuples(index=False):
-                inflow[int(r.py), int(r.px)] += float(r.v)
+            if len(inflow_pdf):
+                np.add.at(
+                    inflow,
+                    (inflow_pdf["py"].to_numpy(np.int64),
+                     inflow_pdf["px"].to_numpy(np.int64)),
+                    inflow_pdf["v"].to_numpy(np.float64),
+                )
             acc, emits = _local_accumulation(dirs, inflow)
             if emit_layer:
                 return _layer_row(zoom, col, row, acc)
-            out = {"zoom": [], "col": [], "row": [], "px": [], "py": [], "v": []}
+            out = {"zoom": [], "scol": [], "srow": [], "col": [], "row": [],
+                   "px": [], "py": [], "v": []}
             for ex, ey, v in emits:
                 ncol, nrow = col + (1 if ex >= w else (-1 if ex < 0 else 0)), \
                     row + (1 if ey >= h else (-1 if ey < 0 else 0))
                 out["zoom"].append(zoom)
+                out["scol"].append(col)
+                out["srow"].append(row)
                 out["col"].append(ncol)
                 out["row"].append(nrow)
                 out["px"].append(ex % w)
@@ -278,31 +343,76 @@ def flow_accumulation(
             return pd.DataFrame(out)
         return run
 
-    inflows = spark.createDataFrame([], _INFLOW_SCHEMA)
-    prev = (-1, 0.0)
+    empty_inflow = spark.createDataFrame([], _INFLOW_SCHEMA)
+    cell_key = ["zoom", "col", "row", "px", "py"]
+    LAST_ACC_FRONTIER_SIZES.clear()
+    # round 0: full sweep, zero inflow (localCheckpoint, not persist — keeps
+    # the per-round plan O(1), see vectorize._merged_labels rationale)
+    emissions = (
+        tiles.groupBy(*key)
+        .cogroup(empty_inflow.groupBy(*key))
+        .applyInPandas(sweep(emit_layer=False), _EMIT_SCHEMA)
+        .localCheckpoint()
+    )
+    n_tiles = tiles.select(*key).distinct().count()  # cached by round 0
+    LAST_ACC_FRONTIER_SIZES.append(n_tiles)
+    par = spark.sparkContext.defaultParallelism
+    inflow_prev = empty_inflow
+    inflow_cur = empty_inflow
     for _ in range(max_rounds):
-        # localCheckpoint, not persist: cuts lineage so the plan stays O(1)
-        # per round instead of growing with round count (see the rationale
-        # comment in vectorize._merged_labels)
-        new_inflows = (
-            tiles.groupBy("zoom", "col", "row")
-            .cogroup(inflows.groupBy("zoom", "col", "row"))
-            .applyInPandas(sweep(emit_layer=False), _INFLOW_SCHEMA)
+        # ONE tagged-union aggregation carries the new inflow totals AND the
+        # changed-cell flags; checkpointed (localCheckpoint, not persist —
+        # keeps the per-round plan O(1)) because three consumers read it:
+        # the frontier collect, the sweep input, and next round's old side.
+        vn = F.sum(F.when(F.col("_new"), F.col("v")))
+        vo = F.sum(F.when(~F.col("_new"), F.col("v")))
+        merged = (
+            emissions.select(*cell_key, "v").withColumn("_new", F.lit(True))
+            .unionByName(
+                inflow_prev.select(*cell_key, "v")
+                .withColumn("_new", F.lit(False))
+            )
+            .groupBy(*cell_key)
+            .agg(vn.alias("v"), (~vn.eqNullSafe(vo)).alias("_changed"))
             .localCheckpoint()
         )
-        agg = new_inflows.agg(
-            F.count("*").alias("n"), F.sum("v").alias("s")
-        ).collect()[0]
-        cur = (int(agg["n"] or 0), float(agg["s"] or 0.0))
-        inflows = new_inflows
-        if cur == prev:
+        inflow_cur = merged.filter("v IS NOT NULL").select(*cell_key, "v")
+        frontier_keys = [
+            tuple(r) for r in
+            merged.filter("_changed").select("col", "row").distinct().collect()
+        ]
+        if not frontier_keys:
             break
-        prev = cur
+        # same adaptive rule as cost_distance: re-sweeping a tile whose
+        # inflow is unchanged reproduces its old emissions exactly, so a
+        # full sweep is equivalent — and cheaper until the skipped work
+        # clears the per-round fixed latency
+        use_filter = frontier == "always" or (
+            frontier == "auto"
+            and n_tiles - len(frontier_keys) > 100 * par
+        )
+        if use_filter:
+            LAST_ACC_FRONTIER_SIZES.append(len(frontier_keys))
+            active = _frontier_filter(tiles, frontier_keys)
+            active_inflow = _frontier_filter(inflow_cur, frontier_keys)
+            kept = _frontier_filter(emissions, frontier_keys, "scol", "srow",
+                                    anti=True)
+        else:
+            LAST_ACC_FRONTIER_SIZES.append(n_tiles)
+            active, active_inflow = tiles, inflow_cur
+            kept = emissions.limit(0)
+        new_emits = (
+            active.groupBy(*key)
+            .cogroup(active_inflow.groupBy(*key))
+            .applyInPandas(sweep(emit_layer=False), _EMIT_SCHEMA)
+        )
+        emissions = kept.unionByName(new_emits).localCheckpoint()
+        inflow_prev = inflow_cur
     if not final:
-        return inflows
+        return inflow_cur
     return (
-        tiles.groupBy("zoom", "col", "row")
-        .cogroup(inflows.groupBy("zoom", "col", "row"))
+        tiles.groupBy(*key)
+        .cogroup(inflow_cur.groupBy(*key))
         .applyInPandas(sweep(emit_layer=True), LAYER_SCHEMA)
     )
 
@@ -348,27 +458,89 @@ def _local_dijkstra(
 
 _OFFER_SCHEMA = "zoom int, col int, row int, bx int, by int, d double"
 
+# driver-side instrumentation: tiles solved per round on the most recent
+# cost_distance call ([round0, round1, ...]); tests assert the frontier
+# shrinks to the wavefront instead of re-solving the whole layer
+LAST_FRONTIER_SIZES: list[int] = []
+
+
+def _emit_border_offers(
+    dist: np.ndarray, zoom: int, col: int, row: int, h: int, w: int
+) -> pd.DataFrame:
+    """Vectorized border-offer emit: finite border-ring distances of a
+    buffered (h+2, w+2) dist array, translated into each adjacent
+    neighbor's buffered coordinates. Replaces the old per-pixel Python
+    double loop (65k iterations/tile on 256^2 tiles) with 8 masked
+    gathers."""
+    interior = dist[1 : 1 + h, 1 : 1 + w]
+    border = np.zeros((h, w), dtype=bool)
+    border[0, :] = border[-1, :] = True
+    border[:, 0] = border[:, -1] = True
+    py, px = np.nonzero(border & np.isfinite(interior))
+    if len(px) == 0:
+        return pd.DataFrame({c: [] for c in (
+            "zoom", "col", "row", "bx", "by", "d")})
+    d = interior[py, px]
+    cols_, rows_, bxs, bys, ds = [], [], [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            # neighbor (col+dx, row+dy) sees our (px,py) at buffered
+            # coords (px - dx*w + 1, py - dy*h + 1)
+            bx = px - dx * w + 1
+            by = py - dy * h + 1
+            m = (bx >= 0) & (bx <= w + 1) & (by >= 0) & (by <= h + 1)
+            if not m.any():
+                continue
+            n = int(m.sum())
+            cols_.append(np.full(n, col + dx, dtype=np.int32))
+            rows_.append(np.full(n, row + dy, dtype=np.int32))
+            bxs.append(bx[m].astype(np.int32))
+            bys.append(by[m].astype(np.int32))
+            ds.append(d[m])
+    return pd.DataFrame({
+        "zoom": np.full(sum(len(a) for a in bxs), zoom, dtype=np.int32),
+        "col": np.concatenate(cols_), "row": np.concatenate(rows_),
+        "bx": np.concatenate(bxs), "by": np.concatenate(bys),
+        "d": np.concatenate(ds),
+    })
+
 
 def cost_distance(
     friction_layer: DataFrame,
     sources: list[tuple[int, int]],
     layout: LayoutDefinition,
     max_rounds: int = 64,
+    frontier: str = "auto",
 ) -> DataFrame:
     """Accumulated-cost surface (CostDistance.scala:43-66) from global-pixel
-    `sources` [(gx, gy), ...] over a friction layer, distributed as block
-    Dijkstra: each tile solves Dijkstra on its 1-cell-buffered friction
-    array seeded by in-tile sources + boundary offers from neighbors, then
-    offers its border distances back; offers decrease monotonically to the
-    global shortest-path fixpoint. Convergence = offer (count, min-sum)
-    fingerprint unchanged. Returns the cost layer (NaN = unreachable)."""
+    `sources` [(gx, gy), ...] over a friction layer, distributed as
+    FRONTIER-FILTERED block Dijkstra.
+
+    State = the accumulated best offer per (tile, buffered border cell)
+    (min over all rounds — monotone decreasing, so a tile's converged
+    distance is Dijkstra(friction, in-tile sources + accumulated offers)).
+    Round k solves ONLY the frontier: tiles whose accumulated offer set
+    improved in round k-1 (round 0: the tiles containing sources). Tiles
+    off the frontier are provably unchanged — their inputs didn't move —
+    so per-round compute is O(wavefront), not O(layer), while the shuffle
+    stays offers-only (the heavy buffered-tile side is hash-partitioned
+    once and cached; the per-round frontier restriction is a narrow codegen
+    InSet filter over that cache — no broadcast exchange — so cogroup's
+    ClusteredDistribution stays satisfied). `frontier="auto"` applies the
+    filter only when the skipped work clears the per-round fixed latency
+    (skipped tiles > ~100 x parallelism); small layers solve everything,
+    which is result-identical since re-solved tiles re-emit non-improving
+    offers. Convergence = no offer improved (exact, per cell). Returns the
+    cost layer (NaN = unreachable)."""
     spark = friction_layer.sparkSession
     tw = layout.tile_layout.tile_cols
     th = layout.tile_layout.tile_rows
     src_by_tile: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for gx, gy in sources:
         src_by_tile.setdefault((gx // tw, gy // th), []).append((gx % tw, gy % th))
-    parts = buffer_parts(friction_layer, 1).persist()
+    parts = buffer_parts(friction_layer, 1)
 
     def solve(emit_layer: bool):
         def run(part_pdf: pd.DataFrame, offer_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -397,41 +569,11 @@ def cost_distance(
                 interior = dist[1 : 1 + h, 1 : 1 + w]
                 out = np.where(np.isinf(interior), np.nan, interior)
                 return _layer_row(zoom, col, row, out)
-            # offer border-cell distances into each adjacent neighbor's
-            # buffered coordinates
-            out = {"zoom": [], "col": [], "row": [], "bx": [], "by": [], "d": []}
-            for py in range(h):
-                for px in range(w):
-                    if 0 < px < w - 1 and 0 < py < h - 1:
-                        continue
-                    d = dist[py + 1, px + 1]
-                    if not np.isfinite(d):
-                        continue
-                    for dx in (-1, 0, 1):
-                        for dy in (-1, 0, 1):
-                            if dx == 0 and dy == 0:
-                                continue
-                            # neighbor (col+dx, row+dy) sees our (px,py) at
-                            # buffered coords (px - dx*w + 1, py - dy*h + 1)
-                            bx = px - dx * w + 1
-                            by = py - dy * h + 1
-                            if 0 <= bx <= w + 1 and 0 <= by <= h + 1:
-                                out["zoom"].append(zoom)
-                                out["col"].append(col + dx)
-                                out["row"].append(row + dy)
-                                out["bx"].append(bx)
-                                out["by"].append(by)
-                                out["d"].append(float(d))
-            return pd.DataFrame(out)
+            return _emit_border_offers(dist, zoom, col, row, h, w)
         return run
 
-    def regroup(df: DataFrame) -> DataFrame:
-        # keep only the best offer per (tile, buffered cell)
-        return df.groupBy("zoom", "col", "row", "bx", "by").agg(
-            F.min("d").alias("d")
-        )
-
     key = ["zoom", "col", "row"]
+    cell_key = ["zoom", "col", "row", "bx", "by"]
     # pre-hash-partition the heavy buffered-tile side ONCE: cogroup needs
     # ClusteredDistribution(key), which HashPartitioning(key, N) already
     # satisfies, so every round's cogroup shuffles only the tiny offer
@@ -442,27 +584,88 @@ def cost_distance(
         .repartition(spark.sparkContext.defaultParallelism, *key)
         .persist()
     )
-    offers = spark.createDataFrame([], _OFFER_SCHEMA)
-    prev = (-1, 0.0)
+    # accumulated best offers (min per tile border cell over all rounds)
+    acc = spark.createDataFrame([], _OFFER_SCHEMA)
+    # round-0 frontier: the tiles containing sources. Frontier keys live on
+    # the driver — the wavefront's TILE KEYS are tiny (the tile data never
+    # moves), and a local list makes the per-round semi-join a free
+    # broadcast and the emptiness check free, so each round costs exactly
+    # 2 Spark jobs: the merge checkpoint and the improved-keys collect.
+    # Keys are (col, row) only — zoom stays out of the frontier so no job
+    # is spent discovering the layer's zoom levels.
+    frontier_keys = sorted(src_by_tile)
+    # existing CENTER keys, collected once: offers also land on pure-margin
+    # neighbor keys outside the layer — solving those is a no-op, so they
+    # are dropped from every frontier (at sf0.1 they are 12 of 16 keys).
+    # One job over the (about-to-be-cached) parts; the key list is 16 bytes
+    # a tile — fine into the millions, and _ISIN_CAP bounds the plan cost.
+    existing = {
+        (r[0], r[1])
+        for r in part_keyed.filter("dx = 0 AND dy = 0")
+        .select("col", "row").distinct().collect()
+    }
+    frontier_keys = [k for k in frontier_keys if k in existing]
+    # Adaptive frontier rule: filtering a round saves (skipped tiles x
+    # per-tile Dijkstra ~ a few ms) spread over the cluster's parallelism,
+    # and costs nothing extra — but rounds are fixed-latency-bound until
+    # the saving clears that latency, so on SMALL layers solving everything
+    # is just as fast (a non-frontier tile re-emits its old offers, which
+    # are never improvements: output and convergence are identical either
+    # way). Filter when skipped_tiles > ~100 x parallelism (~0.2-0.3 s of
+    # cluster compute); "always"/"never" force the choice (tests use
+    # "always" to pin the frontier path).
+    par = spark.sparkContext.defaultParallelism
+    LAST_FRONTIER_SIZES.clear()
     for _ in range(max_rounds):
-        # localCheckpoint, not persist: keeps the per-round plan O(1)
-        # (see vectorize._merged_labels rationale comment)
-        new_offers = regroup(
-            part_keyed.groupBy(*key)
-            .cogroup(offers.groupBy(*key))
-            .applyInPandas(solve(emit_layer=False), _OFFER_SCHEMA)
-        ).localCheckpoint()
-        agg = new_offers.agg(
-            F.count("*").alias("n"), F.sum("d").alias("s")
-        ).collect()[0]
-        cur = (int(agg["n"] or 0), float(agg["s"] or 0.0))
-        offers = new_offers
-        if abs(cur[1] - prev[1]) < 1e-9 and cur[0] == prev[0]:
+        if not frontier_keys:
             break
-        prev = cur
+        use_filter = frontier == "always" or (
+            frontier == "auto"
+            and len(existing) - len(frontier_keys) > 100 * par
+        )
+        if use_filter:
+            LAST_FRONTIER_SIZES.append(len(frontier_keys))
+            active = _frontier_filter(part_keyed, frontier_keys)
+            active_acc = _frontier_filter(acc, frontier_keys)
+        else:
+            LAST_FRONTIER_SIZES.append(len(existing))
+            active, active_acc = part_keyed, acc
+        new_raw = (
+            active.groupBy(*key)
+            .cogroup(active_acc.groupBy(*key))
+            .applyInPandas(solve(emit_layer=False), _OFFER_SCHEMA)
+        )
+        # ONE tagged-union aggregation carries the min-merge AND the
+        # improvement flag (improved iff a new offer beats every old one at
+        # that cell), so each round costs a single shuffle + checkpoint —
+        # the same plan weight as an unfiltered round. localCheckpoint, not
+        # persist, keeps the per-round plan O(1) (see
+        # vectorize._merged_labels rationale comment).
+        merged = (
+            acc.withColumn("_new", F.lit(False))
+            .unionByName(new_raw.withColumn("_new", F.lit(True)))
+            .groupBy(*cell_key)
+            .agg(
+                F.min("d").alias("d"),
+                (
+                    F.min(F.when(F.col("_new"), F.col("d")))
+                    < F.coalesce(
+                        F.min(F.when(~F.col("_new"), F.col("d"))),
+                        F.lit(float("inf")),
+                    )
+                ).alias("_improved"),
+            )
+            .localCheckpoint()
+        )
+        acc = merged.select(*cell_key, "d")
+        frontier_keys = [
+            tuple(r) for r in
+            merged.filter("_improved").select("col", "row").distinct().collect()
+            if (r[0], r[1]) in existing
+        ]
     return (
         part_keyed.groupBy(*key)
-        .cogroup(offers.groupBy(*key))
+        .cogroup(acc.groupBy(*key))
         .applyInPandas(solve(emit_layer=True), LAYER_SCHEMA)
     )
 
@@ -774,6 +977,29 @@ def approx_viewshed(
 
 # ---------------------------------------------------- euclidean distance
 
+# point-axis block size ceiling: the (h*w, block) temp stays <= ~32 MB of
+# float64 regardless of how many points there are (running min over blocks)
+_ED_BLOCK_FLOATS = 4_000_000
+
+
+def _min_dist2(gx: np.ndarray, gy: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Running min of squared pixel-center->point distance over point
+    blocks: O(h*w) memory however large the point set (the old one-shot
+    (h, w, P) tensor OOMed past ~10^4 points)."""
+    best = np.full(gx.shape, np.inf)
+    if len(p) == 0:
+        return best
+    block = max(1, _ED_BLOCK_FLOATS // max(1, gx.size))
+    for i in range(0, len(p), block):
+        blk = p[i : i + block]
+        d2 = (
+            (gx[:, :, None] - blk[None, None, :, 0]) ** 2
+            + (gy[:, :, None] - blk[None, None, :, 1]) ** 2
+        )
+        np.minimum(best, d2.min(axis=2), out=best)
+    return best
+
+
 def euclidean_distance(
     layer: DataFrame,
     points: pd.DataFrame,
@@ -784,9 +1010,10 @@ def euclidean_distance(
     """Distance-transform raster (EuclideanDistanceTile.scala:26-46): every
     pixel CENTER's distance to the nearest input point. `points` is a
     (small) pandas frame broadcast to every tile — the reference's
-    Voronoi-rasterize produces the identical values. For 10^6+ points,
-    prune candidates per tile with the cell-ring kNN first; the per-tile
-    vectorized min is unchanged."""
+    Voronoi-rasterize produces the identical values. Per-tile memory is
+    bounded by a running min over point blocks (_min_dist2); for 10^6+
+    points use euclidean_distance_pruned, which gathers a per-tile
+    candidate set with the cell-ring kNN instead of broadcasting."""
     spark = layer.sparkSession
     pts = np.ascontiguousarray(points[[x, y]].values.astype(np.float64))
     bc = spark.sparkContext.broadcast(pts)
@@ -805,13 +1032,113 @@ def euclidean_distance(
                 xs = x0 + (np.arange(w) + 0.5) * cw
                 ys = y0 - (np.arange(h) + 0.5) * ch
                 gx, gy = np.meshgrid(xs, ys)
-                d2 = (
-                    (gx[:, :, None] - p[None, None, :, 0]) ** 2
-                    + (gy[:, :, None] - p[None, None, :, 1]) ** 2
-                )
-                dist = np.sqrt(d2.min(axis=2))
+                dist = np.sqrt(_min_dist2(gx, gy, p))
                 outs.append(_layer_row(int(t.zoom), int(t.col), int(t.row), dist))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
     return layer.mapInPandas(run, LAYER_SCHEMA)
+
+
+def euclidean_distance_pruned(
+    layer: DataFrame,
+    points: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Distance transform for LARGE point sets (10^6+) — no broadcast of the
+    point table. Exact, in two DataFrame stages:
+
+      1. knn_join_df (operators/join.py) with k=1 and the TILE CENTERS as
+         queries gives each tile r_c = distance(center -> nearest point).
+      2. Any pixel q in the tile satisfies |q - center| <= g (tile
+         half-diagonal), so q's nearest point lies within r_c + 2g of the
+         center. Gather exactly the points in that disc per tile with a
+         cell-ring explode + equi-join on the point grid key, then run the
+         same blocked per-tile min (cogroup, applyInPandas).
+
+    Candidate volume per tile is O(density * (r_c + 2g)^2) — bounded by the
+    local point density, independent of total P; both joins are key
+    equi-joins, so the plan is two bounded shuffles at any scale.
+    Reference: EuclideanDistanceTile.scala:26-46 (same output values)."""
+    from .join import knn_join_df, with_key_columns
+
+    spark = layer.sparkSession
+    ext = layout.extent
+    tw, th = layout.tile_width, layout.tile_height
+    cw, ch = layout.cell_width, layout.cell_height
+    g = 0.5 * (tw * tw + th * th) ** 0.5
+
+    centers = layer.select(
+        F.col("col").alias("_tc"), F.col("row").alias("_tr"),
+        (F.lit(ext.xmin) + (F.col("col") + F.lit(0.5)) * F.lit(tw)).alias("cx"),
+        (F.lit(ext.ymax) - (F.col("row") + F.lit(0.5)) * F.lit(th)).alias("cy"),
+        F.concat_ws("_", "col", "row").alias("query_id"),
+    )
+    knn = knn_join_df(
+        points.select(
+            F.col(x), F.col(y),
+            F.concat_ws("_", F.col(x).cast("string"), F.col(y).cast("string"))
+            .alias("point_id"),
+        ),
+        centers.select("query_id", F.col("cx").alias(x), F.col("cy").alias(y)),
+        layout, zoom, k=1, x=x, y=y,
+    )
+    radii = (
+        knn.groupBy("query_id").agg(F.max("dist").alias("rc"))
+        .join(centers, "query_id")
+        .select("_tc", "_tr", "cx", "cy", (F.col("rc") + F.lit(2.0 * g)).alias("rad"))
+    )
+    # explode each tile to the grid cells its candidate disc touches, then
+    # equi-join points on their own cell key: a bounded shuffle, never a
+    # cross join
+    # tile-offset reach of the disc: center sits mid-tile, so ceil(rad/t)+1
+    # offsets per axis cover every tile the disc touches
+    bc_ = F.ceil(F.col("rad") / F.lit(tw)).cast("int") + F.lit(1)
+    br_ = F.ceil(F.col("rad") / F.lit(th)).cast("int") + F.lit(1)
+    ring = (
+        radii
+        .withColumn("_dc", F.explode(F.sequence(-bc_, bc_)))
+        .withColumn("_dr", F.explode(F.sequence(-br_, br_)))
+        .select(
+            "cx", "cy", "rad",
+            F.col("_tc").alias("col"), F.col("_tr").alias("row"),
+            (F.col("_tc") + F.col("_dc")).alias("pcol"),
+            (F.col("_tr") + F.col("_dr")).alias("prow"),
+        )
+    )
+    pts_keyed = with_key_columns(points, layout, x, y, zoom).select(
+        F.col(x).alias("_px"), F.col(y).alias("_py"),
+        F.col("col").alias("pcol"), F.col("row").alias("prow"),
+    )
+    cands = (
+        ring.join(pts_keyed, ["pcol", "prow"])
+        .filter(
+            (F.col("_px") - F.col("cx")) ** 2 + (F.col("_py") - F.col("cy")) ** 2
+            <= F.col("rad") ** 2
+        )
+        .select("col", "row", "_px", "_py")
+    )
+
+    def run(tile_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(tile_pdf) == 0:
+            return _empty_layer_pdf()
+        t = tile_pdf.iloc[0]
+        zm, col, row = int(t["zoom"]), int(t["col"]), int(t["row"])
+        h, w = int(t["h"]), int(t["w"])
+        p = np.ascontiguousarray(cand_pdf[["_px", "_py"]].values.astype(np.float64))
+        x0 = ext.xmin + col * tw
+        y0 = ext.ymax - row * th
+        xs = x0 + (np.arange(w) + 0.5) * cw
+        ys = y0 - (np.arange(h) + 0.5) * ch
+        gx, gy = np.meshgrid(xs, ys)
+        dist = np.sqrt(_min_dist2(gx, gy, p))
+        return _layer_row(zm, col, row, np.where(np.isinf(dist), np.nan, dist))
+
+    return (
+        layer.groupBy("col", "row")
+        .cogroup(cands.groupBy("col", "row"))
+        .applyInPandas(run, LAYER_SCHEMA)
+    )
