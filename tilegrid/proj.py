@@ -57,6 +57,12 @@ __all__ = [
     "utm",
     "transform",
     "transform_fn",
+    "Datum",
+    "DATUM_WGS84",
+    "datum_transform",
+    "datum_shift_bindings",
+    "datum_shift_cols",
+    "datum_shift_sql",
 ]
 
 
@@ -91,6 +97,14 @@ WGS84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
 GRS80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
 SPHERE = Ellipsoid(6378137.0, 0.0)  # web-mercator sphere
 MODIS_SPHERE = Ellipsoid(6371007.181, 0.0)  # MODIS sinusoidal sphere
+# legacy ellipsoids carried by the named datums (datum/Ellipsoid.java:66-128;
+# b-defined ones use f = 1 - b/a)
+AIRY = Ellipsoid(6377563.396, 1.0 - 6356256.910 / 6377563.396)
+MOD_AIRY = Ellipsoid(6377340.189, 1.0 - 6356034.446 / 6377340.189)
+BESSEL = Ellipsoid(6377397.155, 1.0 / 299.1528128)
+CLARKE_1866 = Ellipsoid(6378206.4, 1.0 - 6356583.8 / 6378206.4)
+CLARKE_1880 = Ellipsoid(6378249.145, 1.0 / 293.4663)
+INTERNATIONAL = Ellipsoid(6378388.0, 1.0 / 297.0)
 
 _D2R = math.pi / 180.0
 _R2D = 180.0 / math.pi
@@ -179,6 +193,9 @@ class Proj:
     forward so point reprojection stays codegen (and oracle-checkable)."""
 
     name = "base"
+    # geodetic datum; None == pre-datum CRS objects built directly from a
+    # Proj subclass (treated as TYPE_UNKNOWN: no shift math applied)
+    datum = None
 
     def forward(self, lon, lat):  # pragma: no cover - abstract
         raise NotImplementedError
@@ -200,7 +217,9 @@ class LongLat(Proj):
     """Identity CRS (proj/LongLatProjection.java): map units are degrees."""
 
     name = "longlat"
-    ellipsoid = WGS84
+
+    def __init__(self, ellipsoid: Ellipsoid = WGS84):
+        self.ellipsoid = ellipsoid
 
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -471,7 +490,7 @@ def utm(zone: int, south: bool = False, ellipsoid: Ellipsoid = WGS84) -> Transve
     """UTM zone CRS (Registry.java's epsg:326xx / 327xx rows)."""
     if not 1 <= zone <= 60:
         raise ValueError(f"UTM zone {zone} out of range 1..60")
-    return TransverseMercator(
+    p = TransverseMercator(
         ellipsoid,
         lon0=-183.0 + 6.0 * zone,
         lat0=0.0,
@@ -479,6 +498,9 @@ def utm(zone: int, south: bool = False, ellipsoid: Ellipsoid = WGS84) -> Transve
         fe=500000.0,
         fn=10000000.0 if south else 0.0,
     )
+    if ellipsoid == WGS84:
+        p.datum = DATUM_WGS84
+    return p
 
 
 class LambertConformalConic(Proj):
@@ -936,7 +958,267 @@ class Cassini(_Spherical):
 # Registry + proj-string parser (Registry.java, parser/Proj4Parser.java)
 # ---------------------------------------------------------------------------
 
-_ELLPS = {"WGS84": WGS84, "GRS80": GRS80, "sphere": SPHERE}
+# ---------------------------------------------------------------------------
+# Geodetic datums (datum/Datum.java, datum/GeocentricConverter.java,
+# BasicCoordinateTransform.java:94-116,185-229): towgs84 shifts go through
+# geocentric XYZ with a 3-param translation or 7-param Helmert
+# (position-vector sign convention, rotations in arcseconds, scale in ppm).
+# ---------------------------------------------------------------------------
+
+_SEC2RAD = 4.84813681109535993589914102357e-6  # Datum.java SECONDS_TO_RAD
+
+
+@dataclass(frozen=True)
+class Datum:
+    """A geodetic datum: an ellipsoid plus optional towgs84 parameters in
+    raw proj-string units (dx,dy,dz meters [, rx,ry,rz arcsec, s ppm]).
+    towgs84 None == TYPE_UNKNOWN (no shift math is ever applied, matching
+    Datum.getTransformType -> datumTransform's shortcut)."""
+
+    name: str
+    ellipsoid: Ellipsoid
+    towgs84: tuple | None = None
+
+    @property
+    def params(self) -> tuple:
+        """Normalized 7 params (dx, dy, dz [m], rx, ry, rz [rad], M):
+        Datum.java:121-127 (arcsec -> rad, ppm -> 1 + s/1e6); a 3-param
+        shift is the 7-param form with zero rotations and unit scale."""
+        t = self.towgs84 or (0.0, 0.0, 0.0)
+        if len(t) == 3:
+            return (t[0], t[1], t[2], 0.0, 0.0, 0.0, 1.0)
+        return (t[0], t[1], t[2], t[3] * _SEC2RAD, t[4] * _SEC2RAD,
+                t[5] * _SEC2RAD, t[6] / 1e6 + 1.0)
+
+    @property
+    def is_identity_shift(self) -> bool:
+        return self.params == (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+
+    def same_as(self, other: "Datum") -> bool:
+        return (
+            self.ellipsoid == other.ellipsoid and self.params == other.params
+        )
+
+
+DATUM_WGS84 = Datum("WGS84", WGS84, (0.0, 0.0, 0.0))
+# named datums of the reference registry (Datum.java:65-75; towgs84 values
+# are the published PROJ datum catalog entries)
+_DATUMS: dict[str, Datum] = {
+    "wgs84": DATUM_WGS84,
+    "nad83": Datum("NAD83", GRS80, (0.0, 0.0, 0.0)),
+    "ggrs87": Datum("GGRS87", GRS80, (-199.87, 74.79, 246.62)),
+    "carthage": Datum("carthage", CLARKE_1880, (-263.0, 6.0, 431.0)),
+    "potsdam": Datum(
+        "potsdam", BESSEL, (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    "hermannskogel": Datum(
+        "hermannskogel", BESSEL,
+        (577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)),
+    "ire65": Datum(
+        "ire65", MOD_AIRY,
+        (482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15)),
+    "nzgd49": Datum(
+        "nzgd49", INTERNATIONAL, (59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)),
+    "osgb36": Datum(
+        "OSGB36", AIRY,
+        (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
+    "ed50": Datum("ED50", INTERNATIONAL, (-87.0, -98.0, -121.0)),
+}
+
+
+def _geodetic_to_geocentric(lon_r, lat_r, ell: Ellipsoid):
+    """(lon, lat) radians on `ell` (h = 0) -> geocentric XYZ meters
+    (GeocentricConverter.convertGeodeticToGeocentric:96-136, vectorized;
+    the reference's +-0.1% latitude-overshoot clamp included)."""
+    lat = np.clip(np.asarray(lat_r, np.float64), -math.pi / 2, math.pi / 2)
+    lon = np.asarray(lon_r, np.float64)
+    s = np.sin(lat)
+    c = np.cos(lat)
+    rn = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+    return rn * c * np.cos(lon), rn * c * np.sin(lon), rn * (1.0 - ell.e2) * s
+
+
+def _geocentric_to_geodetic(X, Y, Z, ell: Ellipsoid):
+    """Geocentric XYZ -> (lon, lat) radians on `ell` — the reference's
+    Hannover iteration (convertGeocentricToGeodeticIter:143-242),
+    vectorized with its exact start values, update and 1e-12 stop."""
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    Z = np.asarray(Z, np.float64)
+    a, e2 = ell.a, ell.e2
+    P = np.sqrt(X * X + Y * Y)
+    RR = np.sqrt(X * X + Y * Y + Z * Z)
+    at_pole = P / a < 1e-12
+    lon = np.where(at_pole, 0.0, np.arctan2(Y, X))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        CT = np.where(RR > 0, Z / RR, 1.0)
+        ST = np.where(RR > 0, P / RR, 0.0)
+        RX = 1.0 / np.sqrt(1.0 - e2 * (2.0 - e2) * ST * ST)
+        cphi0 = ST * (1.0 - e2) * RX
+        sphi0 = CT * RX
+        for _ in range(30):
+            RN = a / np.sqrt(1.0 - e2 * sphi0 * sphi0)
+            H = P * cphi0 + Z * sphi0 - RN * (1.0 - e2 * sphi0 * sphi0)
+            RK = e2 * RN / (RN + H)
+            RX = 1.0 / np.sqrt(1.0 - RK * (2.0 - RK) * ST * ST)
+            cphi = ST * (1.0 - RK) * RX
+            sphi = CT * RX
+            sdphi = sphi * cphi0 - cphi * sphi0
+            cphi0, sphi0 = cphi, sphi
+            if np.all(sdphi * sdphi <= 1e-24):
+                break
+        lat = np.arctan(sphi0 / np.abs(cphi0))
+    return lon, lat
+
+
+def _helmert_to_wgs84(X, Y, Z, p):
+    """Datum.transformFromGeocentricToWgs84:209-236 (7-param normalized)."""
+    dx, dy, dz, rx, ry, rz, M = p
+    return (
+        M * (X - rz * Y + ry * Z) + dx,
+        M * (rz * X + Y - rx * Z) + dy,
+        M * (-ry * X + rx * Y + Z) + dz,
+    )
+
+
+def _helmert_from_wgs84(X, Y, Z, p):
+    """Datum.transformToGeocentricFromWgs84:237-264 (exact inverse order)."""
+    dx, dy, dz, rx, ry, rz, M = p
+    xt, yt, zt = (X - dx) / M, (Y - dy) / M, (Z - dz) / M
+    return (
+        xt + rz * yt - ry * zt,
+        -rz * xt + yt + rx * zt,
+        ry * xt - rx * yt + zt,
+    )
+
+
+def datum_transform(lon_deg, lat_deg, src: Datum | None, dst: Datum | None):
+    """Geodetic degrees on src datum -> degrees on dst datum
+    (BasicCoordinateTransform.datumTransform:185-229): skip when equal or
+    either is TYPE_UNKNOWN; otherwise geodetic -> geocentric on the SRC
+    ellipsoid, Helmert to WGS84 (src), inverse Helmert (dst), geocentric ->
+    geodetic on the DST ellipsoid."""
+    if (
+        src is None or dst is None
+        or src.towgs84 is None or dst.towgs84 is None
+        or src.same_as(dst)
+    ):
+        return lon_deg, lat_deg
+    X, Y, Z = _geodetic_to_geocentric(
+        np.asarray(lon_deg, np.float64) * _D2R,
+        np.asarray(lat_deg, np.float64) * _D2R, src.ellipsoid)
+    if not src.is_identity_shift:
+        X, Y, Z = _helmert_to_wgs84(X, Y, Z, src.params)
+    if not dst.is_identity_shift:
+        X, Y, Z = _helmert_from_wgs84(X, Y, Z, dst.params)
+    lon, lat = _geocentric_to_geodetic(X, Y, Z, dst.ellipsoid)
+    return lon * _R2D, lat * _R2D
+
+
+def datum_shift_bindings(
+    lon: str, lat: str, src: Datum, dst: Datum, iters: int = 5,
+    out: tuple[str, str] = ("lon_out", "lat_out"),
+) -> list[tuple[str, str]]:
+    """The SQL/Column twin of datum_transform: an ordered list of
+    (column_name, sql_expression) bindings whose last two are the shifted
+    (lon, lat) in degrees. The SAME text runs as Spark `F.expr` chains and
+    as a DuckDB CTE chain (oracle parity), like every forward_sql twin.
+    The geocentric->geodetic step unrolls the Hannover iteration a FIXED
+    `iters` times (quadratic convergence: 5 passes reach the reference's
+    1e-12 stop for any terrestrial point); each binding may reference the
+    previous ones, so text size stays linear."""
+    sa, se2 = src.ellipsoid.a, src.ellipsoid.e2
+    da, de2 = dst.ellipsoid.a, dst.ellipsoid.e2
+    b: list[tuple[str, str]] = [
+        ("_lr", f"radians({lon})"),
+        ("_pr", f"radians({lat})"),
+        ("_sl", "sin(_pr)"),
+        ("_cl", "cos(_pr)"),
+        ("_rn0", f"{sa!r} / sqrt(1.0 - {se2!r} * _sl * _sl)"),
+        ("_gx", "_rn0 * _cl * cos(_lr)"),
+        ("_gy", "_rn0 * _cl * sin(_lr)"),
+        ("_gz", f"_rn0 * (1.0 - {se2!r}) * _sl"),
+    ]
+    x, y, z = "_gx", "_gy", "_gz"
+    if not src.is_identity_shift:
+        dx, dy, dz, rx, ry, rz, M = src.params
+        b += [
+            ("_wx", f"{M!r} * ({x} - {rz!r} * {y} + {ry!r} * {z}) + {dx!r}"),
+            ("_wy", f"{M!r} * ({rz!r} * {x} + {y} - {rx!r} * {z}) + {dy!r}"),
+            ("_wz", f"{M!r} * (-{ry!r} * {x} + {rx!r} * {y} + {z}) + {dz!r}"),
+        ]
+        x, y, z = "_wx", "_wy", "_wz"
+    if not dst.is_identity_shift:
+        dx, dy, dz, rx, ry, rz, M = dst.params
+        b += [
+            ("_tx", f"({x} - {dx!r}) / {M!r}"),
+            ("_ty", f"({y} - {dy!r}) / {M!r}"),
+            ("_tz", f"({z} - {dz!r}) / {M!r}"),
+            ("_dx", f"_tx + {rz!r} * _ty - {ry!r} * _tz"),
+            ("_dy", f"-{rz!r} * _tx + _ty + {rx!r} * _tz"),
+            ("_dz", f"{ry!r} * _tx - {rx!r} * _ty + _tz"),
+        ]
+        x, y, z = "_dx", "_dy", "_dz"
+    b += [
+        ("_p", f"sqrt({x} * {x} + {y} * {y})"),
+        ("_rr", f"sqrt({x} * {x} + {y} * {y} + {z} * {z})"),
+        ("_ct", f"{z} / _rr"),
+        ("_st", "_p / _rr"),
+        ("_rx0", f"1.0 / sqrt(1.0 - {de2!r} * (2.0 - {de2!r}) * _st * _st)"),
+        ("_cp0", f"_st * (1.0 - {de2!r}) * _rx0"),
+        ("_sp0", "_ct * _rx0"),
+    ]
+    cp, sp = "_cp0", "_sp0"
+    for k in range(1, iters + 1):
+        b += [
+            (f"_rn{k}", f"{da!r} / sqrt(1.0 - {de2!r} * {sp} * {sp})"),
+            (f"_h{k}",
+             f"_p * {cp} + {z} * {sp} - _rn{k} * (1.0 - {de2!r} * {sp} * {sp})"),
+            (f"_rk{k}", f"{de2!r} * _rn{k} / (_rn{k} + _h{k})"),
+            (f"_rx{k}",
+             f"1.0 / sqrt(1.0 - _rk{k} * (2.0 - _rk{k}) * _st * _st)"),
+            (f"_cp{k}", f"_st * (1.0 - _rk{k}) * _rx{k}"),
+            (f"_sp{k}", f"_ct * _rx{k}"),
+        ]
+        cp, sp = f"_cp{k}", f"_sp{k}"
+    b += [
+        (out[0], f"degrees(atan2({y}, {x}))"),
+        (out[1], f"degrees(atan({sp} / abs({cp})))"),
+    ]
+    return b
+
+
+def datum_shift_cols(df, lon: str, lat: str, src: Datum, dst: Datum,
+                     out: tuple[str, str] = ("lon_out", "lat_out")):
+    """Apply datum_shift_bindings to a Spark DataFrame as chained
+    whole-stage-codegen expressions (no UDF)."""
+    for name, expr in datum_shift_bindings(lon, lat, src, dst, out=out):
+        df = df.withColumn(name, _F().expr(expr))
+    return df
+
+
+def datum_shift_sql(select_cols: str, source: str, lon: str, lat: str,
+                    src: Datum, dst: Datum,
+                    out: tuple[str, str] = ("lon_out", "lat_out")) -> str:
+    """The same bindings as a DuckDB-compatible CTE chain:
+    SELECT <select_cols>, <out cols> FROM a chain over `source`."""
+    bind = datum_shift_bindings(lon, lat, src, dst, out=out)
+    q = source
+    for i, (name, expr) in enumerate(bind):
+        q = f"(SELECT *, {expr} AS {name} FROM {q})"
+    return f"SELECT {select_cols}, {out[0]}, {out[1]} FROM {q}"
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+_ELLPS = {
+    "WGS84": WGS84, "GRS80": GRS80, "sphere": SPHERE,
+    "airy": AIRY, "mod_airy": MOD_AIRY, "bessel": BESSEL,
+    "clrk66": CLARKE_1866, "clrk80": CLARKE_1880, "intl": INTERNATIONAL,
+}
 
 _NAMED: dict[str, str] = {
     # name/EPSG -> proj string (the rows of the reference's nad/epsg table
@@ -973,10 +1255,39 @@ def _parse_projstr(s: str) -> Proj:
         a = float(kv["a"])
         f = 1.0 / float(kv["rf"]) if "rf" in kv else 0.0
         ell = Ellipsoid(a, f)
+    # datum resolution (Proj4Parser.parseDatum:168-192 + DatumParameters.
+    # getDatum:61-71): +datum wins over +towgs84; a bare WGS84 ellipsoid
+    # means the WGS84 datum; any other ellipsoid without towgs84 is
+    # TYPE_UNKNOWN (no shift is ever applied for it)
+    datum: Datum | None = None
+    if "datum" in kv:
+        dname = kv["datum"].lower()
+        if dname not in _DATUMS:
+            raise ValueError(f"unknown +datum={kv['datum']}")
+        datum = _DATUMS[dname]
+        ell = datum.ellipsoid
+    elif "towgs84" in kv:
+        vals = tuple(float(v) for v in kv["towgs84"].split(","))
+        if len(vals) not in (3, 7):
+            raise ValueError(
+                "+towgs84 needs 3 or 7 values, got " + kv["towgs84"])
+        datum = Datum("user", ell, vals)
+    elif "ellps" not in kv and "a" not in kv and "R" not in kv:
+        datum = DATUM_WGS84
+    elif ell == WGS84:
+        datum = DATUM_WGS84
+    else:
+        datum = Datum("unknown", ell, None)
+    proj = _proj_from_kv(kv, ell)
+    proj.datum = datum
+    return proj
+
+
+def _proj_from_kv(kv: dict[str, str], ell: Ellipsoid) -> Proj:
     p = kv.get("proj", "longlat")
     g = lambda k, d: float(kv.get(k, d))  # noqa: E731
     if p == "longlat":
-        return LongLat()
+        return LongLat(ell)
     if p == "webmerc":
         return Mercator(SPHERE, lon0=g("lon_0", 0.0))
     if p == "merc":
@@ -1039,12 +1350,14 @@ def crs(name: str) -> Proj:
 
 
 def transform(src, dst, x, y):
-    """Transform coordinate arrays src CRS -> dst CRS (through geodetic
-    lon/lat, both on their own ellipsoid — datum shifts are identity here,
-    matching the reference's WGS84-family usage)."""
+    """Transform coordinate arrays src CRS -> dst CRS: inverse-project to
+    geodetic lon/lat, apply the datum shift when the two CRSs sit on
+    different known datums (geocentric + Helmert — datum_transform), then
+    forward-project (BasicCoordinateTransform.transform:140-178)."""
     sp = src if isinstance(src, Proj) else crs(src)
     dp = dst if isinstance(dst, Proj) else crs(dst)
     lon, lat = sp.inverse(x, y)
+    lon, lat = datum_transform(lon, lat, sp.datum, dp.datum)
     return dp.forward(lon, lat)
 
 
@@ -1055,6 +1368,7 @@ def transform_fn(src, dst):
 
     def fn(x, y):
         lon, lat = sp.inverse(x, y)
+        lon, lat = datum_transform(lon, lat, sp.datum, dp.datum)
         return dp.forward(lon, lat)
 
     return fn

@@ -1049,6 +1049,39 @@ SELECT event_id, round({xs}, 2) AS easting, round({ys}, 2) AS northing FROM f
 """
 
 
+def q_reproject_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic datum shift OSGB36 -> WGS84 through geocentric XYZ +
+    7-param Helmert (proj4 parity: datum/Datum.java:209-264,
+    datum/GeocentricConverter.java:96-242,
+    BasicCoordinateTransform.java:185-229). Pure whole-stage-codegen
+    expression chain (datum_shift_cols) — no UDF, no shuffle; the oracle
+    replays the IDENTICAL binding text as a DuckDB CTE chain."""
+    from .proj import DATUM_WGS84, _DATUMS, datum_shift_cols
+
+    ev = _events_points(spark, sf_dir).filter(
+        "lat > -80.0 AND lat < 80.0"
+    )
+    out = datum_shift_cols(ev, "lon", "lat", _DATUMS["osgb36"], DATUM_WGS84)
+    return out.select(
+        "event_id",
+        F.round("lon_out", 7).alias("lon_wgs84"),
+        F.round("lat_out", 7).alias("lat_wgs84"),
+    )
+
+
+def _o_reproject_datum() -> str:
+    from .proj import DATUM_WGS84, _DATUMS, datum_shift_sql
+
+    inner = f"""(SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events)"""
+    filt = f"(SELECT * FROM {inner} WHERE lat > -80.0 AND lat < 80.0)"
+    shifted = datum_shift_sql(
+        "event_id", filt, "lon", "lat", _DATUMS["osgb36"], DATUM_WGS84)
+    return f"""
+SELECT event_id, round(lon_out, 7) AS lon_wgs84, round(lat_out, 7) AS lat_wgs84
+FROM ({shifted})
+"""
+
+
 def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
     nearest neighbor): the zoom-3 count raster re-tiled into the WM world
@@ -3360,6 +3393,7 @@ QUERIES = {
     "cost_paths": q_cost_paths,
     "approx_viewshed": q_approx_viewshed,
     "reproject_utm": q_reproject_utm,
+    "reproject_datum": q_reproject_datum,
     "polygon_overlay": q_polygon_overlay,
     "polygon_buffer": q_polygon_buffer,
     "streaming_counts": q_streaming_counts,
@@ -3437,6 +3471,7 @@ ORACLES = {
     "cost_paths": _o_cost_paths(),
     "approx_viewshed": _o_approx_viewshed(),
     "reproject_utm": _o_reproject_utm(),
+    "reproject_datum": _o_reproject_datum(),
     "polygon_overlay": _o_polygon_overlay(),
     "polygon_buffer": _o_polygon_buffer(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle
