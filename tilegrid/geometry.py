@@ -21,10 +21,132 @@ from .grid import Extent
 # ----------------------------------------------------------------------- WKB
 
 _WKB_POINT, _WKB_POLYGON, _WKB_MULTIPOLYGON = 1, 3, 6
+_WKB_LINESTRING, _WKB_MULTIPOINT, _WKB_MULTILINESTRING = 2, 4, 5
+_WKB_GEOMETRYCOLLECTION = 7
+
+
+# Geometry value forms (reference: vector/src/main/scala/geotrellis/vector/
+# Line.scala, MultiLine.scala, MultiPoint.scala, GeometryCollection.scala):
+#   point      -> (x, y) tuple
+#   LINE       -> bare (N, 2) float64 ndarray (open path; matches the kind
+#                 dispatch relate._kind already uses)
+#   polygon    -> list[ndarray rings]      multipolygon -> list[list[rings]]
+# The multi/collection kinds need explicit wrappers because their natural
+# python shapes collide with the polygon forms above.
+
+class MultiPoint:
+    """An unordered set of points, coords shaped (N, 2)."""
+
+    __slots__ = ("coords",)
+
+    def __init__(self, coords):
+        self.coords = np.asarray(coords, np.float64).reshape(-1, 2)
+
+    def __repr__(self):  # pragma: no cover
+        return f"MultiPoint({len(self.coords)} pts)"
+
+    def __eq__(self, other):
+        return isinstance(other, MultiPoint) and np.array_equal(
+            self.coords, other.coords)
+
+
+class MultiLine:
+    """A set of open polylines, each a (N, 2) ndarray."""
+
+    __slots__ = ("lines",)
+
+    def __init__(self, lines):
+        self.lines = [np.asarray(l, np.float64).reshape(-1, 2) for l in lines]
+
+    def __repr__(self):  # pragma: no cover
+        return f"MultiLine({len(self.lines)} lines)"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, MultiLine)
+            and len(self.lines) == len(other.lines)
+            and all(np.array_equal(a, b)
+                    for a, b in zip(self.lines, other.lines))
+        )
+
+
+class GeometryCollection:
+    """A heterogeneous list of any geometry forms above."""
+
+    __slots__ = ("geoms",)
+
+    def __init__(self, geoms):
+        self.geoms = list(geoms)
+
+    def __repr__(self):  # pragma: no cover
+        return f"GeometryCollection({len(self.geoms)})"
+
+    def __eq__(self, other):
+        if not isinstance(other, GeometryCollection) or len(self.geoms) != len(other.geoms):
+            return False
+        for a, b in zip(self.geoms, other.geoms):
+            if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+                if not (isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
+                        and np.array_equal(a, b)):
+                    return False
+            elif isinstance(a, list) and isinstance(b, list):
+                if wkb_encode_geom(a) != wkb_encode_geom(b):
+                    return False
+            elif a != b:
+                return False
+        return True
 
 
 def wkb_encode_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_encode_linestring(coords: np.ndarray) -> bytes:
+    c = np.asarray(coords, np.float64).reshape(-1, 2)
+    return (
+        struct.pack("<BII", 1, _WKB_LINESTRING, len(c))
+        + c.astype("<f8").tobytes()
+    )
+
+
+def wkb_encode_multilinestring(lines) -> bytes:
+    ls = lines.lines if isinstance(lines, MultiLine) else lines
+    out = [struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(ls))]
+    out += [wkb_encode_linestring(l) for l in ls]
+    return b"".join(out)
+
+
+def wkb_encode_multipoint(pts) -> bytes:
+    c = pts.coords if isinstance(pts, MultiPoint) else np.asarray(pts)
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOINT, len(c))]
+    out += [wkb_encode_point(float(x), float(y)) for x, y in c]
+    return b"".join(out)
+
+
+def wkb_encode_geometrycollection(gc) -> bytes:
+    gs = gc.geoms if isinstance(gc, GeometryCollection) else gc
+    out = [struct.pack("<BII", 1, _WKB_GEOMETRYCOLLECTION, len(gs))]
+    out += [wkb_encode_geom(g) for g in gs]
+    return b"".join(out)
+
+
+def wkb_encode_geom(g) -> bytes:
+    """Encode any geometry form by shape dispatch."""
+    if isinstance(g, tuple):
+        return wkb_encode_point(float(g[0]), float(g[1]))
+    if isinstance(g, np.ndarray):
+        return wkb_encode_linestring(g)
+    if isinstance(g, MultiPoint):
+        return wkb_encode_multipoint(g)
+    if isinstance(g, MultiLine):
+        return wkb_encode_multilinestring(g)
+    if isinstance(g, GeometryCollection):
+        return wkb_encode_geometrycollection(g)
+    if isinstance(g, list) and g and isinstance(g[0], list):
+        return wkb_encode_multipolygon(g)
+    if isinstance(g, list):
+        return wkb_encode_polygon(g)
+    raise TypeError(f"unsupported geometry form: {type(g)}")
 
 
 def wkb_encode_polygon(rings: list[np.ndarray]) -> bytes:
@@ -66,7 +188,84 @@ def wkb_decode(data: bytes):
             rings, pos = _decode_polygon_body(data, pos)
             polys.append(rings)
         return polys
+    if geom_type == _WKB_LINESTRING:
+        line, _ = _decode_line_body(data, 5)
+        return line
+    if geom_type == _WKB_MULTIPOINT:
+        (n,) = struct.unpack_from("<I", data, 5)
+        pos, pts = 9, []
+        for _ in range(n):
+            pts.append(struct.unpack_from("<dd", data, pos + 5))
+            pos += 21
+        return MultiPoint(np.asarray(pts, np.float64).reshape(-1, 2))
+    if geom_type == _WKB_MULTILINESTRING:
+        (n,) = struct.unpack_from("<I", data, 5)
+        pos, lines = 9, []
+        for _ in range(n):
+            line, pos = _decode_line_body(data, pos + 5)
+            lines.append(line)
+        return MultiLine(lines)
+    if geom_type == _WKB_GEOMETRYCOLLECTION:
+        (n,) = struct.unpack_from("<I", data, 5)
+        pos, geoms = 9, []
+        for _ in range(n):
+            sub, pos = _decode_any(data, pos)
+            geoms.append(sub)
+        return GeometryCollection(geoms)
     raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+def _decode_line_body(data: bytes, pos: int):
+    (m,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    line = np.frombuffer(data, dtype="<f8", count=2 * m, offset=pos).reshape(m, 2)
+    return line.astype(np.float64), pos + 16 * m
+
+
+def _decode_any(data: bytes, pos: int):
+    """Decode one nested geometry starting at `pos`; returns (geom, pos')."""
+    geom_type = struct.unpack_from("<BI", data, pos)[1]
+    pos += 5
+    if geom_type == _WKB_POINT:
+        x, y = struct.unpack_from("<dd", data, pos)
+        return (x, y), pos + 16
+    if geom_type == _WKB_LINESTRING:
+        return _decode_line_body(data, pos)
+    if geom_type == _WKB_POLYGON:
+        return _decode_polygon_body(data, pos)
+    if geom_type == _WKB_MULTIPOLYGON:
+        (n,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        polys = []
+        for _ in range(n):
+            rings, pos = _decode_polygon_body(data, pos + 5)
+            polys.append(rings)
+        return polys, pos
+    if geom_type == _WKB_MULTIPOINT:
+        (n,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        pts = []
+        for _ in range(n):
+            pts.append(struct.unpack_from("<dd", data, pos + 5))
+            pos += 21
+        return MultiPoint(np.asarray(pts, np.float64).reshape(-1, 2)), pos
+    if geom_type == _WKB_MULTILINESTRING:
+        (n,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        lines = []
+        for _ in range(n):
+            line, pos = _decode_line_body(data, pos + 5)
+            lines.append(line)
+        return MultiLine(lines), pos
+    if geom_type == _WKB_GEOMETRYCOLLECTION:
+        (n,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        geoms = []
+        for _ in range(n):
+            sub, pos = _decode_any(data, pos)
+            geoms.append(sub)
+        return GeometryCollection(geoms), pos
+    raise ValueError(f"unsupported nested WKB geometry type {geom_type}")
 
 
 def _decode_polygon_body(data: bytes, pos: int):
@@ -115,6 +314,51 @@ def wkt_encode_multipolygon(polys: list[list[np.ndarray]]) -> str:
     return "MULTIPOLYGON (" + ", ".join(_wkt_rings(p) for p in polys) + ")"
 
 
+def _wkt_path(line: np.ndarray) -> str:
+    c = np.asarray(line, np.float64).reshape(-1, 2)
+    return "(" + ", ".join(_fmt_coord(a, b) for a, b in c) + ")"
+
+
+def wkt_encode_linestring(line: np.ndarray) -> str:
+    return "LINESTRING " + _wkt_path(line)
+
+
+def wkt_encode_multilinestring(lines) -> str:
+    ls = lines.lines if isinstance(lines, MultiLine) else lines
+    return "MULTILINESTRING (" + ", ".join(_wkt_path(l) for l in ls) + ")"
+
+
+def wkt_encode_multipoint(pts) -> str:
+    c = pts.coords if isinstance(pts, MultiPoint) else np.asarray(pts)
+    return "MULTIPOINT (" + ", ".join(
+        f"({_fmt_coord(x, y)})" for x, y in c) + ")"
+
+
+def wkt_encode_geometrycollection(gc) -> str:
+    gs = gc.geoms if isinstance(gc, GeometryCollection) else gc
+    return "GEOMETRYCOLLECTION (" + ", ".join(
+        wkt_encode_geom(g) for g in gs) + ")"
+
+
+def wkt_encode_geom(g) -> str:
+    """Encode any geometry form by shape dispatch (wkb_encode_geom twin)."""
+    if isinstance(g, tuple):
+        return wkt_encode_point(float(g[0]), float(g[1]))
+    if isinstance(g, np.ndarray):
+        return wkt_encode_linestring(g)
+    if isinstance(g, MultiPoint):
+        return wkt_encode_multipoint(g)
+    if isinstance(g, MultiLine):
+        return wkt_encode_multilinestring(g)
+    if isinstance(g, GeometryCollection):
+        return wkt_encode_geometrycollection(g)
+    if isinstance(g, list) and g and isinstance(g[0], list):
+        return wkt_encode_multipolygon(g)
+    if isinstance(g, list):
+        return wkt_encode_polygon(g)
+    raise TypeError(f"unsupported geometry form: {type(g)}")
+
+
 def _parse_ring_text(txt: str) -> np.ndarray:
     pts = [
         [float(v) for v in pair.split()] for pair in txt.split(",") if pair.strip()
@@ -158,7 +402,48 @@ def wkt_decode(text: str):
             [_parse_ring_text(g) for g in _split_groups(poly)]
             for poly in _split_groups(body)
         ]
+    if upper.startswith("MULTILINESTRING"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        return MultiLine([_parse_path_text(g) for g in _split_groups(body)])
+    if upper.startswith("LINESTRING"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        return _parse_path_text(body)
+    if upper.startswith("MULTIPOINT"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        groups = _split_groups(body)
+        # both MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4) are legal
+        txt = ", ".join(groups) if groups else body
+        return MultiPoint(_parse_path_text(txt))
+    if upper.startswith("GEOMETRYCOLLECTION"):
+        body = t[t.index("(") + 1 : t.rindex(")")]
+        return GeometryCollection(
+            [wkt_decode(part) for part in _split_top_geoms(body)])
     raise ValueError(f"unsupported WKT: {t[:30]!r}")
+
+
+def _parse_path_text(txt: str) -> np.ndarray:
+    """Comma-separated 'x y' pairs -> (N, 2) array, NOT ring-unclosed."""
+    pts = [
+        [float(v) for v in pair.split()] for pair in txt.split(",") if pair.strip()
+    ]
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def _split_top_geoms(body: str) -> list[str]:
+    """Split 'POINT (..), LINESTRING (..)' at top-level commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    tail = body[start:].strip()
+    if tail:
+        parts.append(tail)
+    return [p.strip() for p in parts]
 
 
 # ----------------------------------------------------------------- GeoJSON
@@ -177,6 +462,22 @@ def geojson_encode(geom) -> str:
 
     if isinstance(geom, tuple):
         obj = {"type": "Point", "coordinates": [geom[0], geom[1]]}
+    elif isinstance(geom, np.ndarray):
+        obj = {"type": "LineString",
+               "coordinates": np.asarray(geom, np.float64).tolist()}
+    elif isinstance(geom, MultiPoint):
+        obj = {"type": "MultiPoint", "coordinates": geom.coords.tolist()}
+    elif isinstance(geom, MultiLine):
+        obj = {"type": "MultiLineString",
+               "coordinates": [np.asarray(l, np.float64).tolist()
+                               for l in geom.lines]}
+    elif isinstance(geom, GeometryCollection):
+        import json as _json
+
+        obj = {
+            "type": "GeometryCollection",
+            "geometries": [_json.loads(geojson_encode(g)) for g in geom.geoms],
+        }
     elif geom and isinstance(geom[0], list):
         obj = {
             "type": "MultiPolygon",
@@ -192,6 +493,9 @@ def geojson_decode(text: str):
 
     obj = json.loads(text)
     t = obj["type"]
+    if t == "GeometryCollection":
+        return GeometryCollection(
+            [geojson_decode(json.dumps(g)) for g in obj["geometries"]])
     cs = obj["coordinates"]
 
     def ring(c):
@@ -206,6 +510,12 @@ def geojson_decode(text: str):
         return [ring(c) for c in cs]
     if t == "MultiPolygon":
         return [[ring(c) for c in poly] for poly in cs]
+    if t == "LineString":
+        return np.asarray(cs, np.float64).reshape(-1, 2)
+    if t == "MultiLineString":
+        return MultiLine([np.asarray(c, np.float64).reshape(-1, 2) for c in cs])
+    if t == "MultiPoint":
+        return MultiPoint(np.asarray(cs, np.float64).reshape(-1, 2))
     raise ValueError(f"unsupported GeoJSON type {t!r}")
 
 
@@ -372,6 +682,41 @@ def polygon_perimeter(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
     return float(np.sum(np.hypot(x2 - x, y2 - y)))
+
+
+def line_length(line) -> float:
+    """Length of an OPEN polyline (Line.scala's length; MultiLine sums its
+    parts). Unlike polygon_perimeter, the last->first segment is NOT
+    closed."""
+    if isinstance(line, MultiLine):
+        return float(sum(line_length(l) for l in line.lines))
+    c = np.asarray(line, np.float64).reshape(-1, 2)
+    if len(c) < 2:
+        return 0.0
+    d = np.diff(c, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def points_line_distance(px, py, line: np.ndarray) -> np.ndarray:
+    """Min distance from each point to an OPEN polyline (no closing
+    segment — the open twin of points_segments_distance)."""
+    c = np.asarray(line, np.float64).reshape(-1, 2)
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    best = np.full(px.shape, np.inf)
+    for i in range(len(c) - 1):
+        x1, y1 = c[i]
+        x2, y2 = c[i + 1]
+        dx, dy = x2 - x1, y2 - y1
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            t = np.zeros_like(px)
+        else:
+            t = np.clip(((px - x1) * dx + (py - y1) * dy) / L2, 0.0, 1.0)
+        best = np.minimum(best, np.hypot(px - (x1 + t * dx), py - (y1 + t * dy)))
+    if len(c) == 1:
+        best = np.hypot(px - c[0, 0], py - c[0, 1])
+    return best
 
 
 def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:

@@ -337,3 +337,29 @@ def reproject_geoms(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def line_lengths(df: DataFrame, wkb_col: str = "wkb", out: str = "length") -> DataFrame:
+    """Append the geodesic-free (planar) length of a LINESTRING /
+    MULTILINESTRING WKB column (reference: vector/.../Line.scala length,
+    MultiLine.scala). One Arrow batch pass; each polyline's segment
+    lengths reduce in a single vectorized hypot."""
+    from ..geometry import MultiLine, line_length, wkb_decode
+
+    def run(it):
+        for pdf in it:
+            outp = pdf.copy()
+            vals = []
+            for raw in outp[wkb_col]:
+                g = wkb_decode(bytes(raw))
+                if not isinstance(g, (np.ndarray, MultiLine)):
+                    raise TypeError("line_lengths expects LINESTRING/MULTILINESTRING WKB")
+                vals.append(line_length(g))
+            outp[out] = vals
+            yield outp
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # copy, don't .add(): StructType.add mutates df's own schema object
+    schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
+    return df.mapInPandas(run, schema)

@@ -1082,6 +1082,51 @@ FROM ({shifted})
 """
 
 
+def q_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class LineString surface (vector/.../Line.scala + io/wkb):
+    build one GPS-trace-style polyline per (event_id % 40) group, ordered
+    by event_id, ENCODE it as LINESTRING WKB in an applyInPandas pass,
+    then measure it with operators.vector.line_lengths (decode + segment
+    hypot). The oracle replays the same ordered segment sum with a window
+    lag. Exercises the WKB line codec end-to-end, not just arithmetic."""
+    from .geometry import wkb_encode_linestring
+    from .operators.vector import line_lengths
+
+    ev = _events_points(spark, sf_dir).select(
+        (F.col("event_id") % 40).alias("line_id"), "event_id", "lon", "lat"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        wkb = wkb_encode_linestring(
+            np.column_stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()]))
+        return pd.DataFrame({"line_id": [int(pdf["line_id"].iloc[0])],
+                             "wkb": [wkb]})
+
+    lines = ev.groupBy("line_id").applyInPandas(
+        build, "line_id long, wkb binary")
+    return (
+        line_lengths(lines, "wkb", "length")
+        .select("line_id", F.round("length", 6).alias("length"))
+    )
+
+
+def _o_line_length() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id % 40 AS line_id, event_id,
+         {LON_E} AS lon, {LAT_E} AS lat FROM events
+), seg AS (
+  SELECT line_id,
+         sqrt(power(lon - lag(lon) OVER w, 2) + power(lat - lag(lat) OVER w, 2))
+           AS seglen
+  FROM p WINDOW w AS (PARTITION BY line_id ORDER BY event_id)
+)
+SELECT line_id, round(coalesce(sum(seglen), 0.0), 6) AS length
+FROM seg GROUP BY line_id
+"""
+
+
 def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
     nearest neighbor): the zoom-3 count raster re-tiled into the WM world
@@ -3394,6 +3439,7 @@ QUERIES = {
     "approx_viewshed": q_approx_viewshed,
     "reproject_utm": q_reproject_utm,
     "reproject_datum": q_reproject_datum,
+    "line_length": q_line_length,
     "polygon_overlay": q_polygon_overlay,
     "polygon_buffer": q_polygon_buffer,
     "streaming_counts": q_streaming_counts,
@@ -3472,6 +3518,7 @@ ORACLES = {
     "approx_viewshed": _o_approx_viewshed(),
     "reproject_utm": _o_reproject_utm(),
     "reproject_datum": _o_reproject_datum(),
+    "line_length": _o_line_length(),
     "polygon_overlay": _o_polygon_overlay(),
     "polygon_buffer": _o_polygon_buffer(),
     "streaming_counts": _o_temporal_daily(),  # stream == batch == oracle

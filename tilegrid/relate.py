@@ -63,13 +63,39 @@ def _bump(m: np.ndarray, r: int, c: int, dim: int) -> None:
 
 
 def _kind(g) -> str:
+    from .geometry import GeometryCollection, MultiLine, MultiPoint
+
     if isinstance(g, tuple) and len(g) == 2 and np.isscalar(g[0]):
         return "point"
     if isinstance(g, np.ndarray):
         return "line"
+    if isinstance(g, MultiPoint):
+        return "multipoint"
+    if isinstance(g, MultiLine):
+        return "multiline"
+    if isinstance(g, GeometryCollection):
+        return "collection"
     if isinstance(g, list):
         return "polygon"
     raise TypeError(f"unsupported geometry form: {type(g)}")
+
+
+def _parts(g) -> list:
+    """Decompose multi/collection geometries into simple parts."""
+    from .geometry import GeometryCollection, MultiLine, MultiPoint
+
+    if isinstance(g, MultiPoint):
+        return [(float(x), float(y)) for x, y in g.coords]
+    if isinstance(g, MultiLine):
+        return list(g.lines)
+    if isinstance(g, GeometryCollection):
+        out = []
+        for sub in g.geoms:
+            out.extend(_parts(sub))
+        return out
+    if isinstance(g, list) and g and isinstance(g[0], list):
+        return list(g)  # multipolygon -> polygons
+    return [g]
 
 
 def _transpose(matrix: str) -> str:
@@ -328,9 +354,40 @@ def _relate_polygon_polygon(a_rings, b_rings) -> str:
     return _render(m)
 
 
+def _relate_multipoint(mp, b) -> str:
+    """DE-9IM of a finite point set vs a simple geometry, combined from the
+    per-point matrices: interior(A) = the union of points, so row 0 is the
+    entrywise MAX of per-point rows; boundary(A) is empty (row 1 = FFF);
+    exterior(A) removes only finitely many points, so row 2 is the
+    entrywise MIN (a dim only drops when b's part is itself one of the
+    points). MultiLine/GeometryCollection have no combined relate (their
+    mod-2 boundary is not per-part decomposable) — use the decomposed
+    predicates (intersects) or relate the parts directly."""
+    mats = [relate(p, b) for p in _parts(mp)]
+    vals = {"F": -1, "0": 0, "1": 1, "2": 2}
+    inv = {-1: "F", 0: "0", 1: "1", 2: "2"}
+    out = []
+    for c in range(3):
+        out.append(inv[max(vals[m[0 * 3 + c]] for m in mats)])
+    out += ["F", "F", "F"]
+    for c in range(3):
+        out.append(inv[min(vals[m[2 * 3 + c]] for m in mats)])
+    return "".join(out)
+
+
 def relate(a, b) -> str:
-    """DE-9IM matrix of two geometries (point / line / polygon forms)."""
+    """DE-9IM matrix of two geometries (point / line / polygon /
+    multipoint forms; multiline and collections decompose via _parts for
+    the intersects predicate only)."""
     ka, kb = _kind(a), _kind(b)
+    if ka == "multipoint":
+        return _relate_multipoint(a, b)
+    if kb == "multipoint":
+        return _transpose(_relate_multipoint(b, a))
+    if ka in ("multiline", "collection") or kb in ("multiline", "collection"):
+        raise NotImplementedError(
+            "combined DE-9IM for multiline/collection is not defined here; "
+            "relate the parts (relate._parts) or use intersects()")
     if ka == "point" and kb == "point":
         return _relate_point_point(a, b)
     if ka == "point" and kb == "line":
@@ -395,6 +452,12 @@ def disjoint(a, b) -> bool:
 
 
 def intersects(a, b) -> bool:
+    ka, kb = _kind(a), _kind(b)
+    if ka in ("multiline", "collection", "multipoint") or kb in (
+            "multiline", "collection", "multipoint"):
+        # set union on either side: intersects decomposes exactly
+        return any(
+            intersects(pa, pb) for pa in _parts(a) for pb in _parts(b))
     return not disjoint(a, b)
 
 
