@@ -51,7 +51,7 @@ def buffer_parts(layer: DataFrame, size: int) -> DataFrame:
                 "zoom", "tcol", "trow", "dx", "dy", "part", "ph", "pw", "h", "w")}
             for t in pdf.itertuples(index=False):
                 arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
-                h, w = arr.shape
+                h, w = arr.shape[:2]  # (h, w) or (h, w, bands)
                 s = size
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):
@@ -80,14 +80,22 @@ def buffer_parts(layer: DataFrame, size: int) -> DataFrame:
 
 def _assemble(pdf: pd.DataFrame, size: int) -> tuple[np.ndarray, int, int] | None:
     """Build the buffered array for one target key. Returns None when the
-    target key has no center tile (pure-margin key outside the layer)."""
+    target key has no center tile (pure-margin key outside the layer).
+    Multiband tiles ((h, w, bands) arrays — MultibandTileLayerRDDMethods
+    parity) buffer band-wise into a (h+2s, w+2s, bands) array."""
     s = size
     h, w = int(pdf.iloc[0]["h"]), int(pdf.iloc[0]["w"])
-    buf = np.full((h + 2 * s, w + 2 * s), np.nan)
+    parts = [
+        (codec.decode_tile(bytes(t.part), "raw"), int(t.dx), int(t.dy))
+        for t in pdf.itertuples(index=False)
+    ]
+    nb = max(p.shape[2] if p.ndim == 3 else 0 for p, _, _ in parts)
+    shape = (h + 2 * s, w + 2 * s, nb) if nb else (h + 2 * s, w + 2 * s)
+    buf = np.full(shape, np.nan)
     has_center = False
-    for t in pdf.itertuples(index=False):
-        part = codec.decode_tile(bytes(t.part), "raw")
-        dx, dy = int(t.dx), int(t.dy)
+    for part, dx, dy in parts:
+        if nb and part.ndim == 2:  # mixed layers: broadcast across bands
+            part = part[:, :, None]
         if dx == 0 and dy == 0:
             buf[s : s + h, s : s + w] = part
             has_center = True
@@ -153,23 +161,17 @@ def focal(
     parts = buffer_parts(layer, size)
     win = _win_kernels(size)
 
-    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        asm = _assemble(pdf, size)
-        if asm is None:
-            return pd.DataFrame(
-                {c: [] for c in ("zoom", "col", "row", "cell", "tile", "h", "w", "fmt")}
-            )
-        buf, h, w = asm
+    def compute2d(buf: np.ndarray, h: int, w: int) -> np.ndarray:
         s = size
         if op in win:
-            res = win[op](buf)  # window view already yields (h, w)
-        elif op == "mode":
-            res = _focal_mode_crop(buf, s, h, w)
-        elif op == "convolve":
+            return win[op](buf)  # window view already yields (h, w)
+        if op == "mode":
+            return _focal_mode_crop(buf, s, h, w)
+        if op == "convolve":
             kw = np.lib.stride_tricks.sliding_window_view(buf, kernel.shape)
             kz = np.where(np.isnan(kw), 0.0, kw)
-            res = np.einsum("ijkl,kl->ij", kz, kernel)
-        elif surface:
+            return np.einsum("ijkl,kl->ij", kz, kernel)
+        if surface:
             dzdx, dzdy = _horn_derivatives(buf, cw, ch)
             dzdx, dzdy = dzdx[s : s + h, s : s + w], dzdy[s : s + h, s : s + w]
             if op == "slope":
@@ -181,9 +183,24 @@ def focal(
                 res = np.degrees(np.where(a == 2 * np.pi, 0.0, a))
             else:
                 res = _hillshade(dzdx, dzdy, azimuth, altitude)
-            res = np.asarray(res, np.float64)
+            return np.asarray(res, np.float64)
+        raise ValueError(f"unknown focal op {op!r}")
+
+    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble(pdf, size)
+        if asm is None:
+            return pd.DataFrame(
+                {c: [] for c in ("zoom", "col", "row", "cell", "tile", "h", "w", "fmt")}
+            )
+        buf, h, w = asm
+        if buf.ndim == 3:
+            # multiband: each band is an independent stencil pass
+            # (MultibandTileLayerRDDMethods focal parity)
+            res = np.stack(
+                [compute2d(np.ascontiguousarray(buf[:, :, i]), h, w)
+                 for i in range(buf.shape[2])], axis=-1)
         else:
-            raise ValueError(f"unknown focal op {op!r}")
+            res = compute2d(buf, h, w)
         first = pdf.iloc[0]
         zoom, col, row = int(first["zoom"]), int(first["tcol"]), int(first["trow"])
         return pd.DataFrame(

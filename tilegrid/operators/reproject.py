@@ -167,7 +167,11 @@ def reproject_layer(
                         ys, xs = np.nonzero(mine)
                         wy0, wy1 = int(ys.min()), int(ys.max())
                         wx0, wx1 = int(xs.min()), int(xs.max())
-                        patch = np.full((wy1 - wy0 + 1, wx1 - wx0 + 1), np.nan)
+                        # multiband tiles ((h, w, bands)) warp band-wise
+                        # through the same gather: patch grows a band axis
+                        # and the boolean scatter carries (n, bands) rows
+                        pshape = (wy1 - wy0 + 1, wx1 - wx0 + 1) + src.shape[2:]
+                        patch = np.full(pshape, np.nan)
                         sub = mine[wy0 : wy1 + 1, wx0 : wx1 + 1]
                         patch[sub] = src[
                             (sgy[wy0 : wy1 + 1, wx0 : wx1 + 1] - gy0)[sub],
@@ -187,10 +191,15 @@ def reproject_layer(
     parts = layer.mapInPandas(emit, _PARTS)
 
     def paste(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.full((th, tw), np.nan)
-        for t in pdf.itertuples(index=False):
-            patch = codec.decode_tile(bytes(t.part), "raw")
-            y0, x0 = int(t.py0), int(t.px0)
+        patches = [
+            (codec.decode_tile(bytes(t.part), "raw"), int(t.py0), int(t.px0))
+            for t in pdf.itertuples(index=False)
+        ]
+        nb = max(p.shape[2] if p.ndim == 3 else 0 for p, _, _ in patches)
+        acc = np.full((th, tw, nb) if nb else (th, tw), np.nan)
+        for patch, y0, x0 in patches:
+            if nb and patch.ndim == 2:
+                patch = patch[:, :, None]
             win = acc[y0 : y0 + patch.shape[0], x0 : x0 + patch.shape[1]]
             m = np.isnan(win) & ~np.isnan(patch)
             win[m] = patch[m]
@@ -280,7 +289,8 @@ def reproject_layer_bilinear(
                 ys, xs = np.nonzero(mine)
                 wy0, wy1 = int(ys.min()), int(ys.max())
                 wx0, wx1 = int(xs.min()), int(xs.max())
-                patch = np.full((wy1 - wy0 + 1, wx1 - wx0 + 1), np.nan)
+                pshape = (wy1 - wy0 + 1, wx1 - wx0 + 1) + buf.shape[2:]
+                patch = np.full(pshape, np.nan)
                 sub = mine[wy0 : wy1 + 1, wx0 : wx1 + 1]
                 sfx = fx[wy0 : wy1 + 1, wx0 : wx1 + 1][sub]
                 sfy = fy[wy0 : wy1 + 1, wx0 : wx1 + 1][sub]
@@ -295,6 +305,8 @@ def reproject_layer_bilinear(
                 wyf = np.clip(sfy - ty0, 0.0, 1.0)
                 bx0, bx1 = tx0 - gx0 + 1, tx1 - gx0 + 1
                 by0, by1 = ty0 - gy0 + 1, ty1 - gy0 + 1
+                if buf.ndim == 3:  # weights broadcast across bands
+                    wxf, wyf = wxf[:, None], wyf[:, None]
                 top = buf[by0, bx0] * (1 - wxf) + buf[by0, bx1] * wxf
                 bot = buf[by1, bx0] * (1 - wxf) + buf[by1, bx1] * wxf
                 patch[sub] = top * (1 - wyf) + bot * wyf
@@ -313,10 +325,15 @@ def reproject_layer_bilinear(
     warped = parts.groupBy("zoom", "tcol", "trow").applyInPandas(warp_group, _PARTS)
 
     def paste(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.full((th, tw), np.nan)
-        for t in pdf.itertuples(index=False):
-            patch = codec.decode_tile(bytes(t.part), "raw")
-            y0, x0 = int(t.py0), int(t.px0)
+        patches = [
+            (codec.decode_tile(bytes(t.part), "raw"), int(t.py0), int(t.px0))
+            for t in pdf.itertuples(index=False)
+        ]
+        nb = max(p.shape[2] if p.ndim == 3 else 0 for p, _, _ in patches)
+        acc = np.full((th, tw, nb) if nb else (th, tw), np.nan)
+        for patch, y0, x0 in patches:
+            if nb and patch.ndim == 2:
+                patch = patch[:, :, None]
             win = acc[y0 : y0 + patch.shape[0], x0 : x0 + patch.shape[1]]
             m = np.isnan(win) & ~np.isnan(patch)
             win[m] = patch[m]
