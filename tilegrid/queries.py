@@ -3419,63 +3419,10 @@ SELECT zone_id, matrix, COUNT(*) AS n FROM rel GROUP BY zone_id, matrix
 # new operators right after, and long-stable hash-green queries rotate to the
 # tail where a cap can only drop already-verified entries.
 QUERIES = {
-    # --- unchecked in r02 (driver cap) — keep first until re-verified
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "pricing_summary": q_pricing_summary,
-    "top_orders": q_top_orders,
-    # --- new in round 3: iterative propagation family (SURVEY 2.17)
-    "fill": q_fill,
-    "flow_direction": q_flow_direction,
-    "flow_accumulation": q_flow_accumulation,
-    "cost_distance": q_cost_distance,
-    "viewshed": q_viewshed,
-    "euclidean_distance": q_euclidean_distance,
-    "cost_paths": q_cost_paths,
-    "approx_viewshed": q_approx_viewshed,
-    "reproject_utm": q_reproject_utm,
-    "reproject_datum": q_reproject_datum,
-    "line_length": q_line_length,
-    "polygon_overlay": q_polygon_overlay,
-    "polygon_buffer": q_polygon_buffer,
-    "streaming_counts": q_streaming_counts,
-    "relate_counts": q_relate_counts,
-    "ann_ivf": q_ann_ivf,
-    "split_sum": q_split_sum,
-    "region_group": q_region_group,
-    # code changed in round 3 (localCheckpoint label loop) — keep inside
-    # the driver's sweep cap
-    "vectorize": q_vectorize,
-    # --- core raster/vector/join inventory (hash-green r02)
-    "tile_assign": q_tile_assign,
-    "zorder_topk": q_zorder_topk,
-    "extent_query": q_extent_query,
-    "spatial_join": q_spatial_join,
-    "pip_join": q_pip_join,
-    "knn": q_knn,
-    "temporal_daily": q_temporal_daily,
-    "rasterize_count": q_rasterize_count,
-    "local_add": q_local_add,
-    "focal_sum": q_focal_sum,
-    "focal_median": q_focal_median,
-    "focal_max": q_focal_max,
-    "hist_exact": q_hist_exact,
-    "pyramid_sum": q_pyramid_sum,
-    "idw": q_idw,
-    "morans_local": q_morans_local,
-    "morans_global": q_morans_global,
-    "zorder3_topk": q_zorder3_topk,
-    "temporal_mean": q_temporal_mean,
-    "temporal_max": q_temporal_max,
-    "conway": q_conway,
-    "sketch_quantiles": q_sketch_quantiles,
-    "reclassify": q_reclassify,
-    "pyramid_max": q_pyramid_max,
-    "reproject_wm": q_reproject_wm,
+    # --- unchecked in r03 (driver cap recorded the first 50 of 79) —
+    # these 31 go first so every registry entry has a driver row in r03∪r04
+    "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
+    "line_length": q_line_length,  # new in round 4 (LineString IO)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -3505,6 +3452,61 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
+    # --- code changed in round 4 (frontier-filtered propagation loops,
+    # multiband focal/reproject, datum-aware transform, line geometry) —
+    # keep inside the sweep cap so the driver re-verifies at HEAD
+    "fill": q_fill,
+    "flow_direction": q_flow_direction,
+    "flow_accumulation": q_flow_accumulation,
+    "cost_distance": q_cost_distance,
+    "viewshed": q_viewshed,
+    "euclidean_distance": q_euclidean_distance,
+    "cost_paths": q_cost_paths,
+    "approx_viewshed": q_approx_viewshed,
+    "reproject_utm": q_reproject_utm,
+    "reproject_wm": q_reproject_wm,
+    "focal_sum": q_focal_sum,
+    "focal_median": q_focal_median,
+    "focal_max": q_focal_max,
+    "conway": q_conway,
+    "morans_local": q_morans_local,
+    "morans_global": q_morans_global,
+    "relate_counts": q_relate_counts,
+    "polygon_overlay": q_polygon_overlay,
+    "polygon_buffer": q_polygon_buffer,
+    # --- hash-green in r03 on unchanged code — rotate to the tail where
+    # the cap can only drop already-verified entries
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "streaming_counts": q_streaming_counts,
+    "ann_ivf": q_ann_ivf,
+    "split_sum": q_split_sum,
+    "region_group": q_region_group,
+    "vectorize": q_vectorize,
+    "tile_assign": q_tile_assign,
+    "zorder_topk": q_zorder_topk,
+    "extent_query": q_extent_query,
+    "spatial_join": q_spatial_join,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "temporal_daily": q_temporal_daily,
+    "rasterize_count": q_rasterize_count,
+    "local_add": q_local_add,
+    "hist_exact": q_hist_exact,
+    "pyramid_sum": q_pyramid_sum,
+    "idw": q_idw,
+    "zorder3_topk": q_zorder3_topk,
+    "temporal_mean": q_temporal_mean,
+    "temporal_max": q_temporal_max,
+    "sketch_quantiles": q_sketch_quantiles,
+    "reclassify": q_reclassify,
+    "pyramid_max": q_pyramid_max,
 }
 
 ORACLES = {
