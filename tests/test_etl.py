@@ -1,0 +1,216 @@
+"""Config-driven ETL (reference spark-etl: Etl.scala:54-76 lifecycle,
+config/Input.scala + config/Output.scala descriptors, EtlConf CLI shape).
+The declarative path must produce byte-identical layers to the imperative
+library calls it composes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tilegrid import codec, fixtures
+from tilegrid.cell import hilbert_encode, z2_encode
+from tilegrid.etl import EtlConf, EtlConfigError, run_etl
+from tilegrid.geotiff import tiff_encode
+from tilegrid.grid import Extent, LATLNG_WORLD, LayoutDefinition, TileLayout
+from tilegrid.operators.tiler import tile_to_layout, with_extent_from_center
+from tilegrid.sources.layer_io import read_layer
+
+
+def _out(tmp, **kw):
+    d = {"backend": {"type": "file", "path": os.path.join(tmp, "layers")},
+         "maxZoom": 3, "minZoom": 2}
+    d.update(kw)
+    return d
+
+
+def _inp(tmp, name="images", fmt="parquet", **kw):
+    d = {"name": name, "format": fmt,
+         "backend": {"type": "file", "path": os.path.join(tmp, "corpus")}}
+    d.update(kw)
+    return d
+
+
+class TestConfParse:
+    def test_bad_backend_type(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="backend.type"):
+            EtlConf.from_dicts(
+                [{"name": "x", "format": "parquet",
+                  "backend": {"type": "accumulo", "path": "t"}}], _out(tmp))
+
+    def test_bad_format(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="format"):
+            EtlConf.from_dicts([_inp(tmp, fmt="shapefile")], _out(tmp))
+
+    def test_missing_max_zoom(self, tmp_path):
+        tmp = str(tmp_path)
+        out = _out(tmp)
+        del out["maxZoom"]
+        with pytest.raises(EtlConfigError, match="maxZoom"):
+            EtlConf.from_dicts([_inp(tmp)], out)
+
+    def test_duplicate_names(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="duplicate"):
+            EtlConf.from_dicts([_inp(tmp), _inp(tmp)], _out(tmp))
+
+    def test_bad_key_index(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="keyIndexMethod"):
+            EtlConf.from_dicts(
+                [_inp(tmp)], _out(tmp, keyIndexMethod={"type": "geohash"}))
+
+    def test_custom_crs_needs_extent(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="layoutExtent"):
+            EtlConf.from_dicts([_inp(tmp)], _out(tmp, crs="epsg:32632"))
+
+    def test_from_files(self, tmp_path):
+        tmp = str(tmp_path)
+        ip, op = tmp_path / "in.json", tmp_path / "out.json"
+        ip.write_text(json.dumps([_inp(tmp)]))
+        op.write_text(json.dumps(_out(tmp, keyIndexMethod={"type": "hilbert"},
+                                      resampleMethod="max")))
+        conf = EtlConf.from_files(str(ip), str(op))
+        assert conf.inputs[0].name == "images"
+        assert conf.output.key_index == "hilbert"
+        assert conf.output.resample_method == "max"
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "corpus")
+    spark.createDataFrame(fixtures.images_table(12)).write.parquet(path)
+    return str(tmp_path)
+
+
+class TestParquetIngest:
+    def test_lifecycle_matches_library_calls(self, spark, corpus):
+        tmp = corpus
+        conf = EtlConf.from_dicts([_inp(tmp)], _out(tmp))
+        metrics = run_etl(spark, conf)
+        levels = metrics["inputs"]["images"]
+        assert set(levels) == {3, 2}
+        root = os.path.join(tmp, "layers")
+
+        # declarative == imperative at the base level, bit-identical
+        lo = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 256, 256))
+        imgs = spark.read.parquet(os.path.join(tmp, "corpus")) \
+            .withColumnRenamed("bytes", "tile")
+        direct = tile_to_layout(
+            with_extent_from_center(imgs, lo, "lon", "lat"), lo, 3).toPandas()
+        stored = read_layer(spark, root, "images", 3).toPandas()
+        assert levels[3]["tiles"] == len(direct) == len(stored)
+        key = ["zoom", "col", "row"]
+        d = direct.sort_values(key).reset_index(drop=True)
+        s = stored.sort_values(key).reset_index(drop=True)
+        for a, b in zip(d.itertuples(), s.itertuples()):
+            np.testing.assert_array_equal(
+                codec.decode_tile(bytes(a.tile), a.fmt),
+                codec.decode_tile(bytes(b.tile), b.fmt))
+
+        # pyramid level exists and is a quarter the key volume or less
+        up = read_layer(spark, root, "images", 2).toPandas()
+        assert 0 < len(up) <= len(stored)
+
+    def test_resume_skips_done_levels(self, spark, corpus):
+        tmp = corpus
+        conf = EtlConf.from_dicts([_inp(tmp)], _out(tmp, resume=True))
+        run_etl(spark, conf)
+        again = run_etl(spark, conf)
+        assert all(lvl == {"skipped": True}
+                   for lvl in again["inputs"]["images"].values())
+
+    def test_clip_drops_outside_sources(self, spark, corpus):
+        tmp = corpus
+        imgs = fixtures.images_table(12)
+        lon0, lat0 = imgs["lon"][0], imgs["lat"][0]
+        clip = [lon0 - 1.0, lat0 - 1.0, lon0 + 1.0, lat0 + 1.0]
+        conf = EtlConf.from_dicts(
+            [_inp(tmp, name="clipped", clip=clip)], _out(tmp, pyramid=False))
+        run_etl(spark, conf)
+        full = EtlConf.from_dicts([_inp(tmp)], _out(tmp, pyramid=False))
+        run_etl(spark, full)
+        root = os.path.join(tmp, "layers")
+        n_clip = read_layer(spark, root, "clipped", 3).count()
+        n_full = read_layer(spark, root, "images", 3).count()
+        assert 0 < n_clip < n_full
+
+    def test_hilbert_key_index(self, spark, corpus):
+        tmp = corpus
+        conf = EtlConf.from_dicts(
+            [_inp(tmp)],
+            _out(tmp, keyIndexMethod={"type": "hilbert"}, pyramid=False))
+        run_etl(spark, conf)
+        pdf = read_layer(
+            spark, os.path.join(tmp, "layers"), "images", 3).toPandas()
+        want = hilbert_encode(pdf["col"].to_numpy(np.int64),
+                              pdf["row"].to_numpy(np.int64), 3)
+        np.testing.assert_array_equal(pdf["cell"].to_numpy(np.int64), want)
+
+    def test_multi_input_one_config(self, spark, corpus):
+        tmp = corpus
+        conf = EtlConf.from_dicts(
+            [_inp(tmp, name="a"), _inp(tmp, name="b", cache=True)],
+            _out(tmp, pyramid=False))
+        m = run_etl(spark, conf)
+        assert set(m["inputs"]) == {"a", "b"}
+        root = os.path.join(tmp, "layers")
+        assert (read_layer(spark, root, "a", 3).count()
+                == read_layer(spark, root, "b", 3).count() > 0)
+
+
+class TestGeoTiffIngest:
+    def test_directory_scan_georeferenced(self, spark, tmp_path):
+        tmp = str(tmp_path)
+        tifs = os.path.join(tmp, "tifs")
+        os.makedirs(tifs)
+        # two 64x64 float rasters on known extents; -9999 sentinel NoData
+        lo = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 256, 256))
+        cw, ch = lo.cell_width, lo.cell_height
+        exts = [Extent(0.0, 0.0, 64 * cw, 64 * ch),
+                Extent(90.0, -40.0, 90.0 + 64 * cw, -40.0 + 64 * ch)]
+        arrs = []
+        for i, ext in enumerate(exts):
+            gy, gx = np.mgrid[0:64, 0:64]
+            a = (gx + gy * 64.0 + i * 10000.0).astype(np.float64)
+            a[0, :4] = -9999.0
+            arrs.append(a)
+            with open(os.path.join(tifs, f"s{i}.tif"), "wb") as f:
+                f.write(tiff_encode(a, extent=ext))
+        conf = EtlConf.from_dicts(
+            [{"name": "dem", "format": "geotiff",
+              "backend": {"type": "file", "path": tifs},
+              "noData": -9999.0}],
+            _out(tmp, pyramid=False))
+        m = run_etl(spark, conf)
+        assert m["inputs"]["dem"][3]["tiles"] > 0
+        pdf = read_layer(
+            spark, os.path.join(tmp, "layers"), "dem", 3).toPandas()
+        # every source pixel lands: recoverable sum == sum of finite input
+        total = 0.0
+        for t, f in zip(pdf["tile"], pdf["fmt"]):
+            arr = codec.decode_tile(bytes(t), f)
+            total += np.nansum(arr)
+        want = sum(a[a != -9999.0].sum() for a in arrs)
+        assert total == pytest.approx(want)
+        # sentinel became NaN NoData, not a burned value
+        assert not any(
+            (codec.decode_tile(bytes(t), f) == -9999.0).any()
+            for t, f in zip(pdf["tile"], pdf["fmt"]))
+
+    def test_unreferenced_tiff_raises(self, spark, tmp_path):
+        tmp = str(tmp_path)
+        tifs = os.path.join(tmp, "tifs")
+        os.makedirs(tifs)
+        with open(os.path.join(tifs, "bare.tif"), "wb") as f:
+            f.write(tiff_encode(np.zeros((8, 8))))  # no geo tags
+        conf = EtlConf.from_dicts(
+            [{"name": "dem", "format": "geotiff",
+              "backend": {"type": "file", "path": tifs}}],
+            _out(tmp, pyramid=False))
+        with pytest.raises(Exception, match="georeference"):
+            run_etl(spark, conf)
