@@ -1265,6 +1265,86 @@ FROM j WHERE ca + cb > 0 AND ca <> cb
 """
 
 
+_PIXEL_BAND_SCHEMA = (
+    "zoom int, col int, row int, px int, py int, band int, val double"
+)
+
+
+def _layer_pixels_bands(layer: DataFrame) -> DataFrame:
+    """_layer_pixels for (h, w, bands) tiles: one row per (pixel, band),
+    zero/NaN pixels dropped per band (same convention as _layer_pixels)."""
+
+    def run(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                for band in range(arr.shape[2]):
+                    a = arr[:, :, band]
+                    m = ~np.isnan(a) & (a != 0.0)
+                    yy, xx = np.nonzero(m)
+                    if len(yy) == 0:
+                        continue
+                    outs.append(pd.DataFrame({
+                        "zoom": np.full(len(yy), t.zoom, np.int32),
+                        "col": np.full(len(yy), t.col, np.int32),
+                        "row": np.full(len(yy), t.row, np.int32),
+                        "px": xx.astype(np.int32),
+                        "py": yy.astype(np.int32),
+                        "band": np.full(len(yy), band, np.int32),
+                        "val": a[yy, xx],
+                    }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return layer.mapInPandas(run, _PIXEL_BAND_SCHEMA)
+
+
+def q_focal_mean_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3x3 mean over a real (h, w, 3) multiband layer through the
+    round-4 band-axis stencil path (MultibandTileLayerRDDMethods focal
+    semantics: each band an independent window pass over ONE buffered
+    stack). Integer count sums keep the division deterministic, exactly
+    like the single-band focal_mean query."""
+    from .operators.focal import focal_mean
+
+    return _layer_pixels_bands(focal_mean(_rgb_stack(spark, sf_dir), size=1))
+
+
+def _o_focal_mean_multiband() -> str:
+    cr = _o_pixel_counts("event_type = 'click'", "_r")
+    cg = _o_pixel_counts("event_type = 'error'", "_g")
+    cb = _o_pixel_counts("event_type = 'view'", "_b")
+    dense = "\n".join(
+        f"d{s} AS (SELECT g.gx, g.gy, COALESCE(pc{s}.cnt, 0.0) AS cnt FROM g "
+        f"LEFT JOIN pc{s} ON pc{s}.col * 32 + pc{s}.px = g.gx "
+        f"AND pc{s}.row * 32 + pc{s}.py = g.gy),"
+        for s in ("_r", "_g", "_b")
+    ).rstrip(",")
+    per_band = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS band, CAST(3 AS INT) AS zoom, "
+        f"CAST(a.gx // 32 AS INT) AS col, CAST(a.gy // 32 AS INT) AS row, "
+        f"CAST(a.gx % 32 AS INT) AS px, CAST(a.gy % 32 AS INT) AS py, "
+        f"sum(b.cnt) / count(*) AS val "
+        f"FROM d{s} a JOIN d{s} b "
+        f"ON b.gx BETWEEN a.gx - 1 AND a.gx + 1 "
+        f"AND b.gy BETWEEN a.gy - 1 AND a.gy + 1 "
+        f"GROUP BY a.gx, a.gy HAVING sum(b.cnt) > 0"
+        for i, s in enumerate(("_r", "_g", "_b"))
+    )
+    return f"""
+WITH {cr},
+{cg},
+{cb},
+g AS (
+  SELECT CAST(gx.range AS INT) AS gx, CAST(gy.range AS INT) AS gy
+  FROM range(0, 256) gx, range(0, 256) gy
+),
+{dense}
+{per_band}
+"""
+
+
 def q_zonal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal histogram (Zonal.scala:45-55): value layer x zone layer ->
     (zone, value, n_px)."""
@@ -3423,6 +3503,7 @@ QUERIES = {
     # these 31 go first so every registry entry has a driver row in r03∪r04
     "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
     "line_length": q_line_length,  # new in round 4 (LineString IO)
+    "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -3560,6 +3641,7 @@ ORACLES = {
     "histogram": _o_histogram(),
     "raster_points": _o_raster_points(),
     "focal_mean": _o_focal_mean(),
+    "focal_mean_multiband": _o_focal_mean_multiband(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
