@@ -118,3 +118,78 @@ class TestStreaming:
         stream_like = spark.createDataFrame(pdf)
         agg = streaming_cell_counts(stream_like, LAYOUT, ZOOM, x="lon", y="lat")
         assert "window_start" in agg.columns and "n_events" in agg.columns
+
+
+def _sessions_pd(pdf: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    """Hand gaps-and-islands oracle for sessionize."""
+    rows = []
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        ts = list(g["ts"])
+        vals = list(g["value"])
+        start, n, s = ts[0], 1, vals[0]
+        last = ts[0]
+        for t, v in zip(ts[1:], vals[1:]):
+            if (t - last).total_seconds() > gap_s:
+                rows.append((uid, start, last + pd.Timedelta(seconds=gap_s), n, s))
+                start, n, s = t, 0, 0.0
+            n += 1
+            s += v
+            last = t
+        rows.append((uid, start, last + pd.Timedelta(seconds=gap_s), n, s))
+    return pd.DataFrame(
+        rows, columns=["user_id", "session_start", "session_end",
+                       "n_events", "sum_value"])
+
+
+class TestSessionize:
+    GAP = "5 minutes"
+    KEY = ["user_id", "session_start"]
+
+    def _pdf(self):
+        pdf = _events_pdf(700)
+        i = np.arange(len(pdf))
+        # bursts of 100 events 40s apart, separated by 2h quiet gaps:
+        # per user (every 7th event -> 280s spacing < the 5-minute gap)
+        # each burst is one session, each quiet gap a session break
+        pdf["ts"] = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+            (i % 100) * 40 + (i // 100) * 7200, unit="s")
+        pdf["user_id"] = (i % 7).astype("int64")
+        return pdf
+
+    def test_batch_matches_islands_oracle(self, spark):
+        from tilegrid.streaming import sessionize
+
+        pdf = self._pdf()
+        got = sessionize(
+            spark.createDataFrame(pdf), gap=self.GAP, value_col="value",
+        ).toPandas().sort_values(self.KEY).reset_index(drop=True)
+        want = _sessions_pd(pdf, 300.0).sort_values(
+            self.KEY).reset_index(drop=True)
+        assert len(got) == len(want) > len(pdf["user_id"].unique())
+        pd.testing.assert_frame_equal(
+            got[self.KEY + ["session_end", "n_events"]],
+            want[self.KEY + ["session_end", "n_events"]])
+        np.testing.assert_allclose(got["sum_value"], want["sum_value"])
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from tilegrid.streaming import sessionize
+
+        pdf = self._pdf()
+        src = str(tmp_path / "sess_src")
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = sessionize(stream, gap=self.GAP, value_col="value",
+                          watermark="0 seconds")
+        q = (sess.writeStream.format("memory").queryName("sessions")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sessions").toPandas() \
+            .sort_values(self.KEY).reset_index(drop=True)
+        batch = sessionize(
+            spark.createDataFrame(pdf), gap=self.GAP, value_col="value",
+        ).toPandas().sort_values(self.KEY).reset_index(drop=True)
+        assert len(got) == len(batch) > 0
+        pd.testing.assert_frame_equal(
+            got[self.KEY + ["session_end", "n_events"]],
+            batch[self.KEY + ["session_end", "n_events"]])

@@ -3421,6 +3421,57 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_H = 8
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands) via the built-in session_window:
+    per user, a session is a maximal event run with gaps <= 8h. The same
+    streaming.sessionize call runs unchanged on a readStream source
+    (asserted stream == batch in tests/test_streaming.py); this contract
+    entry replays it in batch so the driver's gate sees the deterministic
+    form. Timestamps emit as epoch micros for an exact hash."""
+    from .streaming import sessionize
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s = sessionize(ev, gap=f"{_SESSION_GAP_H} hours", key_cols=("user_id",),
+                   value_col="value")
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start"),
+        F.unix_micros("session_end").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def _o_sessionize() -> str:
+    g = _SESSION_GAP_H
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL {g} HOUR
+         THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start,
+       epoch_us(max(ts) + INTERVAL {g} HOUR) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ------------------------------------------------------------- DE-9IM
 
 # integer-bound rectangles: the event grid is k/10-180 x m/10-85, so points
@@ -3504,6 +3555,7 @@ QUERIES = {
     "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
     "line_length": q_line_length,  # new in round 4 (LineString IO)
     "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
+    "sessionize": q_sessionize,  # new in round 4 (session_window)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -3642,6 +3694,7 @@ ORACLES = {
     "raster_points": _o_raster_points(),
     "focal_mean": _o_focal_mean(),
     "focal_mean_multiband": _o_focal_mean_multiband(),
+    "sessionize": _o_sessionize(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),

@@ -8,6 +8,7 @@ to a readStream source, with event-time windows + watermarks for late data.
 Everything is built-in Spark streaming machinery — no custom state store:
   streaming_cell_counts   per-(cell, event-time window) counts/sums
   streaming_keyed         just add zoom/col/row/cell columns to a stream
+  sessionize              session_window gaps-and-islands (batch + stream)
 Both return streaming DataFrames; callers pick the sink (memory for tests,
 parquet/kafka in production) and trigger.
 """
@@ -58,6 +59,38 @@ def streaming_cell_counts(
         "zoom", "col", "row", "cell",
         F.col("_w.start").alias("window_start"),
         F.col("_w.end").alias("window_end"),
+        *(["n_events"] + (["sum_value"] if value_col else [])),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    value_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gaps-and-islands sessionization via the built-in session_window —
+    a session is a maximal run of events per key whose inter-event gap is
+    <= `gap`; session_end = last event + gap (Spark's session_window
+    convention). Works on BATCH and STREAMING inputs identically: the
+    whole aggregation is JVM-side (no state UDF), and on a stream the
+    watermark bounds the session store so open sessions for dead keys
+    age out instead of accumulating. Output: key cols, session_start,
+    session_end, n_events [, sum_value]."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    out = df.groupBy(
+        *key_cols, F.session_window(ts_col, gap).alias("_w")
+    ).agg(*aggs)
+    return out.select(
+        *key_cols,
+        F.col("_w.start").alias("session_start"),
+        F.col("_w.end").alias("session_end"),
         *(["n_events"] + (["sum_value"] if value_col else [])),
     )
 
