@@ -214,3 +214,59 @@ class TestGeoTiffIngest:
             _out(tmp, pyramid=False))
         with pytest.raises(Exception, match="georeference"):
             run_etl(spark, conf)
+
+
+class TestRenderOutput:
+    """SpatialRenderOutput parity: backend 'render' writes z/x/y trees."""
+
+    def _conf(self, tmp, **out_kw):
+        out = _out(tmp, pyramid=False, **out_kw)
+        out["backend"] = {"type": "render", "path": os.path.join(tmp, "tiles")}
+        return EtlConf.from_dicts([_inp(tmp)], out)
+
+    def test_png_tree(self, spark, corpus):
+        tmp = corpus
+        run_etl(spark, self._conf(tmp, breaks="10:ff0000ff;1000:00ff00ff"))
+        base = os.path.join(tmp, "tiles", "images", "3")
+        cols = os.listdir(base)
+        assert cols
+        p = os.path.join(base, cols[0])
+        tile = os.path.join(p, os.listdir(p)[0])
+        assert tile.endswith(".png")
+        arr = codec.decode_tile(open(tile, "rb").read(), "png")
+        assert arr.shape == (256, 256, 4)  # RGBA via the colormap
+        rgb = {tuple(v) for v in arr[arr[:, :, 3] == 255][:, :3]}
+        assert rgb <= {(255, 0, 0), (0, 255, 0)}
+
+    def test_geotiff_tree_georeferenced(self, spark, corpus):
+        from tilegrid.geotiff import tiff_decode
+
+        tmp = corpus
+        run_etl(spark, self._conf(tmp, encoding="geotiff"))
+        lo = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 256, 256))
+        base = os.path.join(tmp, "tiles", "images", "3")
+        checked = 0
+        for col in os.listdir(base):
+            for f in os.listdir(os.path.join(base, col)):
+                row = int(f.split(".")[0])
+                arr, ext = tiff_decode(
+                    open(os.path.join(base, col, f), "rb").read())
+                assert arr.shape == (256, 256)
+                cw = lo.extent.width / 8
+                ch = lo.extent.height / 8
+                assert ext.xmin == pytest.approx(lo.extent.xmin + int(col) * cw)
+                assert ext.ymax == pytest.approx(lo.extent.ymax - row * ch)
+                checked += 1
+        assert checked > 0
+
+    def test_bad_breaks_blob(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="expected"):
+            self._conf(tmp, breaks="nonsense")
+
+    def test_render_input_backend_rejected(self, tmp_path):
+        tmp = str(tmp_path)
+        with pytest.raises(EtlConfigError, match="backend.type"):
+            EtlConf.from_dicts(
+                [{"name": "x", "format": "parquet",
+                  "backend": {"type": "render", "path": "t"}}], _out(tmp))

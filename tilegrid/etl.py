@@ -52,27 +52,48 @@ from .grid import (
 )
 from .meta import LayerMeta
 
-_BACKENDS = ("file",)
+_BACKENDS = ("file", "render")
 _FORMATS = ("parquet", "geotiff", "layer")
 _KEY_INDEXES = ("zorder", "hilbert", "rowmajor")
 _RESAMPLES = ("average", "max", "min", "sum", "median", "mode")
+_ENCODINGS = ("png", "geotiff")
+
+
+def parse_color_map(blob: str):
+    """SpatialRenderOutput.parseColorMaps parity: ``"BREAK:RRGGBBAA;..."``
+    -> ColorMap. The alpha byte is accepted but NoData transparency is
+    what drives the output alpha channel (ColorMap.apply semantics)."""
+    from .sources.render import ColorMap
+
+    try:
+        pairs = [p.strip().split(":") for p in blob.split(";") if p.strip()]
+        breaks = [float(p[0]) for p in pairs]
+        colors = [
+            (int(p[1][0:2], 16), int(p[1][2:4], 16), int(p[1][4:6], 16))
+            for p in pairs
+        ]
+    except (IndexError, ValueError) as e:
+        raise EtlConfigError(
+            f"unable to parse breaks, expected '{{limit}}:{{RGBA}};...' "
+            f"got: {blob!r}") from e
+    return ColorMap(breaks, colors)
 
 
 class EtlConfigError(ValueError):
     """Bad descriptor — message names the field and the allowed values."""
 
 
-def _backend_path(d: dict, ctx: str) -> str:
+def _backend(d: dict, ctx: str, allowed: tuple = _BACKENDS) -> tuple[str, str]:
     b = d.get("backend")
     if not isinstance(b, dict) or "type" not in b or "path" not in b:
         raise EtlConfigError(
             f"{ctx}.backend must be {{'type': ..., 'path': ...}}, got {b!r}")
-    if b["type"] not in _BACKENDS:
+    if b["type"] not in allowed:
         raise EtlConfigError(
             f"{ctx}.backend.type {b['type']!r} unsupported; this engine "
-            f"implements {_BACKENDS} (a 'file' path may be local, hdfs:// "
+            f"implements {allowed} (a 'file' path may be local, hdfs:// "
             f"or s3a:// — the store resolves through Hadoop FileSystem)")
-    return str(b["path"])
+    return str(b["type"]), str(b["path"])
 
 
 @dataclass
@@ -99,7 +120,7 @@ class EtlInput:
         return cls(
             name=str(d["name"]),
             format=fmt,
-            path=_backend_path(d, f"input[{d['name']}]"),
+            path=_backend(d, f"input[{d['name']}]", allowed=("file",))[1],
             crs=str(d.get("crs", "latlng")),
             clip=Extent(*(float(v) for v in clip)) if clip else None,
             no_data=None if d.get("noData") is None else float(d["noData"]),
@@ -114,6 +135,7 @@ class EtlOutput:
     path: str
     max_zoom: int
     min_zoom: int
+    backend: str = "file"
     tile_size: int = 256
     pyramid: bool = True
     crs: str = "latlng"
@@ -123,6 +145,8 @@ class EtlOutput:
     partitions: int | None = None
     multiband: bool = False
     resume: bool = False
+    encoding: str = "png"  # render backend only (Output.encoding)
+    breaks: str | None = None  # render colormap blob (Output.breaks)
 
     @classmethod
     def from_dict(cls, d: dict) -> "EtlOutput":
@@ -139,9 +163,17 @@ class EtlOutput:
             raise EtlConfigError(
                 f"output.resampleMethod {rm!r} unsupported; one of "
                 f"{_RESAMPLES}")
+        enc = str(d.get("encoding", "png"))
+        if enc not in _ENCODINGS:
+            raise EtlConfigError(
+                f"output.encoding {enc!r} unsupported; one of {_ENCODINGS}")
+        if d.get("breaks"):
+            parse_color_map(str(d["breaks"]))  # fail fast on a bad blob
         le = d.get("layoutExtent")
+        btype, path = _backend(d, "output")
         return cls(
-            path=_backend_path(d, "output"),
+            path=path,
+            backend=btype,
             max_zoom=int(d["maxZoom"]),
             min_zoom=int(d.get("minZoom", d["maxZoom"])),
             tile_size=int(d.get("tileSize", 256)),
@@ -154,6 +186,8 @@ class EtlOutput:
             else int(d["partitions"]),
             multiband=bool(d.get("multiband", False)),
             resume=bool(d.get("resume", False)),
+            encoding=str(d.get("encoding", "png")),
+            breaks=str(d["breaks"]) if d.get("breaks") else None,
         )
 
     def layout(self, zoom: int) -> LayoutDefinition:
@@ -370,6 +404,39 @@ def _no_data_to_nan(layer: DataFrame, value: float) -> DataFrame:
     return layer.mapInPandas(run, LAYER_SCHEMA)
 
 
+def _render_level(layer: DataFrame, out: EtlOutput, name: str,
+                  zoom: int) -> None:
+    """SpatialRenderOutput parity: the 'render' backend writes a z/x/y
+    tile tree instead of a layer store — PNG (optional BREAK:COLOR
+    colormap) or per-tile georeferenced GeoTiff (Output.encoding)."""
+    base = os.path.join(out.path, name)
+    if out.encoding == "png":
+        from .sources.render import render_png, write_slippy
+
+        cm = parse_color_map(out.breaks) if out.breaks else None
+        write_slippy(render_png(layer, cm), base)
+        return
+    lo = out.layout(zoom)
+    cw = lo.extent.width / lo.tile_layout.layout_cols
+    ch = lo.extent.height / lo.tile_layout.layout_rows
+    x0, y1 = lo.extent.xmin, lo.extent.ymax
+
+    def write_part(rows):
+        from .geotiff import tiff_encode
+
+        for r in rows:
+            arr = codec.decode_tile(bytes(r["tile"]), r["fmt"]).astype(
+                np.float64)
+            ext = Extent(x0 + r["col"] * cw, y1 - (r["row"] + 1) * ch,
+                         x0 + (r["col"] + 1) * cw, y1 - r["row"] * ch)
+            d = os.path.join(base, str(r["zoom"]), str(r["col"]))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r['row']}.tif"), "wb") as f:
+                f.write(tiff_encode(arr, extent=ext))
+
+    layer.foreachPartition(write_part)
+
+
 def run_etl(spark: SparkSession, conf: EtlConf) -> dict:
     """Etl.ingest over every input: load -> clip -> tile -> write ->
     pyramid (Etl.scala:54-76). Returns per-input/per-level metrics.
@@ -389,7 +456,8 @@ def run_etl(spark: SparkSession, conf: EtlConf) -> dict:
     metrics: dict = {"inputs": {}, "started_at": time.time()}
 
     def done(name: str, z: int) -> bool:
-        return out.resume and fsutil.exists(
+        # render trees carry no store/checkpoints: no resume there
+        return out.backend == "file" and out.resume and fsutil.exists(
             os.path.join(out.path, "_checkpoints", name, f"zoom={z}.done"))
 
     for inp in conf.inputs:
@@ -408,17 +476,20 @@ def run_etl(spark: SparkSession, conf: EtlConf) -> dict:
                 layer = _no_data_to_nan(layer, inp.no_data).persist()
             layer = _apply_key_index(layer, out, out.max_zoom)
             n_tiles = layer.count()
-            meta = _meta_for(layer, out, out.max_zoom)
-            b = meta.bounds
-            write_layer(
-                layer, out.path, inp.name, out.max_zoom, meta=meta,
-                target_partitions=out.partitions,
-                # even-volume SFC breaks only follow the zorder curve;
-                # other indexes fall back to sampled range partitioning
-                index_ranges=zranges(b.col_min, b.row_min, b.col_max,
-                                     b.row_max)
-                if out.key_index == "zorder" else None,
-            )
+            if out.backend == "render":
+                _render_level(layer, out, inp.name, out.max_zoom)
+            else:
+                meta = _meta_for(layer, out, out.max_zoom)
+                b = meta.bounds
+                write_layer(
+                    layer, out.path, inp.name, out.max_zoom, meta=meta,
+                    target_partitions=out.partitions,
+                    # even-volume SFC breaks only follow the zorder curve;
+                    # other indexes fall back to sampled range partitioning
+                    index_ranges=zranges(b.col_min, b.row_min, b.col_max,
+                                         b.row_max)
+                    if out.key_index == "zorder" else None,
+                )
             levels[out.max_zoom] = {
                 "tiles": n_tiles, "sec": round(time.time() - t, 2)}
         if not out.pyramid:
@@ -434,9 +505,12 @@ def run_etl(spark: SparkSession, conf: EtlConf) -> dict:
                 pyramid_up(cur, method=out.resample_method), out, z - 1
             ).persist()
             n_tiles = nxt.count()
-            write_layer(nxt, out.path, inp.name, z - 1,
-                        meta=_meta_for(nxt, out, z - 1),
-                        target_partitions=out.partitions)
+            if out.backend == "render":
+                _render_level(nxt, out, inp.name, z - 1)
+            else:
+                write_layer(nxt, out.path, inp.name, z - 1,
+                            meta=_meta_for(nxt, out, z - 1),
+                            target_partitions=out.partitions)
             levels[z - 1] = {"tiles": n_tiles, "sec": round(time.time() - t, 2)}
             cur = nxt
     metrics["total_sec"] = round(time.time() - metrics.pop("started_at"), 2)
