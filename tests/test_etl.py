@@ -270,3 +270,36 @@ class TestRenderOutput:
             EtlConf.from_dicts(
                 [{"name": "x", "format": "parquet",
                   "backend": {"type": "render", "path": "t"}}], _out(tmp))
+
+
+class TestMultibandGeoTiffIngest:
+    def test_rgb_tiff_keeps_bands(self, spark, tmp_path):
+        """MultibandGeoTiffHadoopInput parity: a 3-band GeoTiff ingested
+        with output.multiband=true lands as (h, w, 3) tiles."""
+        tmp = str(tmp_path)
+        tifs = os.path.join(tmp, "tifs")
+        os.makedirs(tifs)
+        lo = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 256, 256))
+        cw, ch = lo.cell_width, lo.cell_height
+        gy, gx = np.mgrid[0:64, 0:64]
+        rgb = np.stack([gx * 1.0, gy * 1.0, (gx + gy) % 7.0],
+                       axis=-1).astype(np.uint8)
+        ext = Extent(10.0, 10.0, 10.0 + 64 * cw, 10.0 + 64 * ch)
+        with open(os.path.join(tifs, "rgb.tif"), "wb") as f:
+            f.write(tiff_encode(rgb, extent=ext))
+        conf = EtlConf.from_dicts(
+            [{"name": "rgb", "format": "geotiff",
+              "backend": {"type": "file", "path": tifs}}],
+            _out(tmp, pyramid=False, multiband=True))
+        run_etl(spark, conf)
+        pdf = read_layer(
+            spark, os.path.join(tmp, "layers"), "rgb", 3).toPandas()
+        assert len(pdf) > 0
+        bands = {codec.decode_tile(bytes(t), f).shape[2]
+                 for t, f in zip(pdf["tile"], pdf["fmt"])}
+        assert bands == {3}
+        # pixel content survives: per-band sums equal the source's
+        total = sum(
+            np.nansum(codec.decode_tile(bytes(t), f), axis=(0, 1))
+            for t, f in zip(pdf["tile"], pdf["fmt"]))
+        np.testing.assert_allclose(total, rgb.astype(np.float64).sum(axis=(0, 1)))
