@@ -129,3 +129,46 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fp_head", F.expr("md5(concat_ws(' ', slice(toks, 1, 8)))"))
         .drop("toks")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (corpus-statistics pipeline op).
+
+    idf = ln(N / df_t) with raw counts (no smoothing — both engines
+    compute the identical expression). Shape at scale: one token explode,
+    two partial-aggregated groupBys ((doc, token) tf and per-token df —
+    map-side combine keeps the shuffle at distinct-key volume), a join
+    against the token-level idf table (small vs the corpus: vocabulary,
+    not tokens — AQE broadcasts it), and a per-doc top-k window. No
+    Python anywhere; ranking uses the ROUNDED score so ties resolve
+    identically on any engine, then token ascending.
+
+    Output: id_col, term, tf (long), score (double, 6dp), rank (int).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    idf = (
+        tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n") / F.col("df_t")).alias("idf"))
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

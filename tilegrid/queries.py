@@ -1886,6 +1886,41 @@ FROM t
 """
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document (corpus statistics: explode ->
+    partial-agg tf/df -> broadcast idf join -> per-doc top-k window;
+    pure Catalyst). Ranking uses the rounded score so ties resolve
+    identically on both engines."""
+    return T.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=5)
+
+
+def _o_tfidf() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+idf AS (
+  SELECT term, ln(CAST(n.n AS DOUBLE) / count(DISTINCT doc_id)) AS idf
+  FROM tf, n GROUP BY term, n.n
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * idf.idf, 6) AS score
+  FROM tf JOIN idf USING (term)
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, rank
+FROM r WHERE rank <= 5
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents")
     return df.select(
@@ -3556,6 +3591,7 @@ QUERIES = {
     "line_length": q_line_length,  # new in round 4 (LineString IO)
     "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
     "sessionize": q_sessionize,  # new in round 4 (session_window)
+    "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -3695,6 +3731,7 @@ ORACLES = {
     "focal_mean": _o_focal_mean(),
     "focal_mean_multiband": _o_focal_mean_multiband(),
     "sessionize": _o_sessionize(),
+    "tfidf": _o_tfidf(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
