@@ -20,6 +20,11 @@ output.json — sink + layout (config/Output.scala):
      "crs": "latlng", "keyIndexMethod": {"type": "zorder"},
      "resampleMethod": "average", "resume": false}
 
+Backend type "render" writes z/x/y tile trees instead of a layer store
+(SpatialRenderOutput): "encoding": "png" (optional "breaks":
+"10:ff0000ff;100:00ff00ff" colormap) or "geotiff" (per-tile
+georeferenced).
+
 Prints one JSON metrics line (per-input, per-level tile counts + timings).
 """
 
