@@ -303,3 +303,62 @@ class TestMultibandGeoTiffIngest:
             np.nansum(codec.decode_tile(bytes(t), f), axis=(0, 1))
             for t, f in zip(pdf["tile"], pdf["fmt"]))
         np.testing.assert_allclose(total, rgb.astype(np.float64).sum(axis=(0, 1)))
+
+
+class TestGeoTiffReprojectIngest:
+    def test_latlng_tiff_into_webmercator_layout(self, spark, tmp_path):
+        """Ingest.scala reproject-before-tile: a latlng GeoTiff ingested
+        into a webmercator output lands on the right webmercator keys
+        with its values intact (constant raster -> constant tiles)."""
+        from tilegrid.grid import WEBMERCATOR_WORLD, lnglat_to_webmercator
+
+        tmp = str(tmp_path)
+        tifs = os.path.join(tmp, "tifs")
+        os.makedirs(tifs)
+        ext = Extent(-20.0, 10.0, 30.0, 45.0)
+        arr = np.full((64, 64), 7.0)
+        with open(os.path.join(tifs, "c.tif"), "wb") as f:
+            f.write(tiff_encode(arr, extent=ext))
+        conf = EtlConf.from_dicts(
+            [{"name": "c", "format": "geotiff", "crs": "latlng",
+              "backend": {"type": "file", "path": tifs}}],
+            _out(tmp, pyramid=False, crs="webmercator"))
+        run_etl(spark, conf)
+        pdf = read_layer(spark, os.path.join(tmp, "layers"), "c", 3).toPandas()
+        assert len(pdf) > 0
+        # values survive the warp: every finite pixel is the constant
+        vals = np.concatenate([
+            codec.decode_tile(bytes(t), f).ravel()
+            for t, f in zip(pdf["tile"], pdf["fmt"])])
+        finite = vals[~np.isnan(vals)]
+        assert len(finite) > 0 and (finite == 7.0).all()
+        # keys match the webmercator footprint of the source extent
+        wx0, wy0 = lnglat_to_webmercator(ext.xmin, ext.ymin)
+        wx1, wy1 = lnglat_to_webmercator(ext.xmax, ext.ymax)
+        tw = WEBMERCATOR_WORLD.width / 8
+        got_cols = set(pdf["col"]);  got_rows = set(pdf["row"])
+        want_cols = set(range(
+            int((wx0 - WEBMERCATOR_WORLD.xmin) // tw),
+            int((wx1 - WEBMERCATOR_WORLD.xmin) // tw) + 1))
+        want_rows = set(range(
+            int((WEBMERCATOR_WORLD.ymax - wy1) // tw),
+            int((WEBMERCATOR_WORLD.ymax - wy0) // tw) + 1))
+        assert got_cols == want_cols and got_rows == want_rows
+
+    def test_warp_raster_roundtrip_extent(self):
+        from tilegrid.etl import _warp_raster
+        from tilegrid.grid import lnglat_to_webmercator
+
+        gy, gx = np.mgrid[0:32, 0:32]
+        arr = (gx + gy * 32).astype(np.float64)
+        ext = Extent(0.0, 0.0, 45.0, 45.0)
+        out, dext = _warp_raster(arr, ext, "latlng", "webmercator")
+        assert out.shape == arr.shape
+        wx0, wy0 = lnglat_to_webmercator(0.0, 0.0)
+        wx1, wy1 = lnglat_to_webmercator(45.0, 45.0)
+        assert dext.xmin == pytest.approx(wx0) and dext.xmax == pytest.approx(wx1)
+        assert dext.ymin == pytest.approx(wy0) and dext.ymax == pytest.approx(wy1)
+        fin = out[~np.isnan(out)]
+        assert set(np.unique(fin)) <= set(np.unique(arr))
+        # the gather is NN from inside the source: center pixel survives
+        assert np.isfinite(out[16, 16])

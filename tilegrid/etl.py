@@ -264,17 +264,66 @@ def _load_parquet(spark: SparkSession, inp: EtlInput, out: EtlOutput,
     return placed.select(*_PLACED)
 
 
-def _load_geotiff(spark: SparkSession, inp: EtlInput) -> DataFrame:
+def _same_crs(a: str, b: str) -> bool:
+    alias = {"epsg:3857": "webmercator", "epsg:4326": "latlng"}
+    return alias.get(a, a) == alias.get(b, b)
+
+
+def _warp_raster(arr: np.ndarray, ext: Extent, src_crs: str,
+                 dst_crs: str) -> tuple[np.ndarray, Extent]:
+    """Per-raster reproject (Ingest.scala:62-103 reprojects the loaded
+    RDD[(ProjectedExtent, Tile)] BEFORE tiling): resample one source
+    raster onto a regular dst-CRS grid by NN gather through the inverse
+    transform. Target extent = bbox of the densely-sampled source
+    boundary (handles curved edges); target shape keeps the source pixel
+    count per axis (ReprojectRasterExtent's cell-count preservation)."""
+    from .proj import transform
+
+    h, w = arr.shape[:2]
+    n = 33
+    xs = np.linspace(ext.xmin, ext.xmax, n)
+    ys = np.linspace(ext.ymin, ext.ymax, n)
+    bx = np.concatenate([xs, xs, np.full(n, ext.xmin), np.full(n, ext.xmax)])
+    by = np.concatenate([np.full(n, ext.ymin), np.full(n, ext.ymax), ys, ys])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tx, ty = transform(src_crs, dst_crs, bx, by)
+    m = np.isfinite(tx) & np.isfinite(ty)
+    if not m.any():
+        raise ValueError(
+            f"raster extent {ext} has no finite image in {dst_crs!r}")
+    dext = Extent(float(tx[m].min()), float(ty[m].min()),
+                  float(tx[m].max()), float(ty[m].max()))
+    cw, ch = dext.width / w, dext.height / h
+    gx = dext.xmin + (np.arange(w) + 0.5) * cw
+    gy = dext.ymax - (np.arange(h) + 0.5) * ch
+    gxx, gyy = np.meshgrid(gx, gy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sx, sy = transform(dst_crs, src_crs, gxx.ravel(), gyy.ravel())
+    ix = np.floor((sx - ext.xmin) / (ext.width / w)).astype(np.int64)
+    iy = np.floor((ext.ymax - sy) / (ext.height / h)).astype(np.int64)
+    ok = (np.isfinite(sx) & np.isfinite(sy)
+          & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h))
+    out = np.full((h * w,) + arr.shape[2:], np.nan)
+    out[ok] = arr.astype(np.float64)[iy[ok], ix[ok]]
+    return out.reshape((h, w) + arr.shape[2:]), dext
+
+
+def _load_geotiff(spark: SparkSession, inp: EtlInput,
+                  dst_crs: str) -> DataFrame:
     """Distributed GeoTiff directory scan: binaryFile source + header-only
     georeferencing (HadoopGeoTiffRDD.spatial parity). Files without
     ModelPixelScale/ModelTiepoint tags raise — same contract as the
-    reference, which cannot place an unreferenced tiff either."""
-    from .geotiff import _geo_extent, _open_tiff
+    reference, which cannot place an unreferenced tiff either. When the
+    input CRS differs from the output CRS, each raster is warped here
+    (full decode + NN gather) before tiling; same-CRS inputs stay as raw
+    tiff bytes, decoded only inside the tiler's single mapInPandas pass."""
+    from .geotiff import _geo_extent, _open_tiff, tiff_decode
 
     path = inp.path
     if fsutil.exists(path) and not path.endswith((".tif", ".tiff")):
         path = os.path.join(path, "*.tif*")
     src = spark.read.format("binaryFile").load(path)
+    warp = not _same_crs(inp.crs, dst_crs)
 
     def place(it):
         for pdf in it:
@@ -289,7 +338,13 @@ def _load_geotiff(spark: SparkSession, inp: EtlInput) -> DataFrame:
                     raise EtlConfigError(
                         f"{p}: no ModelPixelScale/ModelTiepoint tags — "
                         "cannot georeference")
-                rows.append((p, data, "tiff", w, h,
+                fmt = "tiff"
+                if warp:
+                    arr, _ = tiff_decode(data)
+                    arr, ext = _warp_raster(arr, ext, inp.crs, dst_crs)
+                    data, fmt = codec.raw_encode(
+                        np.ascontiguousarray(arr)), "raw"
+                rows.append((p, data, fmt, w, h,
                              ext.xmin, ext.ymin, ext.xmax, ext.ymax))
             yield pd.DataFrame(rows, columns=list(_PLACED))
 
@@ -329,7 +384,7 @@ def load_input(spark: SparkSession, inp: EtlInput, out: EtlOutput,
     if inp.format == "parquet":
         placed = _load_parquet(spark, inp, out, layout)
     elif inp.format == "geotiff":
-        placed = _load_geotiff(spark, inp)
+        placed = _load_geotiff(spark, inp, out.crs)
     else:
         placed = _load_layer(spark, inp)
     if inp.clip is not None:
