@@ -359,7 +359,38 @@ def flow_accumulation(
     par = spark.sparkContext.defaultParallelism
     inflow_prev = empty_inflow
     inflow_cur = empty_inflow
-    for _ in range(max_rounds):
+    # Mode decided ONCE up front (same rule + rationale as cost_distance):
+    # the filter can only engage when skipped tiles can exceed ~100 x
+    # parallelism, and n_tiles bounds skipped tiles. Small layers run the
+    # LEGACY loop — re-sweep everything, fingerprint convergence, 2 jobs
+    # per round instead of 3 (no tagged-union changed-flag pass) — which
+    # is result-identical because an unchanged tile reproduces its old
+    # emissions exactly.
+    use_frontier = frontier == "always" or (
+        frontier == "auto" and n_tiles > 100 * par
+    )
+    if not use_frontier:
+        prev = (-1, 0.0)
+        for _ in range(max_rounds):
+            # lineage stays O(1): emissions is checkpointed, the groupBy
+            # on top is recomputed cheaply by each consumer
+            inflow_cur = emissions.groupBy(*cell_key).agg(
+                F.sum("v").alias("v"))
+            agg = inflow_cur.agg(
+                F.count("*").alias("n"), F.sum("v").alias("s")
+            ).collect()[0]
+            cur = (int(agg["n"] or 0), float(agg["s"] or 0.0))
+            if cur == prev:
+                break
+            prev = cur
+            LAST_ACC_FRONTIER_SIZES.append(n_tiles)
+            emissions = (
+                tiles.groupBy(*key)
+                .cogroup(inflow_cur.groupBy(*key))
+                .applyInPandas(sweep(emit_layer=False), _EMIT_SCHEMA)
+                .localCheckpoint()
+            )
+    for _ in range(max_rounds if use_frontier else 0):
         # ONE tagged-union aggregation carries the new inflow totals AND the
         # changed-cell flags; checkpointed (localCheckpoint, not persist —
         # keeps the per-round plan O(1)) because three consumers read it:
@@ -605,25 +636,50 @@ def cost_distance(
         .select("col", "row").distinct().collect()
     }
     frontier_keys = [k for k in frontier_keys if k in existing]
-    # Adaptive frontier rule: filtering a round saves (skipped tiles x
-    # per-tile Dijkstra ~ a few ms) spread over the cluster's parallelism,
-    # and costs nothing extra — but rounds are fixed-latency-bound until
-    # the saving clears that latency, so on SMALL layers solving everything
-    # is just as fast (a non-frontier tile re-emits its old offers, which
-    # are never improvements: output and convergence are identical either
-    # way). Filter when skipped_tiles > ~100 x parallelism (~0.2-0.3 s of
-    # cluster compute); "always"/"never" force the choice (tests use
-    # "always" to pin the frontier path).
+    # Adaptive frontier rule, decided ONCE up front: the filter can only
+    # ever engage when skipped_tiles = existing - frontier can exceed
+    # ~100 x parallelism (~0.2-0.3 s of cluster compute — rounds are
+    # fixed-latency-bound below that), and existing is an upper bound on
+    # skipped tiles. Small layers therefore run the LEGACY loop — last
+    # round's offers as seeds, fingerprint convergence, one lighter
+    # merge job per round (no accumulated-state union) — which is
+    # result-identical: every tile re-solves every round, so last-round
+    # offers ARE the accumulated minima at convergence. Large layers run
+    # the frontier loop: accumulated per-cell min offers + exact per-cell
+    # improvement flags, solving only tiles whose inputs changed.
+    # "always"/"never" force the choice (tests pin "always" for the
+    # wavefront assertions; "never" pins the legacy loop).
     par = spark.sparkContext.defaultParallelism
     LAST_FRONTIER_SIZES.clear()
-    for _ in range(max_rounds):
+    use_frontier = frontier == "always" or (
+        frontier == "auto" and len(existing) > 100 * par
+    )
+    if not use_frontier:
+        offers = acc  # empty
+        prev = (-1, 0.0)
+        for _ in range(max_rounds):
+            LAST_FRONTIER_SIZES.append(len(existing))
+            new_offers = (
+                part_keyed.groupBy(*key)
+                .cogroup(offers.groupBy(*key))
+                .applyInPandas(solve(emit_layer=False), _OFFER_SCHEMA)
+                .groupBy(*cell_key)
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
+            agg = new_offers.agg(
+                F.count("*").alias("n"), F.sum("d").alias("s")
+            ).collect()[0]
+            cur = (int(agg["n"] or 0), float(agg["s"] or 0.0))
+            offers = new_offers
+            if abs(cur[1] - prev[1]) < 1e-9 and cur[0] == prev[0]:
+                break
+            prev = cur
+        acc = offers
+    for _ in range(max_rounds if use_frontier else 0):
         if not frontier_keys:
             break
-        use_filter = frontier == "always" or (
-            frontier == "auto"
-            and len(existing) - len(frontier_keys) > 100 * par
-        )
-        if use_filter:
+        if frontier == "always" or len(existing) - len(frontier_keys) > 100 * par:
             LAST_FRONTIER_SIZES.append(len(frontier_keys))
             active = _frontier_filter(part_keyed, frontier_keys)
             active_acc = _frontier_filter(acc, frontier_keys)
