@@ -113,15 +113,20 @@ class TestFocal:
         h = w = 256
         buf = np.full((h + 2, w + 2), np.nan)
         buf[1:-1, 1:-1] = rng.integers(0, 12, (h, w)).astype(float)
-        _focal_mode_crop(buf, 1, h, w)  # warm
-        t0 = time.time()
-        _focal_mode_crop(buf, 1, h, w)
-        mode_t = time.time() - t0
+        # best-of-3 on both sides: a single run is vulnerable to one bad
+        # scheduler slice when the whole suite saturates the box
+        def best_of(fn, n=3):
+            ts = []
+            fn()  # warm
+            for _ in range(n):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        mode_t = best_of(lambda: _focal_mode_crop(buf, 1, h, w))
         win = np.lib.stride_tricks.sliding_window_view(buf, (3, 3))
-        np.nanmedian(win, axis=(2, 3))  # warm
-        t0 = time.time()
-        np.nanmedian(win, axis=(2, 3))
-        med_t = time.time() - t0
+        med_t = best_of(lambda: np.nanmedian(win, axis=(2, 3)))
         assert mode_t <= 5 * med_t + 0.2, (mode_t, med_t)
 
     def test_convolve(self, spark):

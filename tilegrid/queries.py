@@ -2551,6 +2551,58 @@ FROM px GROUP BY 2, 3
 """
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro tile serialization end-to-end (TileCodecs.scala DoubleArrayTile +
+    KeyValueRecordCodec + AvroEncoder.scala:48-76): encode each partition's
+    count tiles into zlib'd KeyValueRecord blobs via the from-scratch Avro
+    binary codec, decode the blobs back, and aggregate per-tile sums from
+    the DECODED arrays — the SQL oracle reproduces the sums from the pixel
+    counts directly, so any wire-format defect breaks the hash. The codec
+    itself is cross-validated against the JVM org.apache.avro implementation
+    in tests/test_avro.py."""
+    from . import avro as AV
+    from .celltype import FLOAT64
+
+    dense = _count_raster(spark, sf_dir)
+    schema = AV.pairs_schema(FLOAT64)
+
+    def run(it):
+        for pdf in it:
+            out = {"col": [], "row": [], "vsum": [], "npx": []}
+            rows = list(pdf.itertuples(index=False))
+            for i in range(0, len(rows), 16):
+                chunk = rows[i:i + 16]
+                pairs = [
+                    ((int(t.col), int(t.row)),
+                     codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64))
+                    for t in chunk
+                ]
+                blob = AV.encode_tile_pairs(pairs, FLOAT64)
+                for key, arr, _ct in AV.decode_tile_pairs(blob, schema):
+                    data = arr[~np.isnan(arr) & (arr != 0.0)]
+                    out["col"].append(key[0])
+                    out["row"].append(key[1])
+                    out["vsum"].append(int(data.sum()))
+                    out["npx"].append(int(data.size))
+            yield pd.DataFrame(out)
+
+    # the oracle's pc CTE only has tiles with >=1 nonzero pixel; drop the
+    # zero-filled tiles _count_raster unions in
+    return dense.mapInPandas(
+        run, "col int, row int, vsum long, npx long"
+    ).where(F.col("npx") > 0)
+
+
+def _o_avro_roundtrip() -> str:
+    return f"""
+WITH {_o_pixel_counts()}
+SELECT CAST(col AS INT) AS col, CAST(row AS INT) AS row,
+       CAST(sum(cnt) AS BIGINT) AS vsum,
+       CAST(count(*) AS BIGINT) AS npx
+FROM pc GROUP BY 1, 2
+"""
+
+
 def q_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram equalization (RDDHistogramEqualization.scala:44-120):
     global bucket counts -> broadcast CDF -> per-pixel transfer
@@ -3587,6 +3639,7 @@ SELECT zone_id, matrix, COUNT(*) AS n FROM rel GROUP BY zone_id, matrix
 QUERIES = {
     # --- unchecked in r03 (driver cap recorded the first 50 of 79) —
     # these 31 go first so every registry entry has a driver row in r03∪r04
+    "avro_roundtrip": q_avro_roundtrip,  # new in round 4 (Avro tile codec)
     "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
     "line_length": q_line_length,  # new in round 4 (LineString IO)
     "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
@@ -3679,6 +3732,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "avro_roundtrip": _o_avro_roundtrip(),
     "fill": _o_fill(),
     "flow_direction": _o_flow_direction(),
     "flow_accumulation": _o_flow_accumulation(),
