@@ -168,3 +168,146 @@ class TestLineLengthsOp:
         out = line_lengths(spark.createDataFrame(
             pd.DataFrame({"wkb": [G.wkb_encode_geom(ml)]}))).toPandas()
         assert out["length"].iloc[0] == 7.0
+
+
+class TestClipLine:
+    SQUARE = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+
+    def test_through_square(self):
+        line = np.array([[-5.0, 5.0], [15.0, 5.0]])
+        parts = G.clip_line_to_polygon(line, self.SQUARE)
+        assert len(parts) == 1
+        np.testing.assert_allclose(parts[0], [[0.0, 5.0], [10.0, 5.0]])
+
+    def test_fully_inside(self):
+        line = np.array([[1.0, 1.0], [4.0, 7.0], [9.0, 2.0]])
+        parts = G.clip_line_to_polygon(line, self.SQUARE)
+        assert len(parts) == 1
+        np.testing.assert_array_equal(parts[0], line)
+
+    def test_fully_outside(self):
+        line = np.array([[20.0, 20.0], [30.0, 25.0]])
+        assert G.clip_line_to_polygon(line, self.SQUARE) == []
+
+    def test_zigzag_multiple_parts(self):
+        # crosses in, out, in, out -> 2 parts
+        line = np.array([[-5.0, 2.0], [5.0, 2.0], [5.0, 15.0], [8.0, 15.0],
+                         [8.0, 5.0], [20.0, 5.0]])
+        parts = G.clip_line_to_polygon(line, self.SQUARE)
+        assert len(parts) == 2
+        total = sum(G.line_length(p) for p in parts)
+        # part 1: x 0->5 at y=2 (5) + y 2->10 at x=5 (8);
+        # part 2: y 10->5 at x=8 (5) + x 8->10 at y=5 (2)
+        assert np.isclose(total, (5 + 8) + (5 + 2))
+
+    def test_hole_splits(self):
+        rings = self.SQUARE + [np.array([[4.0, 4.0], [6.0, 4.0],
+                                         [6.0, 6.0], [4.0, 6.0]])]
+        line = np.array([[-5.0, 5.0], [15.0, 5.0]])
+        parts = G.clip_line_to_polygon(line, rings)
+        assert len(parts) == 2
+        np.testing.assert_allclose(parts[0], [[0.0, 5.0], [4.0, 5.0]])
+        np.testing.assert_allclose(parts[1], [[6.0, 5.0], [10.0, 5.0]])
+
+    def test_vertex_on_continuation_merges(self):
+        # polyline with an interior vertex inside the box stays ONE part
+        line = np.array([[-5.0, 5.0], [5.0, 5.0], [5.0, 8.0], [15.0, 8.0]])
+        parts = G.clip_line_to_polygon(line, self.SQUARE)
+        assert len(parts) == 1
+        np.testing.assert_allclose(
+            parts[0], [[0.0, 5.0], [5.0, 5.0], [5.0, 8.0], [10.0, 8.0]])
+
+    @given(st.lists(st.tuples(st.floats(-20, 30, allow_nan=False),
+                              st.floats(-20, 30, allow_nan=False)),
+                    min_size=2, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_length_matches_slab_method(self, pts):
+        """Clipped total length == closed-form Liang-Barsky slab answer."""
+        line = np.asarray(pts, np.float64)
+        ext = Extent(0.05, 0.15, 10.05, 10.15)
+        parts = G.clip_line_to_extent(line, ext)
+        got = sum(G.line_length(p) for p in parts)
+        want = 0.0
+        for i in range(len(line) - 1):
+            (x1, y1), (x2, y2) = line[i], line[i + 1]
+            dx, dy = x2 - x1, y2 - y1
+            t0, t1 = 0.0, 1.0
+            ok = True
+            for a, d, lo, hi in ((x1, dx, ext.xmin, ext.xmax),
+                                 (y1, dy, ext.ymin, ext.ymax)):
+                if d == 0.0:
+                    if not (lo <= a <= hi):
+                        ok = False
+                    continue
+                ta, tb = (lo - a) / d, (hi - a) / d
+                t0, t1 = max(t0, min(ta, tb)), min(t1, max(ta, tb))
+            if ok and t1 - t0 > 1e-12:
+                want += np.hypot(dx, dy) * (t1 - t0)
+        assert np.isclose(got, want, atol=1e-9)
+
+
+class TestClipLinesOp:
+    def test_spark_matches_local(self, spark):
+        rng = np.random.default_rng(11)
+        rect = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+        rows = []
+        lines = []
+        for i in range(6):
+            ln = rng.uniform(-5, 15, (5, 2))
+            lines.append(ln)
+            rows.append({"line_id": i, "wkb": G.wkb_encode_linestring(ln)})
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        from tilegrid.operators.vector import clip_lines
+        got = {r["line_id"]: (bytes(r["clipped"]), r["n_parts"])
+               for r in clip_lines(df, rect).collect()}
+        for i, ln in enumerate(lines):
+            want = G.clip_line_to_polygon(ln, rect)
+            blob, n = got[i]
+            assert n == len(want)
+            dec = G.wkb_decode(blob)
+            decs = dec.lines if isinstance(dec, G.MultiLine) else [dec]
+            assert len(decs) == len(want)
+            for a, b in zip(decs, want):
+                np.testing.assert_array_equal(a, b)
+
+
+class TestMvtLines:
+    def test_slippy_line_tree(self, spark, tmp_path):
+        from tilegrid.cell import cover_line, z2_decode
+        from tilegrid.grid import LayoutDefinition, TileLayout
+        from tilegrid.mvt import mvt_decode, write_mvt_lines_slippy
+
+        world = Extent(0.0, 0.0, 64.0, 64.0)
+        layout = LayoutDefinition(world, TileLayout(4, 4, 16, 16))
+        l0 = np.array([[2.0, 2.0], [30.0, 40.0], [62.0, 10.0]])
+        l1 = np.array([[50.0, 50.0], [55.0, 60.0]])
+        df = spark.createDataFrame(pd.DataFrame([
+            {"line_id": 0, "wkb": G.wkb_encode_linestring(l0)},
+            {"line_id": 1, "wkb": G.wkb_encode_linestring(l1)},
+        ]))
+        out = str(tmp_path / "mvt-lines")
+        n = write_mvt_lines_slippy(df, layout, 2, out)
+        # the tile set on disk == the supercover of both lines
+        import os
+        want_cells = set(int(c) for c in cover_line(layout, l0)) | set(
+            int(c) for c in cover_line(layout, l1))
+        got = set()
+        for x in os.listdir(os.path.join(out, "2")):
+            for y in os.listdir(os.path.join(out, "2", x)):
+                got.add((int(x), int(y.split(".")[0])))
+        assert got == {tuple(int(v) for v in z2_decode(c)) for c in want_cells}
+        assert n == len(got)
+        # decode one tile and check coordinates lie in the clipped line's
+        # quantization envelope
+        mt = layout.map_transform
+        for (cx, cy) in sorted(got):
+            data = open(os.path.join(out, "2", str(cx), f"{cy}.mvt"), "rb").read()
+            layers = mvt_decode(data)
+            assert layers and layers[0]["name"] == "lines"
+            text = mt.extent_for_key(cx, cy)
+            for feat in layers[0]["features"]:
+                assert feat["type"] == "linestring"
+                for path in feat["rings"]:
+                    # tile-local ints within the 4096 grid (+1 cell slack
+                    # for rounding at the clip boundary)
+                    assert (path >= -1).all() and (path <= 4097).all()

@@ -11,6 +11,7 @@ from tilegrid.cell import z2_encode
 from tilegrid.grid import (
     LATLNG_WORLD,
     WEBMERCATOR_WORLD,
+    Extent,
     LayoutDefinition,
     TileLayout,
 )
@@ -116,3 +117,67 @@ class TestMultibandReproject:
         b1 = band_select(multi, 1).toPandas()
         single = _stitch(focal(_layer(spark, bands[1]), "mean", size=1).toPandas())
         np.testing.assert_array_equal(_stitch(b1), single)
+
+
+class TestMultibandReshape:
+    """crop/mask/merge are band-agnostic (2D boolean masks index the first
+    two axes of an (h, w, b) stack) — assert 3-band == per-band, the
+    reference's multiband crop/mask/merge contract
+    (MultibandTileLayerRDDMethods.scala)."""
+
+    # the fixture layer grid: NT x NT tiles of TS px over a square world
+    LAYOUT = LayoutDefinition(
+        Extent(0.0, 0.0, float(NT * TS), float(NT * TS)),
+        TileLayout(NT, NT, TS, TS),
+    )
+
+    def _collect(self, df):
+        out = {}
+        for r in df.collect():
+            out[(r["col"], r["row"])] = codec.decode_tile(
+                bytes(r["tile"]), r["fmt"])
+        return out
+
+    def test_crop_bandwise(self, spark):
+        from tilegrid.operators.reshape import crop
+
+        arrs = _band_arrays()
+        ext = Extent(10.0, 6.0, 44.0, 39.0)
+        mb = self._collect(crop(_layer(spark, arrs), ext, self.LAYOUT))
+        for b, arr in enumerate(arrs):
+            sb = self._collect(crop(_layer(spark, arr), ext, self.LAYOUT))
+            assert set(sb) == set(mb)
+            for k in sb:
+                np.testing.assert_array_equal(mb[k][:, :, b], sb[k])
+
+    def test_mask_bandwise(self, spark):
+        from tilegrid.operators.reshape import mask
+
+        arrs = _band_arrays()
+        tri = [np.array([[5.0, 5.0], [60.0, 12.0], [30.0, 55.0]])]
+        mb = self._collect(mask(_layer(spark, arrs), tri, self.LAYOUT))
+        for b, arr in enumerate(arrs):
+            sb = self._collect(mask(_layer(spark, arr), tri, self.LAYOUT))
+            assert set(sb) == set(mb)
+            for k in sb:
+                np.testing.assert_array_equal(mb[k][:, :, b], sb[k])
+
+    def test_merge_bandwise(self, spark):
+        from tilegrid.operators.reshape import merge_layers
+
+        arrs_a = _band_arrays()
+        arrs_b = [a * 2.0 + 1.0 for a in arrs_a]
+        # punch NoData holes in a so b fills them
+        holed = []
+        for a in arrs_a:
+            h = a.copy()
+            h[5:40, 10:30] = np.nan
+            holed.append(h)
+        mb = self._collect(merge_layers(_layer(spark, holed),
+                                        _layer(spark, arrs_b)))
+        for b, (ha, bb) in enumerate(zip(holed, arrs_b)):
+            sb = self._collect(merge_layers(_layer(spark, ha),
+                                            _layer(spark, bb)))
+            assert set(sb) == set(mb)
+            for k in sb:
+                np.testing.assert_array_equal(mb[k][:, :, b], sb[k])

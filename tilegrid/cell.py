@@ -563,6 +563,21 @@ def cover_polygon(layout: LayoutDefinition, rings: list[np.ndarray]) -> np.ndarr
     return z2_encode(cc[hit], rr[hit])
 
 
+def cover_line(layout: LayoutDefinition, coords: np.ndarray) -> np.ndarray:
+    """Cells of tiles a polyline passes through — the supercover grid
+    traversal (Rasterizer.foreachCellByLineString) run at layout resolution,
+    so cover cost scales with line length in tiles, not bbox area."""
+    from .operators.rasterize import rasterize_line
+
+    tl = layout.tile_layout
+    mask = rasterize_line(
+        np.asarray(coords, np.float64), layout.extent,
+        tl.layout_cols, tl.layout_rows,
+    )
+    rr, cc = np.nonzero(mask)
+    return z2_encode(cc.astype(np.int64), rr.astype(np.int64))
+
+
 def zranges_for_extent(
     layout: LayoutDefinition, extent: Extent, max_ranges: int = 256
 ) -> list[tuple[int, int]]:

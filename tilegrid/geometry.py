@@ -697,6 +697,68 @@ def line_length(line) -> float:
     return float(np.hypot(d[:, 0], d[:, 1]).sum())
 
 
+def clip_line_to_polygon(line, rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Line ∩ Polygon (the reference's Line.intersection(Polygon) via JTS,
+    Line.scala:133-150): split every line segment at its crossings with the
+    polygon boundary, keep the sub-segments whose midpoint is inside
+    (even-odd over all rings, boundary counts as inside — JTS closed-region
+    semantics), and stitch consecutive kept pieces back into maximal open
+    polylines. Returns a list of (M, 2) arrays (possibly empty)."""
+    c = np.asarray(line, np.float64).reshape(-1, 2)
+    if len(c) < 2:
+        return []
+    edges = _edge_list(rings)
+    parts: list[np.ndarray] = []
+    cur: list[tuple[float, float]] | None = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None and len(cur) >= 2:
+            parts.append(np.asarray(cur, np.float64))
+        cur = None
+
+    for i in range(len(c) - 1):
+        (px_, py_), (qx, qy) = c[i], c[i + 1]
+        if px_ == qx and py_ == qy:
+            continue
+        ts = sorted({0.0, 1.0}
+                    | {t for t, _, _ in _split_params((px_, py_, qx, qy), edges)})
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            tm = 0.5 * (t0 + t1)
+            mx, my = px_ + tm * (qx - px_), py_ + tm * (qy - py_)
+            inside = bool(
+                points_in_polygon(np.array([mx]), np.array([my]), rings)[0]
+            ) or _on_boundary(mx, my, edges) is not None
+            # exact endpoints at t=0/1 (px_+1.0*(qx-px_) can land 1 ulp off
+            # the vertex, which would smear part joins and lengths)
+            a = (px_, py_) if t0 == 0.0 else \
+                (px_ + t0 * (qx - px_), py_ + t0 * (qy - py_))
+            b = (qx, qy) if t1 == 1.0 else \
+                (px_ + t1 * (qx - px_), py_ + t1 * (qy - py_))
+            if not inside:
+                flush()
+                continue
+            if cur is not None and _snap_pt(*cur[-1]) == _snap_pt(*a):
+                cur.append(b)
+            else:
+                flush()
+                cur = [a, b]
+    flush()
+    return parts
+
+
+def clip_line_to_extent(line, ext) -> list[np.ndarray]:
+    """Line ∩ axis-aligned box, via the general polygon clipper over the
+    box ring (the per-tile clip of the MVT line writer)."""
+    rect = np.array([
+        [ext.xmin, ext.ymin], [ext.xmax, ext.ymin],
+        [ext.xmax, ext.ymax], [ext.xmin, ext.ymax],
+    ])
+    return clip_line_to_polygon(line, [rect])
+
+
 def points_line_distance(px, py, line: np.ndarray) -> np.ndarray:
     """Min distance from each point to an OPEN polyline (no closing
     segment — the open twin of points_segments_distance)."""

@@ -398,3 +398,89 @@ def write_mvt_slippy(
         for x in os.listdir(os.path.join(out_dir, z)):
             n += len(os.listdir(os.path.join(out_dir, z, x)))
     return n
+
+
+def write_mvt_lines_slippy(
+    lines_df,
+    layout,
+    zoom: int,
+    out_dir: str,
+    layer_name: str = "lines",
+    extent: int = 4096,
+    id_col: str = "line_id",
+    wkb_col: str = "wkb",
+) -> int:
+    """Write LINESTRING/MULTILINESTRING WKB features as a z/x/y.mvt slippy
+    tree: supercover tiles per line (cell.cover_line), clip each line to
+    its tile with the general line↔polygon clipper
+    (geometry.clip_line_to_polygon), transform to tile-local ints, one
+    linestring Layer per tile — the line twin of write_mvt_slippy."""
+    import pandas as pd
+
+    from .cell import cover_line, z2_decode
+    from .geometry import MultiLine, clip_line_to_extent, wkb_decode
+
+    mt = layout.map_transform
+
+    def emit(it):
+        for pdf in it:
+            rows = {"col": [], "row": [], "fid": [], "wkb": []}
+            for t in pdf.itertuples(index=False):
+                raw = bytes(getattr(t, wkb_col))
+                g = wkb_decode(raw)
+                parts = g.lines if isinstance(g, MultiLine) else [g]
+                cells = set()
+                for ln in parts:
+                    cells.update(int(c) for c in cover_line(layout, ln))
+                for c in sorted(cells):
+                    cc, rr = z2_decode(c)
+                    rows["col"].append(int(cc))
+                    rows["row"].append(int(rr))
+                    rows["fid"].append(int(getattr(t, id_col)))
+                    rows["wkb"].append(raw)
+            if rows["col"]:
+                yield pd.DataFrame(rows)
+
+    covered = lines_df.mapInPandas(
+        emit, "col int, row int, fid long, wkb binary"
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for (col, row), grp in pdf.groupby(["col", "row"]):
+                text = mt.extent_for_key(int(col), int(row))
+                feats = []
+                for t in grp.itertuples(index=False):
+                    g = wkb_decode(bytes(t.wkb))
+                    parts = g.lines if isinstance(g, MultiLine) else [g]
+                    clipped = []
+                    for ln in parts:
+                        clipped.extend(clip_line_to_extent(ln, text))
+                    if not clipped:
+                        continue
+                    feats.append(
+                        {
+                            "id": int(t.fid), "type": "linestring",
+                            "rings": rings_to_tile_coords(clipped, text, extent),
+                            "properties": {"value": int(t.fid)},
+                        }
+                    )
+                if not feats:
+                    continue
+                data = mvt_encode([(layer_name, feats)], extent)
+                d = os.path.join(out_dir, str(zoom), str(col))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{row}.mvt"), "wb") as f:
+                    f.write(data)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    covered.repartition("col", "row").mapInPandas(write_part, "n long").count()
+    n = 0
+    for z in os.listdir(out_dir):
+        for x in os.listdir(os.path.join(out_dir, z)):
+            n += len(os.listdir(os.path.join(out_dir, z, x)))
+    return n

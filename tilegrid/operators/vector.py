@@ -339,6 +339,50 @@ def reproject_geoms(
     return df.mapInPandas(run, schema)
 
 
+def clip_lines(
+    df: DataFrame,
+    rings: list[np.ndarray],
+    wkb_col: str = "wkb",
+    out: str = "clipped",
+    parts_col: str = "n_parts",
+) -> DataFrame:
+    """Clip a LINESTRING / MULTILINESTRING WKB column to a polygon
+    (Line.intersection(Polygon), Line.scala:133-150): appends the clipped
+    geometry as MULTILINESTRING WKB (empty -> 0 parts) plus the part count.
+    The polygon broadcasts; one Arrow batch pass, no shuffle."""
+    from ..geometry import (
+        MultiLine, clip_line_to_polygon, wkb_decode, wkb_encode_multilinestring,
+    )
+
+    bc = df.sparkSession.sparkContext.broadcast([np.asarray(r).tolist() for r in rings])
+
+    def run(it):
+        rr = [np.asarray(r, np.float64) for r in bc.value]
+        for pdf in it:
+            outp = pdf.copy()
+            blobs, counts = [], []
+            for raw in outp[wkb_col]:
+                g = wkb_decode(bytes(raw))
+                lines = g.lines if isinstance(g, MultiLine) else [g]
+                parts = []
+                for ln in lines:
+                    parts.extend(clip_line_to_polygon(ln, rr))
+                blobs.append(wkb_encode_multilinestring(parts))
+                counts.append(len(parts))
+            outp[out] = blobs
+            outp[parts_col] = counts
+            yield outp
+
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StructField, StructType,
+    )
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out, BinaryType()),
+                           StructField(parts_col, IntegerType())])
+    return df.mapInPandas(run, schema)
+
+
 def line_lengths(df: DataFrame, wkb_col: str = "wkb", out: str = "length") -> DataFrame:
     """Append the geodesic-free (planar) length of a LINESTRING /
     MULTILINESTRING WKB column (reference: vector/.../Line.scala length,

@@ -1127,6 +1127,109 @@ FROM seg GROUP BY line_id
 """
 
 
+# line_clip box: edges offset to .x5 so no event vertex (0.1-grid) or
+# segment is ever collinear with a box edge
+_CLIP_BOX = (-60.05, -30.05, 75.15, 42.35)
+
+
+def q_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line ∩ Polygon set op (Line.intersection via JTS, Line.scala:133-150):
+    build one polyline per (event_id % 40) group, clip it to an axis-aligned
+    box with the GENERAL split-at-crossings + midpoint-classification
+    clipper (operators.vector.clip_lines over geometry.clip_line_to_polygon
+    — the same code path as arbitrary polygons), re-measure the clipped
+    MULTILINESTRING, and count its parts. The oracle reproduces both with
+    the closed-form Liang-Barsky slab intervals — an independent derivation
+    whose crossing parameters are float-identical to the edge-intersection
+    formulas (t = (edge_x - x1)/dx for axis-aligned edges)."""
+    from .geometry import wkb_encode_linestring
+    from .operators.vector import clip_lines, line_lengths
+
+    x0, y0, x1, y1 = _CLIP_BOX
+    rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    ev = _events_points(spark, sf_dir).select(
+        (F.col("event_id") % 40).alias("line_id"), "event_id", "lon", "lat"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        wkb = wkb_encode_linestring(
+            np.column_stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()]))
+        return pd.DataFrame({"line_id": [int(pdf["line_id"].iloc[0])],
+                             "wkb": [wkb]})
+
+    lines = ev.groupBy("line_id").applyInPandas(
+        build, "line_id long, wkb binary")
+    clipped = clip_lines(lines, [rect], wkb_col="wkb")
+    return (
+        line_lengths(clipped, "clipped", "clip_len")
+        .select("line_id", F.round("clip_len", 6).alias("clip_len"),
+                F.col("n_parts"))
+    )
+
+
+def _o_line_clip() -> str:
+    x0, y0, x1, y1 = _CLIP_BOX
+
+    def slab(lo, hi, a, d, empty_lo, empty_hi):
+        inside = f"{a} >= CAST({lo} AS DOUBLE) AND {a} <= CAST({hi} AS DOUBLE)"
+        t_a = f"(CAST({lo} AS DOUBLE) - {a}) / {d}"
+        t_b = f"(CAST({hi} AS DOUBLE) - {a}) / {d}"
+        return (
+            f"CASE WHEN {d} = 0.0 THEN CASE WHEN {inside} THEN 0.0 ELSE {empty_lo} END"
+            f" ELSE least({t_a}, {t_b}) END",
+            f"CASE WHEN {d} = 0.0 THEN CASE WHEN {inside} THEN 1.0 ELSE {empty_hi} END"
+            f" ELSE greatest({t_a}, {t_b}) END",
+        )
+
+    tlx, thx = slab(x0, x1, "x1", "dx", "2.0", "-1.0")
+    tly, thy = slab(y0, y1, "y1", "dy", "2.0", "-1.0")
+    return f"""
+WITH p AS (
+  SELECT event_id % 40 AS line_id, event_id,
+         {LON_E} AS lon, {LAT_E} AS lat FROM events
+), seg AS (
+  SELECT line_id, event_id,
+         lag(lon) OVER w AS x1, lag(lat) OVER w AS y1, lon AS x2, lat AS y2
+  FROM p WINDOW w AS (PARTITION BY line_id ORDER BY event_id)
+), d AS (
+  SELECT line_id, event_id, x1, y1, x2, y2, x2 - x1 AS dx, y2 - y1 AS dy
+  FROM seg WHERE x1 IS NOT NULL
+), iv AS (
+  SELECT line_id, event_id, x1, y1, x2, y2, dx, dy,
+         greatest(0.0, {tlx}, {tly}) AS t0,
+         least(1.0, {thx}, {thy}) AS t1
+  FROM d
+), run AS (
+  SELECT line_id, event_id, x1, y1, x2, y2, dx, dy, t0, t1,
+         CASE WHEN t1 - t0 > 1e-12 THEN 1 ELSE 0 END AS keep,
+         lag(CASE WHEN t1 - t0 > 1e-12 THEN 1 ELSE 0 END) OVER w AS prev_keep,
+         lag(t1) OVER w AS prev_t1
+  FROM iv WINDOW w AS (PARTITION BY line_id ORDER BY event_id)
+), pieces AS (
+  SELECT line_id,
+         CASE WHEN t0 = 0.0 THEN x1 ELSE x1 + t0 * dx END AS xa,
+         CASE WHEN t0 = 0.0 THEN y1 ELSE y1 + t0 * dy END AS ya,
+         CASE WHEN t1 = 1.0 THEN x2 ELSE x1 + t1 * dx END AS xb,
+         CASE WHEN t1 = 1.0 THEN y2 ELSE y1 + t1 * dy END AS yb,
+         CASE WHEN prev_keep IS NULL OR prev_keep = 0
+                   OR prev_t1 < 1.0 OR t0 > 0.0
+              THEN 1 ELSE 0 END AS part_start
+  FROM run WHERE keep = 1
+), agg AS (
+  SELECT line_id,
+         sum(sqrt(power(xb - xa, 2) + power(yb - ya, 2))) AS clip_len,
+         sum(part_start) AS n_parts
+  FROM pieces GROUP BY line_id
+)
+SELECT l.line_id,
+       round(coalesce(a.clip_len, 0.0), 6) AS clip_len,
+       CAST(coalesce(a.n_parts, 0) AS INT) AS n_parts
+FROM (SELECT DISTINCT event_id % 40 AS line_id FROM events) l
+LEFT JOIN agg a USING (line_id)
+"""
+
+
 def q_reproject_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp LatLng -> WebMercator (TileRDDReproject.scala:39-260,
     nearest neighbor): the zoom-3 count raster re-tiled into the WM world
@@ -3642,6 +3745,7 @@ QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,  # new in round 4 (Avro tile codec)
     "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
     "line_length": q_line_length,  # new in round 4 (LineString IO)
+    "line_clip": q_line_clip,  # new in round 4 (line ∩ polygon set op)
     "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
     "sessionize": q_sessionize,  # new in round 4 (session_window)
     "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
@@ -3733,6 +3837,7 @@ QUERIES = {
 
 ORACLES = {
     "avro_roundtrip": _o_avro_roundtrip(),
+    "line_clip": _o_line_clip(),
     "fill": _o_fill(),
     "flow_direction": _o_flow_direction(),
     "flow_accumulation": _o_flow_accumulation(),
