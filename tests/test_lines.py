@@ -311,3 +311,59 @@ class TestMvtLines:
                     # tile-local ints within the 4096 grid (+1 cell slack
                     # for rounding at the clip boundary)
                     assert (path >= -1).all() and (path <= 4097).all()
+
+
+class TestFeatures:
+    def test_feature_roundtrip_with_id(self):
+        poly = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0]])]
+        txt = G.feature_encode(poly, {"name": "tri", "rank": 3}, fid="f-1")
+        geom, props, fid = G.feature_decode(txt)
+        assert props == {"name": "tri", "rank": 3} and fid == "f-1"
+        assert np.array_equal(geom[0][:3], poly[0])
+
+    def test_feature_collection_mixed(self):
+        feats = [
+            ((1.0, 2.0), {"k": 1}),
+            (np.array([[0.0, 0.0], [5.0, 5.0]]), {"k": 2}, "line-7"),
+            ([np.array([[0.0, 0.0], [3.0, 0.0], [0.0, 3.0]])], None),
+        ]
+        txt = G.feature_collection_encode(feats, crs_name="EPSG:4326")
+        back, crs = G.feature_collection_decode(txt)
+        assert crs == "EPSG:4326"
+        assert len(back) == 3
+        assert back[0][0] == (1.0, 2.0) and back[0][1] == {"k": 1}
+        assert back[1][2] == "line-7"
+        assert np.array_equal(back[1][0], feats[1][0])
+        assert back[2][1] is None
+
+    def test_bare_geometry_and_feature_entries(self):
+        feats, crs = G.feature_collection_decode(
+            G.geojson_encode((7.0, 8.0)))
+        assert feats == [((7.0, 8.0), None, None)] and crs is None
+        feats, _ = G.feature_collection_decode(
+            G.feature_encode((1.0, 1.0), {"a": True}))
+        assert feats[0][1] == {"a": True}
+
+    def test_spark_geojson_features_op(self, spark):
+        import json
+
+        from tilegrid.operators.vector import geojson_features, line_lengths
+
+        fc1 = G.feature_collection_encode([
+            (np.array([[0.0, 0.0], [3.0, 4.0]]), {"n": "a"}, "1"),
+            (np.array([[0.0, 0.0], [6.0, 8.0], [6.0, 20.0]]), {"n": "b"}, "2"),
+        ])
+        fc2 = G.feature_collection_encode([
+            ((1.0, 2.0), {"n": "c"}),
+        ])
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10, 20], "geojson": [fc1, fc2]}))
+        rows = {r["fid"]: r for r in geojson_features(df).collect()}
+        assert rows["1"]["kind"] == "linestring" and rows["1"]["doc_id"] == 10
+        assert json.loads(rows["2"]["properties"]) == {"n": "b"}
+        assert rows[None]["kind"] == "point" and rows[None]["doc_id"] == 20
+        # the exploded wkb feeds existing DataFrame ops directly
+        lines = geojson_features(df).where("kind = 'linestring'")
+        lens = {r["fid"]: r["length"]
+                for r in line_lengths(lines, "wkb").collect()}
+        assert lens == {"1": 5.0, "2": 22.0}

@@ -519,6 +519,70 @@ def geojson_decode(text: str):
     raise ValueError(f"unsupported GeoJSON type {t!r}")
 
 
+def feature_encode(geom, properties=None, fid=None) -> str:
+    """GeoJSON Feature (reference FeatureFormats.scala:32-47:
+    writeFeatureJson / writeFeatureJsonWithID — `id` emitted only when
+    given). `properties` is any JSON-serializable value (the reference's
+    D: JsonWriter payload)."""
+    import json
+
+    obj = {
+        "type": "Feature",
+        "geometry": json.loads(geojson_encode(geom)),
+        "properties": properties,
+    }
+    if fid is not None:
+        obj["id"] = fid
+    return json.dumps(obj)
+
+
+def feature_decode(text: str):
+    """-> (geom, properties, id-or-None) (FeatureFormats.readFeatureJson)."""
+    import json
+
+    obj = json.loads(text)
+    if obj.get("type") != "Feature":
+        raise ValueError("Feature expected")
+    geom = geojson_decode(json.dumps(obj["geometry"]))
+    return geom, obj.get("properties"), obj.get("id")
+
+
+def feature_collection_encode(features, crs_name: str | None = None) -> str:
+    """GeoJSON FeatureCollection (JsonFeatureCollection.scala); `features`
+    is an iterable of (geom, properties) or (geom, properties, id) tuples.
+    `crs_name` emits the reference's named-CRS member (JsonCRS.scala)."""
+    import json
+
+    feats = []
+    for f in features:
+        geom, props = f[0], f[1]
+        fid = f[2] if len(f) > 2 else None
+        feats.append(json.loads(feature_encode(geom, props, fid)))
+    obj = {"type": "FeatureCollection", "features": feats}
+    if crs_name is not None:
+        obj["crs"] = {"type": "name", "properties": {"name": crs_name}}
+    return json.dumps(obj)
+
+
+def feature_collection_decode(text: str):
+    """-> (features, crs_name-or-None); features = [(geom, props, id), ...].
+    Accepts a bare Feature or geometry too (GeoJson.scala's permissive
+    parse entry point)."""
+    import json
+
+    obj = json.loads(text)
+    t = obj.get("type")
+    if t == "FeatureCollection":
+        feats = [feature_decode(json.dumps(f)) for f in obj["features"]]
+        crs = None
+        if isinstance(obj.get("crs"), dict):
+            crs = obj["crs"].get("properties", {}).get("name")
+        return feats, crs
+    if t == "Feature":
+        return [feature_decode(text)], None
+    return [(geojson_decode(text), None, None)], None
+
+
 # ------------------------------------------------------- point-in-polygon
 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:

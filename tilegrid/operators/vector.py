@@ -339,6 +339,65 @@ def reproject_geoms(
     return df.mapInPandas(run, schema)
 
 
+def geojson_features(df: DataFrame, text_col: str = "geojson") -> DataFrame:
+    """Parse a column of GeoJSON documents (FeatureCollection, bare
+    Feature, or bare geometry — GeoJson.scala's permissive entry) and
+    EXPLODE into one row per feature: (doc ordinal columns passthrough,
+    fid string, kind string, wkb binary, properties json string). The
+    distributed JsonFeatureCollection ingest (FeatureFormats.scala +
+    JsonFeatureCollection.scala); one Arrow batch pass."""
+    import json
+
+    from ..geometry import (
+        GeometryCollection, MultiLine, MultiPoint,
+        feature_collection_decode, wkb_encode_geom,
+    )
+
+    def kind_of(g):
+        if isinstance(g, tuple):
+            return "point"
+        if isinstance(g, np.ndarray):
+            return "linestring"
+        if isinstance(g, MultiPoint):
+            return "multipoint"
+        if isinstance(g, MultiLine):
+            return "multilinestring"
+        if isinstance(g, GeometryCollection):
+            return "geometrycollection"
+        if isinstance(g, list) and g and isinstance(g[0], list):
+            return "multipolygon"
+        return "polygon"
+
+    passthrough = [c for c in df.columns if c != text_col]
+
+    def run(it):
+        for pdf in it:
+            rows = {c: [] for c in passthrough}
+            rows.update({"fid": [], "kind": [], "wkb": [], "properties": []})
+            for t in pdf.itertuples(index=False):
+                feats, _crs = feature_collection_decode(
+                    getattr(t, text_col))
+                for geom, props, fid in feats:
+                    for c in passthrough:
+                        rows[c].append(getattr(t, c))
+                    rows["fid"].append(None if fid is None else str(fid))
+                    rows["kind"].append(kind_of(geom))
+                    rows["wkb"].append(wkb_encode_geom(geom))
+                    rows["properties"].append(
+                        None if props is None else json.dumps(props))
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    fields = [df.schema[c] for c in passthrough] + [
+        StructField("fid", StringType()),
+        StructField("kind", StringType()),
+        StructField("wkb", BinaryType()),
+        StructField("properties", StringType()),
+    ]
+    return df.mapInPandas(run, StructType(fields))
+
+
 def clip_lines(
     df: DataFrame,
     rings: list[np.ndarray],
