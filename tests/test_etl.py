@@ -362,3 +362,32 @@ class TestGeoTiffReprojectIngest:
         assert set(np.unique(fin)) <= set(np.unique(arr))
         # the gather is NN from inside the source: center pixel survives
         assert np.isfinite(out[16, 16])
+
+
+class TestAvroBackend:
+    def test_avro_output_matches_file_output(self, spark, corpus):
+        tmp = corpus
+        # file backend run (the ground truth store)
+        run_etl(spark, EtlConf.from_dicts([_inp(tmp)], _out(tmp)))
+        # avro backend run of the same config
+        out = _out(tmp)
+        out["backend"] = {"type": "avro", "path": os.path.join(tmp, "avro")}
+        metrics = run_etl(spark, EtlConf.from_dicts([_inp(tmp)], out))
+        assert set(metrics["inputs"]["images"]) == {3, 2}
+
+        from tilegrid.sources.avro_store import read_layer_avro
+
+        for z in (3, 2):
+            a = read_layer(spark, os.path.join(tmp, "layers"),
+                           "images", z).toPandas()
+            b = read_layer_avro(spark, os.path.join(tmp, "avro"),
+                                "images", z).toPandas()
+            assert len(a) == len(b)
+            key = ["zoom", "col", "row"]
+            a = a.sort_values(key).reset_index(drop=True)
+            b = b.sort_values(key).reset_index(drop=True)
+            for ra, rb in zip(a.itertuples(), b.itertuples()):
+                assert (ra.col, ra.row) == (rb.col, rb.row)
+                np.testing.assert_array_equal(
+                    codec.decode_tile(bytes(ra.tile), ra.fmt),
+                    codec.decode_tile(bytes(rb.tile), rb.fmt))

@@ -5,7 +5,9 @@ tile -> save+pyramid), JSON descriptors (config/Input.scala:24-35,
 config/Output.scala:29-46, EtlConf.scala / BaseEtlConf.scala CLI shape:
 ``--input input.json --output output.json``). The reference registers
 backend modules (Etl.scala:43 defaultModules); we support the ``file``
-backend (any Hadoop-FS path: local / hdfs:// / s3a://) and reject others
+backend (any Hadoop-FS path: local / hdfs:// / s3a://), the ``render``
+z/x/y tree, and the ``avro`` layer store (sources/avro_store.py — the
+reference's HadoopRDDWriter KeyValueRecord format), rejecting others
 with the same fail-fast error style (ConfigParse validation).
 
 Input formats:
@@ -52,7 +54,7 @@ from .grid import (
 )
 from .meta import LayerMeta
 
-_BACKENDS = ("file", "render")
+_BACKENDS = ("file", "render", "avro")
 _FORMATS = ("parquet", "geotiff", "layer")
 _KEY_INDEXES = ("zorder", "hilbert", "rowmajor")
 _RESAMPLES = ("average", "max", "min", "sum", "median", "mode")
@@ -533,6 +535,13 @@ def run_etl(spark: SparkSession, conf: EtlConf) -> dict:
             n_tiles = layer.count()
             if out.backend == "render":
                 _render_level(layer, out, inp.name, out.max_zoom)
+            elif out.backend == "avro":
+                from .sources.avro_store import write_layer_avro
+
+                write_layer_avro(
+                    layer, out.path, inp.name, out.max_zoom,
+                    meta=_meta_for(layer, out, out.max_zoom),
+                    target_partitions=out.partitions)
             else:
                 meta = _meta_for(layer, out, out.max_zoom)
                 b = meta.bounds
@@ -562,6 +571,12 @@ def run_etl(spark: SparkSession, conf: EtlConf) -> dict:
             n_tiles = nxt.count()
             if out.backend == "render":
                 _render_level(nxt, out, inp.name, z - 1)
+            elif out.backend == "avro":
+                from .sources.avro_store import write_layer_avro
+
+                write_layer_avro(nxt, out.path, inp.name, z - 1,
+                                 meta=_meta_for(nxt, out, z - 1),
+                                 target_partitions=out.partitions)
             else:
                 write_layer(nxt, out.path, inp.name, z - 1,
                             meta=_meta_for(nxt, out, z - 1),
