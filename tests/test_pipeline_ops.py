@@ -481,3 +481,39 @@ class TestVectorOps:
         out = simplify_rings(df, tolerance=0.5).toPandas()
         rings = wkb_decode(bytes(out.iloc[0].wkb))
         assert 3 <= len(rings[0]) < 64  # simplified but still a polygon
+
+
+class TestClusterDuplicates:
+    def _run(self, spark, n_docs, pairs):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(n_docs))}))
+        pdf = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        pe = spark.createDataFrame(pdf) if len(pdf) else \
+            spark.createDataFrame([], "doc_a long, doc_b long")
+        out = D.cluster_duplicates(docs, pe)
+        return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+    def test_chain_star_singletons(self, spark):
+        # chain 0-1-2-3-4, star 7<-{8,9,10}, singletons 5,6
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8), (7, 9), (7, 10)]
+        got = self._run(spark, 11, pairs)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                       5: 5, 6: 6, 7: 7, 8: 7, 9: 7, 10: 7}
+
+    def test_no_pairs_all_singleton(self, spark):
+        got = self._run(spark, 4, [])
+        assert got == {i: i for i in range(4)}
+
+    def test_two_components_merge_via_bridge(self, spark):
+        pairs = [(1, 2), (3, 4), (2, 3)]
+        got = self._run(spark, 5, pairs)
+        assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_keep_one_per_cluster_filter(self, spark):
+        pairs = [(0, 1), (2, 3)]
+        docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2, 3, 4]}))
+        pe = spark.createDataFrame(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+        out = D.cluster_duplicates(docs, pe)
+        kept = sorted(r["doc_id"]
+                      for r in out.where("doc_id = cluster_id").collect())
+        assert kept == [0, 2, 4]

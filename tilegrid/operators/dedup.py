@@ -147,6 +147,76 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def cluster_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph -> one canonical
+    id per cluster: every document labels itself with the MIN doc id
+    reachable through pairs, so keep-one-per-cluster dedup is
+    `where(doc_id = cluster_id)`. Documents appearing in no pair are
+    singleton clusters of themselves.
+
+    Distributed min-label propagation with pointer jumping (label <- label
+    of label each round), so convergence is O(log diameter) rounds rather
+    than O(diameter) — the hash-to-min idea of Rastogi et al.'s connected
+    components in MapReduce. Per round: one edge-label join + one
+    label-label join, both hash-partitioned on the join key; the
+    convergence probe is a single O(1)-row xor-fingerprint aggregate (no
+    label-set comparison join). 100 TB shape: edges/labels shuffle on
+    uniform ids; real dup clusters are shallow, so rounds ~ a handful.
+    Returns (doc_id, cluster_id)."""
+    spark = docs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).persist()
+    fp_expr = F.expr(
+        "bit_xor(xxhash64(concat(cast(node as string), ':', cast(lbl as string))))"
+    )
+    prev_fp = labels.agg(fp_expr).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"],
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("lbl").alias("plbl"))
+        new_labels = (
+            stepped.join(ptr, stepped["lbl"] == ptr["pnode"], "left")
+            .select(
+                stepped["node"],
+                F.least(F.col("lbl"), F.coalesce("plbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        fp = new_labels.agg(fp_expr).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add sig_0..sig_{N-1} BIGINT minhash columns in ONE vectorized Arrow
     pass: tokenize -> 3-shingles -> one md5/shingle -> double-hash family ->

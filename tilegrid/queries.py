@@ -1940,6 +1940,36 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    MinHash-LSH pair graph via distributed min-label propagation with
+    pointer jumping (dedup.cluster_duplicates) — every doc labeled with
+    the min doc id reachable through duplicate pairs, unpaired docs
+    singleton. The oracle computes the same fixpoint by recursive-CTE
+    transitive closure over the identical pair CTE."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, max_bucket=10_000)
+    return D.cluster_duplicates(docs, pairs)
+
+
+def _o_dedup_clusters() -> str:
+    pairs_sql = _o_minhash_lsh_pairs().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.with_simhash(_read(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
@@ -3746,6 +3776,7 @@ QUERIES = {
     "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
     "line_length": q_line_length,  # new in round 4 (LineString IO)
     "line_clip": q_line_clip,  # new in round 4 (line ∩ polygon set op)
+    "dedup_clusters": q_dedup_clusters,  # new in round 4 (CC over LSH pairs)
     "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
     "sessionize": q_sessionize,  # new in round 4 (session_window)
     "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
@@ -3838,6 +3869,7 @@ QUERIES = {
 ORACLES = {
     "avro_roundtrip": _o_avro_roundtrip(),
     "line_clip": _o_line_clip(),
+    "dedup_clusters": _o_dedup_clusters(),
     "fill": _o_fill(),
     "flow_direction": _o_flow_direction(),
     "flow_accumulation": _o_flow_accumulation(),
