@@ -973,11 +973,15 @@ class Datum:
     """A geodetic datum: an ellipsoid plus optional towgs84 parameters in
     raw proj-string units (dx,dy,dz meters [, rx,ry,rz arcsec, s ppm]).
     towgs84 None == TYPE_UNKNOWN (no shift math is ever applied, matching
-    Datum.getTransformType -> datumTransform's shortcut)."""
+    Datum.getTransformType -> datumTransform's shortcut). `grids` (a tuple
+    of nadgrid.ConversionTable) makes it TYPE_GRIDSHIFT
+    (Datum.java:147,165): the geodetic-space grid shift replaces the
+    geocentric Helmert for this side of the transform."""
 
     name: str
     ellipsoid: Ellipsoid
     towgs84: tuple | None = None
+    grids: tuple | None = field(default=None, compare=False, hash=False)
 
     @property
     def params(self) -> tuple:
@@ -997,7 +1001,51 @@ class Datum:
     def same_as(self, other: "Datum") -> bool:
         return (
             self.ellipsoid == other.ellipsoid and self.params == other.params
+            # grids compare by table identity (tables hold NumPy nodes)
+            and (tuple(map(id, self.grids)) if self.grids else None)
+            == (tuple(map(id, other.grids)) if other.grids else None)
         )
+
+
+# nadgrid name registry (the Grid.resolveGridDefinition classpath lookup,
+# Grid.java:359-369: working-directory file first, then registered names) —
+# we bundle no grid data; callers register tables programmatically or pass
+# filesystem paths in +nadgrids=
+_NADGRIDS: dict[str, object] = {}
+
+
+def register_nadgrid(name: str, table_or_bytes) -> None:
+    """Register a grid-shift table under a name usable in +nadgrids=."""
+    from . import nadgrid
+
+    if isinstance(table_or_bytes, (bytes, bytearray)):
+        table_or_bytes = nadgrid.parse_grid(bytes(table_or_bytes))
+    _NADGRIDS[name] = table_or_bytes
+
+
+def load_nadgrids(spec: str) -> list:
+    """Resolve a +nadgrids= comma list to ConversionTables
+    (Grid.fromNadGrids:312-327): '@' prefix = optional, 'null' = no-op."""
+    import os
+
+    from . import nadgrid
+
+    out = []
+    for raw in spec.split(","):
+        name = raw.strip()
+        optional = name.startswith("@")
+        if optional:
+            name = name[1:]
+        if name == "null" or not name:
+            continue
+        if name in _NADGRIDS:
+            out.append(_NADGRIDS[name])
+        elif os.path.exists(name):
+            with open(name, "rb") as f:
+                out.append(nadgrid.parse_grid(f.read()))
+        elif not optional:
+            raise ValueError(f"unknown nadgrid: {name}")
+    return out
 
 
 DATUM_WGS84 = Datum("WGS84", WGS84, (0.0, 0.0, 0.0))
@@ -1094,24 +1142,37 @@ def _helmert_from_wgs84(X, Y, Z, p):
 def datum_transform(lon_deg, lat_deg, src: Datum | None, dst: Datum | None):
     """Geodetic degrees on src datum -> degrees on dst datum
     (BasicCoordinateTransform.datumTransform:185-229): skip when equal or
-    either is TYPE_UNKNOWN; otherwise geodetic -> geocentric on the SRC
-    ellipsoid, Helmert to WGS84 (src), inverse Helmert (dst), geocentric ->
-    geodetic on the DST ellipsoid."""
-    if (
-        src is None or dst is None
-        or src.towgs84 is None or dst.towgs84 is None
-        or src.same_as(dst)
-    ):
+    either is TYPE_UNKNOWN; TYPE_GRIDSHIFT sides shift in geodetic space
+    through their tables (Grid.shift — the grid absorbs the ellipsoid
+    change, so that side continues on WGS84); 3/7-param sides go geodetic
+    -> geocentric on their own ellipsoid, Helmert to/from WGS84."""
+    src_known = src is not None and (src.towgs84 is not None or src.grids)
+    dst_known = dst is not None and (dst.towgs84 is not None or dst.grids)
+    if not (src_known and dst_known) or src.same_as(dst):
         return lon_deg, lat_deg
-    X, Y, Z = _geodetic_to_geocentric(
-        np.asarray(lon_deg, np.float64) * _D2R,
-        np.asarray(lat_deg, np.float64) * _D2R, src.ellipsoid)
-    if not src.is_identity_shift:
-        X, Y, Z = _helmert_to_wgs84(X, Y, Z, src.params)
-    if not dst.is_identity_shift:
-        X, Y, Z = _helmert_from_wgs84(X, Y, Z, dst.params)
-    lon, lat = _geocentric_to_geodetic(X, Y, Z, dst.ellipsoid)
-    return lon * _R2D, lat * _R2D
+    lam = np.asarray(lon_deg, np.float64) * _D2R
+    phi = np.asarray(lat_deg, np.float64) * _D2R
+    if src.grids:
+        from .nadgrid import grid_shift
+
+        lam, phi, _ = grid_shift(src.grids, lam, phi, inverse=False)
+        src_ell, src_helmert = WGS84, False
+    else:
+        src_ell, src_helmert = src.ellipsoid, not src.is_identity_shift
+    dst_ell = WGS84 if dst.grids else dst.ellipsoid
+    dst_helmert = (not dst.grids) and not dst.is_identity_shift
+    if src_helmert or dst_helmert or src_ell != dst_ell:
+        X, Y, Z = _geodetic_to_geocentric(lam, phi, src_ell)
+        if src_helmert:
+            X, Y, Z = _helmert_to_wgs84(X, Y, Z, src.params)
+        if dst_helmert:
+            X, Y, Z = _helmert_from_wgs84(X, Y, Z, dst.params)
+        lam, phi = _geocentric_to_geodetic(X, Y, Z, dst_ell)
+    if dst.grids:
+        from .nadgrid import grid_shift
+
+        lam, phi, _ = grid_shift(dst.grids, lam, phi, inverse=True)
+    return lam * _R2D, phi * _R2D
 
 
 def datum_shift_bindings(
@@ -1266,6 +1327,12 @@ def _parse_projstr(s: str) -> Proj:
             raise ValueError(f"unknown +datum={kv['datum']}")
         datum = _DATUMS[dname]
         ell = datum.ellipsoid
+    elif "nadgrids" in kv:
+        # Proj4Parser nadgrids handling: a comma list of grid names;
+        # '@name' marks an optional grid (skipped when missing), 'null'
+        # is the no-op sentinel. +nadgrids wins over +towgs84 (proj.4).
+        grids = load_nadgrids(kv["nadgrids"])
+        datum = Datum("user-grids", ell, None, grids=tuple(grids))
     elif "towgs84" in kv:
         vals = tuple(float(v) for v in kv["towgs84"].split(","))
         if len(vals) not in (3, 7):
