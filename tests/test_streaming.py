@@ -193,3 +193,69 @@ class TestSessionize:
         pd.testing.assert_frame_equal(
             got[self.KEY + ["session_end", "n_events"]],
             batch[self.KEY + ["session_end", "n_events"]])
+
+
+class TestStreamSlippy:
+    def test_stream_tree_matches_batch_tree(self, spark, tmp_path):
+        import os
+
+        from tilegrid import codec
+        from tilegrid.operators import LAYER_SCHEMA
+        from tilegrid.sources.render import ColorMap, render_png, write_slippy
+        from tilegrid.streaming import stream_tiles_to_slippy, streaming_keyed
+
+        pdf = _events_pdf(1200)
+        src = str(tmp_path / "slippy_src")
+        spark.createDataFrame(pdf.iloc[:600]).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(pdf.iloc[600:]).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        cm = ColorMap.ramp(0.0, 8.0, 8)
+        out = str(tmp_path / "stream_tiles")
+        q = stream_tiles_to_slippy(
+            stream, LAYOUT, ZOOM, out, colormap=cm,
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+
+        # batch twin through the identical assemble+render path
+        import numpy as np
+        import pandas as pd
+
+        keyed = streaming_keyed(spark.createDataFrame(pdf), LAYOUT, "lon",
+                                "lat", ZOOM)
+        ex, tl = LAYOUT.extent, LAYOUT.tile_layout
+        px = F.floor((F.col("lon") - (F.lit(ex.xmin) + F.col("col")
+                      * F.lit(LAYOUT.tile_width))) / F.lit(LAYOUT.cell_width))
+        py = F.floor(((F.lit(ex.ymax) - F.col("row") * F.lit(LAYOUT.tile_height))
+                      - F.col("lat")) / F.lit(LAYOUT.cell_height))
+        cnt = (keyed.withColumn("px", px.cast("int"))
+               .withColumn("py", py.cast("int"))
+               .groupBy("zoom", "col", "row", "cell", "px", "py")
+               .agg(F.count("*").cast("double").alias("cnt"))).toPandas()
+
+        def tile_of(grp):
+            arr = np.zeros((tl.tile_rows, tl.tile_cols))
+            arr[grp["py"].to_numpy(), grp["px"].to_numpy()] = grp["cnt"].to_numpy()
+            return arr
+
+        want_dir = str(tmp_path / "batch_tiles")
+        rows = []
+        for (z, c, r, cell), grp in cnt.groupby(["zoom", "col", "row", "cell"]):
+            rows.append({"zoom": z, "col": c, "row": r, "cell": cell,
+                         "tile": codec.raw_encode(tile_of(grp)),
+                         "h": tl.tile_rows, "w": tl.tile_cols, "fmt": "raw"})
+        layer = spark.createDataFrame(pd.DataFrame(rows), schema=LAYER_SCHEMA)
+        write_slippy(render_png(layer, cm), want_dir)
+
+        got_files, want_files = {}, {}
+        for base, store in ((out, got_files), (want_dir, want_files)):
+            for zd in os.listdir(base):
+                for xd in os.listdir(os.path.join(base, zd)):
+                    for f in os.listdir(os.path.join(base, zd, xd)):
+                        with open(os.path.join(base, zd, xd, f), "rb") as fh:
+                            store[(zd, xd, f)] = fh.read()
+        assert got_files.keys() == want_files.keys() and len(got_files) > 0
+        for k in got_files:
+            assert got_files[k] == want_files[k], k

@@ -15,7 +15,11 @@ Layout:
                baseline JPEG via tilegrid.jpeg, raw, fast 'fjpg' stand-in)
   jpeg       — from-scratch baseline JPEG encoder/decoder (T.81)
   proj       — map projections (proj4 analogue): UTM/TM, LCC, Albers, polar
-               stereo, sinusoidal, spherical family; EPSG + proj strings
+               stereo, sinusoidal, spherical family; EPSG + proj strings;
+               datum shifts (geocentric Helmert + nadgrids grid tables)
+  nadgrid    — CTABLE V2 / NTv1 grid-shift tables (nad_cvt/nad_intr)
+  avro       — from-scratch Avro binary codec + container files with the
+               reference's tile/key record schemas
   geotiff    — GeoTiff/BigTIFF codec: strips/tiles, LZW/deflate/JPEG,
                predictors, windowed reads, chained-IFD overviews, write_cog
   arg        — Azavea Raster Grid sidecar+binary format

@@ -146,3 +146,72 @@ def streaming_running_cell_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_tiles_to_slippy(
+    stream: DataFrame,
+    layout: LayoutDefinition,
+    zoom: int,
+    out_dir: str,
+    x: str = "lon",
+    y: str = "lat",
+    colormap=None,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming renderPng sink: cumulative per-pixel event counts (the
+    kernel-density raster of the batch path) re-rendered to a z/x/y PNG
+    tree on every micro-batch via foreachBatch — a live-updating web-map
+    layer over an unbounded point stream. COMPLETE output mode: each batch
+    re-emits the whole aggregate, so the rendered tree always reflects
+    every event seen and tiles overwrite in place; streaming state is
+    O(touched pixels). (At volumes where complete-mode re-render is too
+    much, sink the counts stream to a table and render from it on a
+    schedule instead — this sink is the low-latency path.) Assembly and
+    PNG encode run executor-side through the batch render ops
+    (render_png + write_slippy). Returns the started StreamingQuery."""
+    import numpy as np
+
+    from . import codec
+    from .operators import LAYER_SCHEMA
+    from .sources.render import render_png, write_slippy
+
+    ex = layout.extent
+    tl = layout.tile_layout
+    keyed = streaming_keyed(stream, layout, x, y, zoom)
+    px = F.floor(
+        (F.col(x) - (F.lit(ex.xmin) + F.col("col") * F.lit(layout.tile_width)))
+        / F.lit(layout.cell_width)).cast("int")
+    py = F.floor(
+        ((F.lit(ex.ymax) - F.col("row") * F.lit(layout.tile_height)) - F.col(y))
+        / F.lit(layout.cell_height)).cast("int")
+    counts = (
+        keyed.withColumn("px", px).withColumn("py", py)
+        .where((F.col("px") >= 0) & (F.col("px") < tl.tile_cols)
+               & (F.col("py") >= 0) & (F.col("py") < tl.tile_rows))
+        .groupBy("zoom", "col", "row", "cell", "px", "py")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    th_px, tw_px = tl.tile_rows, tl.tile_cols
+
+    def assemble(key, pdf):
+        z, c, r, cell = (int(v) for v in key)
+        arr = np.zeros((th_px, tw_px), dtype=np.float64)
+        arr[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["cnt"].to_numpy()
+        return pd.DataFrame({
+            "zoom": [z], "col": [c], "row": [r], "cell": [cell],
+            "tile": [codec.raw_encode(arr)],
+            "h": [th_px], "w": [tw_px], "fmt": ["raw"],
+        })
+
+    def render_batch(bdf, _epoch):
+        layer = bdf.groupBy("zoom", "col", "row", "cell").applyInPandas(
+            assemble, LAYER_SCHEMA)
+        write_slippy(render_png(layer, colormap), out_dir)
+
+    w = counts.writeStream.outputMode("complete").foreachBatch(render_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
