@@ -314,3 +314,24 @@ class TestAvroLayerStore:
         for row in rows:
             want = codec.raw_decode(row["tile"])
             np.testing.assert_array_equal(b[(row["col"], row["row"])], want)
+
+
+class TestAvroValueReader:
+    def test_single_tile_random_access(self, spark, tmp_path):
+        root = str(tmp_path / "avro-layers")
+        df = spark.createDataFrame(fixtures.tile_layer_table("increasing"))
+        meta = LayerMeta(cell_type=FLOAT64, layout=LAYOUT, extent=WORLD,
+                         crs="webmercator",
+                         bounds=GridBounds(*fixtures.TEST_BOUNDS), zoom=8)
+        avro_store.write_layer_avro(df, root, "inc", 8, meta, block_pairs=4)
+        read = avro_store.value_reader_avro(root, "inc", 8)
+        want = {(r["col"], r["row"]): codec.decode_tile(bytes(r["tile"]), r["fmt"])
+                for r in df.collect()}
+        # every key resolves to the exact tile
+        for (c, r), arr in want.items():
+            got = read(c, r)
+            assert got is not None
+            np.testing.assert_array_equal(got[0], arr)
+        # keys outside the layer return None
+        assert read(0, 0) is None
+        assert read(99, 99) is None

@@ -131,6 +131,52 @@ def write_layer_avro(
     return int(sum(r["n_pairs"] for r in manifest))
 
 
+def value_reader_avro(root: str, name: str, zoom: int):
+    """ValueReader against the Avro store (the reference's per-backend
+    reader contract, ValueReader.scala): random access to one tile by key.
+    Binary-searches the AttributeStore manifest for the file whose cell
+    range contains the key, then walks ONLY the one container block whose
+    index range matches — every other block is skipped by its byte-size
+    prefix without decompress/decode. Driver-side (no Spark job), like the
+    reference's direct backend seek. Returns `read(col, row) ->
+    (np.ndarray, CellType) | None`."""
+    from bisect import bisect_right
+
+    from ..cell import z2_encode
+
+    store = AttributeStore(root)
+    manifest = store.read_attr(name, zoom, "avro_manifest")
+    path = _layer_path(root, name, zoom) + "-avro"
+    files = manifest["files"]
+    mins = [f["min_cell"] for f in files]
+
+    def read(col: int, row: int):
+        c = int(z2_encode(col, row))
+        i = bisect_right(mins, c) - 1
+        if i < 0 or c > files[i]["max_cell"]:
+            return None
+        f = files[i]
+        with open(os.path.join(path, f["file"]), "rb") as fh:
+            data = fh.read()
+        for ordinal, _n, mk in avro.iter_container_blocks(data):
+            lo, hi, _cnt = f["blocks"][ordinal]
+            if not (lo <= c <= hi):
+                continue
+            for rec in mk():
+                for pair in rec["pairs"]:
+                    k = pair["_1"]
+                    if k["col"] == col and k["row"] == row:
+                        v = pair["_2"]
+                        if v.name.endswith("ArrayMultibandTile"):
+                            tiles = [avro.record_to_tile(b) for b in v["bands"]]
+                            return (np.stack([a for a, _ in tiles], axis=2),
+                                    tiles[0][1])
+                        return avro.record_to_tile(v)
+        return None
+
+    return read
+
+
 def _ranges_hit(lo: int, hi: int, ranges) -> bool:
     return any(lo <= b and a <= hi for a, b in ranges)
 
