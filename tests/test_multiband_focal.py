@@ -181,3 +181,30 @@ class TestMultibandReshape:
             assert set(sb) == set(mb)
             for k in sb:
                 np.testing.assert_array_equal(mb[k][:, :, b], sb[k])
+
+
+class TestMultibandLocal:
+    """Unary/binary local map algebra is elementwise, so an (h, w, b)
+    stack must equal per-band single-band runs (the reference's multiband
+    combine semantics, ArrayMultibandTile.combine)."""
+
+    def _collect(self, df):
+        return {(r["col"], r["row"]): codec.decode_tile(bytes(r["tile"]), r["fmt"])
+                for r in df.collect()}
+
+    def test_unary_and_binary_bandwise(self, spark):
+        from tilegrid.operators.local import local_binary, local_unary
+
+        arrs = _band_arrays()
+        others = [np.abs(a) + 1.0 for a in arrs]
+        mb_sqrt = self._collect(local_unary(
+            _layer(spark, [np.abs(a) for a in arrs]), "sqrt"))
+        mb_add = self._collect(local_binary(
+            _layer(spark, arrs), _layer(spark, others), "add"))
+        for b, (a, o) in enumerate(zip(arrs, others)):
+            sb_sqrt = self._collect(local_unary(_layer(spark, np.abs(a)), "sqrt"))
+            sb_add = self._collect(local_binary(
+                _layer(spark, a), _layer(spark, o), "add"))
+            for k in sb_sqrt:
+                np.testing.assert_array_equal(mb_sqrt[k][:, :, b], sb_sqrt[k])
+                np.testing.assert_array_equal(mb_add[k][:, :, b], sb_add[k])
