@@ -646,3 +646,56 @@ class TestRasterizeLine:
         # fully outside the extent burns nothing
         mo = R.rasterize_line(np.array([[-5.0, -5.0], [-1.0, -1.0]]), ext, 10, 10)
         assert mo.sum() == 0
+
+
+class TestPixelIsArea:
+    """PixelIsArea (includePartial) rasterization == the exact
+    rectangle-polygon intersection test per pixel (independent oracle:
+    geometry.polygon_intersects_extents)."""
+
+    def _oracle(self, rings, ext, cols, rows):
+        cw, ch = ext.width / cols, ext.height / rows
+        jj, ii = np.mgrid[0:rows, 0:cols]
+        xmin = ext.xmin + ii * cw
+        xmax = xmin + cw
+        ymax = ext.ymax - jj * ch
+        ymin = ymax - ch
+        from tilegrid.geometry import polygon_intersects_extents
+
+        return polygon_intersects_extents(
+            rings, xmin.ravel(), ymin.ravel(), xmax.ravel(), ymax.ravel()
+        ).reshape(rows, cols)
+
+    def test_matches_rect_intersection_oracle(self):
+        rng = np.random.RandomState(9)
+        ext = Extent(0.0, 0.0, 16.0, 16.0)
+        for k in range(25):
+            n = rng.randint(3, 9)
+            cx, cy = rng.uniform(2, 14, 2)
+            rad = rng.uniform(0.7, 5.0)
+            ring = regular_ngon(cx, cy, rad, n)
+            got = R.scanline_rasterize([ring], ext, 16, 16, pixel_is_area=True)
+            want = self._oracle([ring], ext, 16, 16)
+            np.testing.assert_array_equal(got, want)
+
+    def test_superset_of_center_mask_and_holes(self):
+        ext = Extent(0.0, 0.0, 16.0, 16.0)
+        outer = regular_ngon(8.0, 8.0, 6.5, 8)
+        hole = regular_ngon(8.0, 8.0, 3.1, 8)
+        rings = [outer, hole[::-1]]
+        area = R.scanline_rasterize(rings, ext, 16, 16, pixel_is_area=True)
+        point = R.scanline_rasterize(rings, ext, 16, 16)
+        assert (area | point == area).all() and area.sum() > point.sum()
+        # the pixel at dead center sits wholly inside the hole -> excluded
+        assert not area[8, 8] and not area[7, 7]
+        np.testing.assert_array_equal(area, self._oracle(rings, ext, 16, 16))
+
+    def test_sliver_smaller_than_pixel(self):
+        # a sliver that covers no pixel center still burns the pixels it
+        # touches under PixelIsArea
+        ext = Extent(0.0, 0.0, 8.0, 8.0)
+        sliver = np.array([[1.2, 1.2], [6.8, 1.45], [6.8, 1.2]])
+        point = R.scanline_rasterize([sliver], ext, 8, 8)
+        area = R.scanline_rasterize([sliver], ext, 8, 8, pixel_is_area=True)
+        assert point.sum() == 0 and area.sum() >= 6
+        np.testing.assert_array_equal(area, self._oracle([sliver], ext, 8, 8))

@@ -28,9 +28,24 @@ from . import LAYER_SCHEMA
 
 
 def scanline_rasterize(
-    rings: list[np.ndarray], ext: Extent, cols: int, rows: int
+    rings: list[np.ndarray], ext: Extent, cols: int, rows: int,
+    pixel_is_area: bool = False,
 ) -> np.ndarray:
-    """Boolean mask via scanline even-odd fill at pixel centers."""
+    """Boolean mask via scanline even-odd fill at pixel centers
+    (PixelIsPoint, the reference default). `pixel_is_area=True` gives the
+    reference's PixelIsArea / includePartial option
+    (PolygonRasterizer.runsArea, polygon/PolygonRasterizer.scala:181-226):
+    a pixel burns when the polygon covers ANY part of it. Construction: a
+    partially-covered pixel necessarily meets the polygon BOUNDARY (and a
+    fully-covered one contains its own center), so the area mask is the
+    center mask ∪ the supercover of every ring — exact for solid and holed
+    polygons (a pixel wholly inside a hole hits neither)."""
+    if pixel_is_area:
+        mask = scanline_rasterize(rings, ext, cols, rows)
+        for ring in rings:
+            closed = np.vstack([ring, ring[:1]])
+            mask |= rasterize_line(closed, ext, cols, rows)
+        return mask
     cw, ch = ext.width / cols, ext.height / rows
     ys = ext.ymax - (np.arange(rows) + 0.5) * ch
     mask = np.zeros((rows, cols), dtype=bool)
