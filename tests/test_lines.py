@@ -367,3 +367,45 @@ class TestFeatures:
         lens = {r["fid"]: r["length"]
                 for r in line_lengths(lines, "wkb").collect()}
         assert lens == {"1": 5.0, "2": 22.0}
+
+
+class TestReprojectAllKinds:
+    def test_lines_points_collections_reproject(self, spark):
+        from tilegrid.operators.vector import reproject_geoms
+        from tilegrid.proj import transform_fn
+
+        fn = transform_fn("latlng", "webmercator")
+        line = np.array([[-10.0, 40.0], [20.0, 50.0], [30.0, -5.0]])
+        ml = G.MultiLine([line, line + 1.0])
+        mp = G.MultiPoint([[0.0, 0.0], [10.0, 10.0]])
+        gc = G.GeometryCollection([(5.0, 5.0), line])
+        rows = [{"gid": i, "wkb": G.wkb_encode_geom(g)}
+                for i, g in enumerate([line, ml, mp, gc])]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        got = {r["gid"]: G.wkb_decode(bytes(r["wkb"]))
+               for r in reproject_geoms(df, "latlng", "webmercator").collect()}
+        want_line = np.column_stack(fn(line[:, 0], line[:, 1]))
+        np.testing.assert_allclose(got[0], want_line)
+        assert isinstance(got[1], G.MultiLine)
+        np.testing.assert_allclose(got[1].lines[0], want_line)
+        assert isinstance(got[2], G.MultiPoint)
+        assert isinstance(got[3], G.GeometryCollection)
+        np.testing.assert_allclose(got[3].geoms[1], want_line)
+
+    def test_polygon_paths_still_work(self, spark):
+        from tilegrid.operators.vector import reproject_geoms
+
+        poly = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]])]
+        mp = [poly, [np.array([[20.0, 20.0], [25.0, 20.0], [25.0, 25.0]])]]
+        rows = [{"gid": 0, "wkb": G.wkb_encode_polygon(poly)},
+                {"gid": 1, "wkb": G.wkb_encode_multipolygon(mp)},
+                {"gid": 2, "wkb": G.wkb_encode_multipolygon([])}]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        got = {r["gid"]: bytes(r["wkb"])
+               for r in reproject_geoms(df, "latlng", "webmercator").collect()}
+        g0 = G.wkb_decode(got[0])
+        assert isinstance(g0, list) and isinstance(g0[0], np.ndarray)
+        g1 = G.wkb_decode(got[1])
+        assert isinstance(g1, list) and isinstance(g1[0], list)
+        # empty multipolygon passes through unchanged, still a multipolygon
+        assert got[2] == G.wkb_encode_multipolygon([])

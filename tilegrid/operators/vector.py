@@ -299,14 +299,29 @@ def reproject_geoms(
     vertices transform in one vectorized call. Geometry shape (point /
     polygon / multipolygon, holes) is preserved; densify first when the
     transform's curvature matters at edge length scale."""
-    from ..geometry import wkb_decode, wkb_encode_point, wkb_encode_polygon
-    from ..geometry import wkb_encode_multipolygon
+    from ..geometry import (
+        GeometryCollection, MultiLine, MultiPoint, wkb_decode, wkb_encode_geom,
+    )
     from ..proj import transform_fn
-
-    import struct as _struct
 
     fn = transform_fn(src_crs, dst_crs)
     schema = df.schema
+
+    def xform(g):
+        if isinstance(g, tuple):  # point
+            x, y = fn(np.array([g[0]]), np.array([g[1]]))
+            return (float(x[0]), float(y[0]))
+        if isinstance(g, np.ndarray):  # linestring vertices
+            return np.column_stack(fn(g[:, 0], g[:, 1]))
+        if isinstance(g, MultiPoint):
+            return MultiPoint(np.column_stack(fn(g.coords[:, 0], g.coords[:, 1])))
+        if isinstance(g, MultiLine):
+            return MultiLine([xform(ln) for ln in g.lines])
+        if isinstance(g, GeometryCollection):
+            return GeometryCollection([xform(x) for x in g.geoms])
+        if isinstance(g, list) and g and isinstance(g[0], list):  # multipolygon
+            return [[xform(r) for r in rings] for rings in g]
+        return [xform(r) for r in g]  # polygon rings
 
     def run(it):
         for pdf in it:
@@ -314,25 +329,13 @@ def reproject_geoms(
             enc = []
             for raw in out[wkb_col]:
                 raw = bytes(raw)
-                # dispatch on the WKB type byte, not the decoded shape —
-                # an EMPTY multipolygon decodes to [] and must stay one
-                gtype = _struct.unpack_from("<I", raw, 1)[0]
                 g = wkb_decode(raw)
-                if gtype == 1:  # point
-                    x, y = fn(np.array([g[0]]), np.array([g[1]]))
-                    enc.append(wkb_encode_point(float(x[0]), float(y[0])))
-                elif gtype == 6:  # multipolygon
-                    polys = [
-                        [np.column_stack(fn(r[:, 0], r[:, 1])) for r in rings]
-                        for rings in g
-                    ]
-                    enc.append(wkb_encode_multipolygon(polys))
-                else:  # polygon
-                    enc.append(
-                        wkb_encode_polygon(
-                            [np.column_stack(fn(r[:, 0], r[:, 1])) for r in g]
-                        )
-                    )
+                if isinstance(g, list) and not g:
+                    # EMPTY polygon/multipolygon: transform of empty is
+                    # empty — keep the original bytes (preserves the kind)
+                    enc.append(raw)
+                    continue
+                enc.append(wkb_encode_geom(xform(g)))
             out[wkb_col] = enc
             yield out
 
