@@ -699,3 +699,39 @@ class TestPixelIsArea:
         area = R.scanline_rasterize([sliver], ext, 8, 8, pixel_is_area=True)
         assert point.sum() == 0 and area.sum() >= 6
         np.testing.assert_array_equal(area, self._oracle([sliver], ext, 8, 8))
+
+    def test_rasterize_to_layer_include_partial(self, spark):
+        from tilegrid.geometry import wkb_encode_polygon
+        from tilegrid.cell import z2_decode
+
+        # a sliver polygon thinner than one pixel: zero burned pixels
+        # under PixelIsPoint, nonzero under includePartial
+        # pixel = 1 map unit here; centers sit at k+0.5 — this sliver lives
+        # entirely between the 10.5 and 11.5 center rows
+        sliver = np.array([[10.2, 10.6], [100.9, 10.9], [100.9, 10.6]])
+        polys = pd.DataFrame(
+            [{"polygon_id": 1, "zone": 7.0,
+              "wkb": wkb_encode_polygon([sliver])}])
+        point_layer = R.rasterize_to_layer(polys, LAYOUT, 8, spark).toPandas()
+        area_layer = R.rasterize_to_layer(
+            polys, LAYOUT, 8, spark, pixel_is_area=True).toPandas()
+
+        def burned(pdf):
+            n = 0
+            for t in pdf.itertuples(index=False):
+                n += int((~np.isnan(
+                    codec.decode_tile(bytes(t.tile), t.fmt))).sum())
+            return n
+
+        assert burned(point_layer) == 0
+        assert burned(area_layer) > 0
+        # area mask per tile == direct scanline with the flag
+        mt = LAYOUT.map_transform
+        tc = LAYOUT.tile_layout.tile_cols
+        tr = LAYOUT.tile_layout.tile_rows
+        for t in area_layer.itertuples(index=False):
+            ext = mt.extent_for_key(int(t.col), int(t.row))
+            want = R.scanline_rasterize([sliver], ext, tc, tr,
+                                        pixel_is_area=True)
+            got = ~np.isnan(codec.decode_tile(bytes(t.tile), t.fmt))
+            np.testing.assert_array_equal(got, want)

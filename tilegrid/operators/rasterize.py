@@ -122,10 +122,12 @@ def rasterize_to_layer(
     value_col: str = "zone",
     id_col: str = "polygon_id",
     wkb_col: str = "wkb",
+    pixel_is_area: bool = False,
 ) -> DataFrame:
     """Burn polygons into a tile layer (rasterizeWithValue): polygon ->
     covering cells (driver), explode, per-tile scanline burn, merge overlaps
-    by last-id-wins (deterministic)."""
+    by last-id-wins (deterministic). `pixel_is_area` selects the
+    includePartial inclusion rule (Rasterizer Options / PixelIsArea)."""
     from ..cell import cover_polygon
 
     rows = []
@@ -152,7 +154,8 @@ def rasterize_to_layer(
         out = np.full((tr, tc), np.nan)
         for t in pdf.itertuples(index=False):
             rings = wkb_decode(bytes(t.wkb))
-            m = scanline_rasterize(rings, ext, tc, tr)
+            m = scanline_rasterize(rings, ext, tc, tr,
+                                   pixel_is_area=pixel_is_area)
             out[m] = t.value
         return pd.DataFrame(
             {
