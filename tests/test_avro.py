@@ -335,3 +335,45 @@ class TestAvroValueReader:
         # keys outside the layer return None
         assert read(0, 0) is None
         assert read(99, 99) is None
+
+
+class TestSpaceTimeAvroStore:
+    def test_spacetime_roundtrip_with_z3_cells(self, spark, tmp_path):
+        from tilegrid.cell import z3_encode
+
+        root = str(tmp_path / "avro-st")
+        day_ms = 86_400_000
+        rng = np.random.default_rng(4)
+        rows = []
+        for c in range(3):
+            for r in range(2):
+                for day in (0, 1, 5):
+                    ts = 1_700_000_000_000 + day * day_ms
+                    arr = rng.normal(size=(4, 4))
+                    rows.append({
+                        "zoom": np.int32(8), "col": np.int32(c),
+                        "row": np.int32(r),
+                        "cell": np.int64(z3_encode(c, r, ts // day_ms)),
+                        "tile": codec.raw_encode(arr), "h": np.int32(4),
+                        "w": np.int32(4), "fmt": "raw", "ts": np.int64(ts),
+                    })
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        meta = LayerMeta(cell_type=FLOAT64, layout=LAYOUT, extent=WORLD,
+                         crs="webmercator",
+                         bounds=GridBounds(*fixtures.TEST_BOUNDS), zoom=8)
+        n = avro_store.write_layer_avro(df, root, "st", 8, meta,
+                                        block_pairs=4, ts_col="ts")
+        assert n == len(rows)
+        back = avro_store.read_layer_avro(
+            spark, root, "st", 8,
+            cell_of=lambda c, r, ts: z3_encode(c, r, ts // day_ms))
+        a = {(r["col"], r["row"], r["ts"]): (r["cell"],
+             codec.decode_tile(bytes(r["tile"]), r["fmt"]))
+             for r in df.collect()}
+        b = {(r["col"], r["row"], r["ts"]): (r["cell"],
+             codec.decode_tile(bytes(r["tile"]), r["fmt"]))
+             for r in back.collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k][0] == b[k][0]  # z3 cell recomputed identically
+            np.testing.assert_array_equal(a[k][1], b[k][1])

@@ -51,20 +51,26 @@ def write_layer_avro(
     meta: LayerMeta,
     block_pairs: int = 64,
     target_partitions: int | None = None,
+    ts_col: str | None = None,
 ) -> int:
     """Write one zoom level as SFC-sorted Avro container files; returns the
-    pair count. `df` carries the standard layer columns (LAYER_SCHEMA)."""
+    pair count. `df` carries the standard layer columns (LAYER_SCHEMA).
+    `ts_col` (a BIGINT epoch-millis column) switches keys to SpaceTimeKey
+    records (KeyCodecs.scala spaceTimeKeyAvroFormat) — the layer's `cell`
+    should then already be a space-time SFC index (e.g. cell.z3_encode)."""
     ct = meta.cell_type
     spark = df.sparkSession
     n = target_partitions or max(spark.sparkContext.defaultParallelism, 4)
     path = _layer_path(root, name, zoom) + "-avro"
     os.makedirs(path, exist_ok=True)
 
+    cols = ["col", "row", "cell", "tile", "fmt"] + ([ts_col] if ts_col else [])
     sorted_df = (
-        df.select("col", "row", "cell", "tile", "fmt")
+        df.select(*cols)
         .repartitionByRange(n, "cell")
         .sortWithinPartitions("cell")
     )
+    spacetime = ts_col is not None
 
     def write_part(it):
         frames = [pdf for pdf in it if len(pdf)]
@@ -86,11 +92,15 @@ def write_layer_avro(
                     # float-typed layer); constant-NoData convention
                     nd = float("nan") if arr.dtype.kind == "f" else None
                     pairs_ct = CellType(arr.dtype.name, nd)
-                pairs.append(((int(t.col), int(t.row)), arr))
-            recs.append(avro.tile_pairs_record(pairs, pairs_ct, bands=bands))
+                key = (int(t.col), int(t.row))
+                if spacetime:
+                    key += (int(getattr(t, ts_col)),)
+                pairs.append((key, arr))
+            recs.append(avro.tile_pairs_record(
+                pairs, pairs_ct, spacetime=spacetime, bands=bands))
             blocks.append([int(chunk["cell"].min()), int(chunk["cell"].max()),
                            len(chunk)])
-        schema = avro.pairs_schema(pairs_ct, bands=bands)
+        schema = avro.pairs_schema(pairs_ct, spacetime=spacetime, bands=bands)
         data = avro.write_container(schema, recs, records_per_block=1)
         fname = f"part-{int(rows['cell'].min()):016x}.avro"
         with open(os.path.join(path, fname), "wb") as f:
@@ -108,11 +118,12 @@ def write_layer_avro(
     store.write_meta(name, meta)
     store.write_attr(
         name, zoom, "avro_schema",
-        avro.pairs_schema(ct, bands=0),
+        avro.pairs_schema(ct, spacetime=spacetime, bands=0),
     )
     store.write_attr(
         name, zoom, "avro_manifest",
         {
+            "spacetime": spacetime,
             "files": sorted(
                 (
                     {
@@ -188,36 +199,46 @@ def read_layer_avro(
     zoom: int,
     cell_ranges: list[tuple[int, int]] | None = None,
     where=None,
+    cell_of=None,
 ) -> DataFrame:
     """Read an Avro-stored level back as a standard layer DataFrame
     (tiles re-encoded as 'raw'). `cell_ranges` prunes files driver-side via
     the manifest and skips non-matching container blocks executor-side
     before any decompress/decode — HadoopRDDReader.readFiltered parity.
-    `where` applies the layer-query DSL residual filter on top."""
+    `where` applies the layer-query DSL residual filter on top. Space-time
+    layers (written with ts_col) come back with a `ts` epoch-millis column;
+    their SFC `cell` is recomputed by `cell_of(col, row, ts_ms) -> int`
+    (pass the same binning used at write time, e.g. a z3 day-bin lambda) —
+    without it, `cell` falls back to the spatial z2 of (col, row)."""
     from ..cell import z2_encode
 
     store = AttributeStore(root)
     meta = store.read_meta(name, zoom)
     manifest = store.read_attr(name, zoom, "avro_manifest")
     path = _layer_path(root, name, zoom) + "-avro"
+    spacetime = bool(manifest.get("spacetime"))
+    out_schema = (
+        "zoom int, col int, row int, cell long, tile binary, "
+        "h int, w int, fmt string" + (", ts long" if spacetime else "")
+    )
     files = manifest["files"]
     if cell_ranges:
         files = [f for f in files
                  if _ranges_hit(f["min_cell"], f["max_cell"], cell_ranges)]
     if not files:
-        return spark.createDataFrame(
-            [], "zoom int, col int, row int, cell long, tile binary, "
-                "h int, w int, fmt string")
+        return spark.createDataFrame([], out_schema)
     block_map = {f["file"]: f["blocks"] for f in files}
     paths = [os.path.join(path, f["file"]) for f in files]
     raw = spark.read.format("binaryFile").load(paths)
     bm = spark.sparkContext.broadcast(block_map)
     cr = spark.sparkContext.broadcast(cell_ranges)
 
+    keys = ["zoom", "col", "row", "cell", "tile", "h", "w", "fmt"] + (
+        ["ts"] if spacetime else [])
+
     def decode_part(it):
         for pdf in it:
-            out = {k: [] for k in
-                   ("zoom", "col", "row", "cell", "tile", "h", "w", "fmt")}
+            out = {k: [] for k in keys}
             for t in pdf.itertuples(index=False):
                 fname = os.path.basename(t.path)
                 blocks = bm.value[fname]
@@ -235,7 +256,11 @@ def read_layer_avro(
                                 arr = np.stack([a for a, _ in tiles], axis=2)
                             else:
                                 arr, _ = avro.record_to_tile(v)
-                            cellv = int(z2_encode(k["col"], k["row"]))
+                            ts = k.get("instant")
+                            if spacetime and cell_of is not None:
+                                cellv = int(cell_of(k["col"], k["row"], ts))
+                            else:
+                                cellv = int(z2_encode(k["col"], k["row"]))
                             if ranges and not _ranges_hit(cellv, cellv, ranges):
                                 continue
                             out["zoom"].append(zoom)
@@ -246,13 +271,11 @@ def read_layer_avro(
                             out["h"].append(arr.shape[0])
                             out["w"].append(arr.shape[1])
                             out["fmt"].append("raw")
+                            if spacetime:
+                                out["ts"].append(ts)
             yield pd.DataFrame(out)
 
-    df = raw.mapInPandas(
-        decode_part,
-        "zoom int, col int, row int, cell long, tile binary, "
-        "h int, w int, fmt string",
-    )
+    df = raw.mapInPandas(decode_part, out_schema)
     if where:
         for f in where:
             df = df.where(_filter_to_sql(f, meta))
