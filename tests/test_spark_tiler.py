@@ -487,3 +487,28 @@ class TestLayoutMerge:
                         assert np.isnan(arr[py, px]), (c, r, px, py)
                     else:
                         assert arr[py, px] == want, (c, r, px, py)
+
+
+class TestMajorityVectorized:
+    def test_matches_per_pixel_unique(self):
+        """The sort/run-length majority kernel == the per-pixel np.unique
+        definition (smallest value wins ties), NaNs excluded; all-NaN
+        pixels stay NaN."""
+        from tilegrid.operators.local import _majority
+
+        rng = np.random.default_rng(17)
+        for trial in range(10):
+            n = int(rng.integers(1, 7))
+            s = rng.integers(0, 4, (n, 9, 8)).astype(float)
+            s[rng.random(s.shape) < 0.35] = np.nan
+            for most in (True, False):
+                want = np.full((9, 8), np.nan)
+                for i in range(9):
+                    for j in range(8):
+                        v = s[:, i, j]
+                        v = v[~np.isnan(v)]
+                        if len(v):
+                            vals, counts = np.unique(v, return_counts=True)
+                            want[i, j] = vals[
+                                np.argmax(counts) if most else np.argmin(counts)]
+                np.testing.assert_array_equal(_majority(s, most), want)

@@ -84,16 +84,31 @@ def _variety(s: np.ndarray) -> np.ndarray:
 
 
 def _majority(s: np.ndarray, most: bool) -> np.ndarray:
-    h, w = s.shape[1:]
-    out = np.full((h, w), np.nan)
-    for i in range(h):
-        for j in range(w):
-            v = s[:, i, j]
-            v = v[~np.isnan(v)]
-            if len(v):
-                vals, counts = np.unique(v, return_counts=True)
-                out[i, j] = vals[np.argmax(counts) if most else np.argmin(counts)]
-    return out
+    """Per-pixel mode (most=True) / anti-mode across the layer axis,
+    NaN-excluded; ties resolve to the SMALLEST value (np.unique order —
+    the reference's Majority/Minority TreeMap iteration order). Vectorized:
+    sort along the stack axis, label value-runs, scatter-count run lengths,
+    then argmax/argmin over runs — no per-pixel Python."""
+    n, h, w = s.shape
+    srt = np.sort(s, axis=0)  # NaNs sort last
+    valid = ~np.isnan(srt)
+    fresh = np.ones((n, h, w), dtype=bool)
+    fresh[1:] = srt[1:] != srt[:-1]
+    run_id = np.cumsum(fresh, axis=0) - 1  # 0-based run index per pixel
+    counts = np.zeros((n, h, w), dtype=np.int64)
+    jj, yy, xx = np.nonzero(valid)
+    np.add.at(counts, (run_id[jj, yy, xx], yy, xx), 1)
+    # value of each run = the sorted value at the run's first slot
+    vals = np.full((n, h, w), np.nan)
+    fj, fy, fx = np.nonzero(fresh & valid)
+    vals[run_id[fj, fy, fx], fy, fx] = srt[fj, fy, fx]
+    if most:
+        best = np.argmax(counts, axis=0)  # first max -> smallest value
+    else:
+        masked = np.where(counts == 0, np.iinfo(np.int64).max, counts)
+        best = np.argmin(masked, axis=0)  # first min -> smallest value
+    out = np.take_along_axis(vals, best[None], axis=0)[0]
+    return out  # all-NaN pixels: counts all 0 -> run 0 -> vals NaN
 
 
 def _dec(b, f) -> np.ndarray:
