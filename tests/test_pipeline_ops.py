@@ -86,6 +86,49 @@ class TestText:
         assert out.loc[0, "pred"] == "en"
         assert out.loc[4, "pred"] == "fr"
 
+    def test_repetition_signals(self, spark):
+        from collections import Counter
+
+        out = (
+            T.repetition_signals(_docs_df(spark))
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+        def grams(toks, n):
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        for i, text in enumerate(DOCS):
+            toks = py_tokens(text)
+            g2, g3 = Counter(grams(toks, 2)), Counter(grams(toks, 3))
+            tc2 = sum(c * len(g) for g, c in g2.items())
+            top2 = max((c * len(g) for g, c in g2.items()), default=0)
+            tot3 = sum(g3.values())
+            tc3 = sum(c * len(g) for g, c in g3.items())
+            rc3 = sum((c - 1) * len(g) for g, c in g3.items() if c > 1)
+            assert out.loc[i, "top_2gram_char_frac"] == pytest.approx(
+                top2 / tc2 if tc2 else 0.0, abs=1e-6
+            )
+            assert out.loc[i, "dup_3gram_frac"] == pytest.approx(
+                1 - len(g3) / tot3 if tot3 else 0.0, abs=1e-6
+            )
+            assert out.loc[i, "dup_3gram_char_frac"] == pytest.approx(
+                rc3 / tc3 if tc3 else 0.0, abs=1e-6
+            )
+
+    def test_repetition_short_docs(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "one", "one two"]})
+        )
+        out = T.repetition_signals(df).toPandas().set_index("doc_id").sort_index()
+        # no 3-grams anywhere; doc 2 has exactly one 2-gram covering all chars
+        assert (out["dup_3gram_frac"] == 0.0).all()
+        assert (out["dup_3gram_char_frac"] == 0.0).all()
+        assert out.loc[0, "top_2gram_char_frac"] == 0.0
+        assert out.loc[1, "top_2gram_char_frac"] == 0.0
+        assert out.loc[2, "top_2gram_char_frac"] == 1.0
+
     def test_fingerprint_normalization_invariance(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame(

@@ -118,6 +118,65 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_structs(n: int) -> str:
+    """Spark expression: array<struct<n:int, g:string>> of the token
+    `n`-grams of `toks` (space-joined). Guarded so short docs yield a typed
+    empty array (sequence() would run DESCENDING on size < n)."""
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> named_struct('n', {n}, 'g', concat_ws(' ', slice(toks, i, {n})))) "
+        f"ELSE slice(array(named_struct('n', {n}, 'g', '')), 1, 0) END"
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+      * top_2gram_char_frac — characters covered by the most frequent
+        token 2-gram / total 2-gram characters (a boilerplate detector);
+      * dup_3gram_frac     — fraction of 3-gram occurrences that are
+        repeats (1 - distinct/total);
+      * dup_3gram_char_frac — characters inside repeated 3-gram
+        occurrences / total 3-gram characters.
+
+    Shape for 100 TB: one explode -> groupBy(doc, n, gram) with map-side
+    partial aggregation -> one groupBy(doc) -> equi-join back onto the
+    document table. Two bounded shuffles keyed by doc_id; linear in corpus
+    size, never a per-doc quadratic array scan. (Repetition filters appear
+    in the Gopher/MassiveText data pipeline literature; rebuilt here
+    relationally.)"""
+    toks = tokens_expr(text_col)
+    base = df.select(id_col, F.expr(toks).alias("toks"))
+    grams = base.select(
+        id_col,
+        F.expr(f"explode(concat({_gram_structs(2)}, {_gram_structs(3)}))").alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    cnts = grams.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+    cl = F.col("c") * F.length("g")
+    n2, n3 = F.col("n") == 2, F.col("n") == 3
+    per = cnts.groupBy(id_col).agg(
+        F.sum(F.when(n2, cl)).alias("tc2"),
+        F.max(F.when(n2, cl)).alias("top2"),
+        F.sum(F.when(n3, F.col("c"))).alias("tot3"),
+        F.sum(F.when(n3, F.lit(1))).alias("dist3"),
+        F.sum(F.when(n3, cl)).alias("tc3"),
+        F.sum(F.when(n3 & (F.col("c") > 1), (F.col("c") - 1) * F.length("g")))
+        .alias("rc3"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num.cast("double") / F.col(den), F.lit(0.0)), 6
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        frac(F.col("top2"), "tc2").alias("top_2gram_char_frac"),
+        frac(F.col("tot3") - F.col("dist3"), "tot3").alias("dup_3gram_frac"),
+        frac(F.col("rc3"), "tc3").alias("dup_3gram_char_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized token stream (robust to
     whitespace/punctuation), plus a head fingerprint of the first 8 tokens

@@ -2054,6 +2054,48 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-2-gram char coverage,
+    duplicate-3-gram fractions): explode -> two partial-agg groupBys ->
+    equi-join back; linear, no per-doc quadratic scan."""
+    return T.repetition_signals(_read(spark, sf_dir, "documents"))
+
+
+def _o_repetition() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS g
+  FROM t
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' ')))
+  FROM t
+),
+c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+p AS (SELECT doc_id,
+        sum(CASE WHEN n = 2 THEN c * length(g) END) AS tc2,
+        max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+        sum(CASE WHEN n = 3 THEN c END) AS tot3,
+        sum(CASE WHEN n = 3 THEN 1 END) AS dist3,
+        sum(CASE WHEN n = 3 THEN c * length(g) END) AS tc3,
+        sum(CASE WHEN n = 3 AND c > 1 THEN (c - 1) * length(g) END) AS rc3
+      FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       round(COALESCE(CAST(top2 AS DOUBLE) / tc2, 0.0), 6)
+         AS top_2gram_char_frac,
+       round(COALESCE(CAST(tot3 - dist3 AS DOUBLE) / tot3, 0.0), 6)
+         AS dup_3gram_frac,
+       round(COALESCE(CAST(rc3 AS DOUBLE) / tc3, 0.0), 6)
+         AS dup_3gram_char_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents")
     return df.select(
@@ -3780,6 +3822,7 @@ QUERIES = {
     "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
     "sessionize": q_sessionize,  # new in round 4 (session_window)
     "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
+    "repetition": q_repetition,  # new in round 4 (Gopher repetition signals)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -3923,6 +3966,7 @@ ORACLES = {
     "focal_mean_multiband": _o_focal_mean_multiband(),
     "sessionize": _o_sessionize(),
     "tfidf": _o_tfidf(),
+    "repetition": _o_repetition(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
