@@ -143,6 +143,57 @@ class TestText:
 
 
 class TestDedup:
+    def test_hamming_dup_pairs_images(self, spark):
+        """Planted near-identical images: the banded Hamming join over the
+        real phash column finds exactly the pairs a brute-force scan does."""
+        from tilegrid import fixtures
+
+        imgs = fixtures.images_table(12)[["image_id", "phash"]].copy()
+        # plant a near-dup of img 0: same image, two pixels flipped ->
+        # phash differs in few bits (often 0-2; assert <= max_hamming)
+        base = fixtures.make_pattern_rgb(0, 64, 64)
+        pert = base.copy()
+        pert[0, 0, 0] ^= 255
+        pert[5, 7, 1] ^= 128
+        imgs = pd.concat(
+            [imgs, pd.DataFrame({"image_id": ["img_pert"],
+                                 "phash": [np.int64(fixtures.phash64(pert))]})],
+            ignore_index=True,
+        )
+        t = 8
+        out = (
+            D.hamming_dup_pairs(
+                spark.createDataFrame(imgs), max_hamming=t, nbits=64
+            )
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        # brute-force oracle
+        exp = []
+        recs = imgs.to_records(index=False)
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                hd = bin((int(a.phash) ^ int(b.phash)) & ((1 << 64) - 1)).count("1")
+                if hd <= t:
+                    pa, pb = sorted([a.image_id, b.image_id])
+                    exp.append((pa, pb, hd))
+        exp = sorted(exp)
+        got = sorted(map(tuple, out.values))
+        assert got == exp
+        assert ("img0000000000", "img_pert") in {(a, b) for a, b, _ in exp}
+
+    def test_hamming_dup_pairs_hot_bucket_cap(self, spark):
+        # 50 identical hashes -> one mega bucket; the cap drops it so the
+        # self-join output stays bounded
+        df = spark.createDataFrame(
+            pd.DataFrame({"image_id": [f"i{k}" for k in range(50)],
+                          "phash": np.int64([7] * 50)})
+        )
+        capped = D.hamming_dup_pairs(df, max_bucket=10).count()
+        assert capped == 0
+
     def test_exact(self, spark):
         out = D.exact_dedup(_docs_df(spark)).toPandas()
         dup = out[out.n_docs == 2]

@@ -364,6 +364,61 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
+def hamming_dup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+    nbits: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over a fixed-width integer hash column by
+    Hamming distance — THE image-dedup op for the corpus's `phash` column
+    (perceptual hashes of near-identical images differ in a few bits).
+
+    EXACT by pigeonhole: the hash is split into max_hamming + 1 disjoint
+    bit bands; any pair within distance max_hamming agrees on >= 1 band, so
+    a band equi-join + bit_count(xor) refine returns exactly the pairs a
+    brute-force O(n^2) scan would. The only shuffle is the (band, bucket)
+    equi-join — never a cross join — and `max_bucket` bounds hot buckets
+    (flat/monochrome images collapse to few hash values at scale) the same
+    way minhash_lsh_pairs does. Output (id_a, id_b, hamming), id_a < id_b.
+    All expressions are codegen bit ops; no Python in the path."""
+    band_w = -(-nbits // (max_hamming + 1))
+    mask = (1 << band_w) - 1
+    bands = df.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(
+                        f"shiftrightunsigned({hash_col}, {j * band_w}) & {mask}"
+                    ).alias("bucket"),
+                )
+                for j in range(max_hamming + 1)
+            ])
+        ).alias("bb"),
+    ).select(id_col, hash_col, "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        bands = _cap_buckets(bands, ["band", "bucket"], max_bucket, "hamming_dup")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.expr(f"a.{id_col} < b.{id_col}"))
+        .select(
+            F.expr(f"a.{id_col}").alias("id_a"),
+            F.expr(f"b.{id_col}").alias("id_b"),
+            F.expr(f"CAST(bit_count(a.{hash_col} ^ b.{hash_col}) AS INT)")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1990,6 +1990,46 @@ FROM hs
 """
 
 
+def q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-dup pairs over a 64-bit perceptual-hash column
+    (dedup.hamming_dup_pairs): banded bit-slice equi-join + bit_count(xor)
+    refine, EXACT by pigeonhole — the oracle brute-forces all pairs, so the
+    hash check proves the banding loses nothing. Uses the (verified)
+    simhash values as the hash column since the contract tables carry no
+    image bytes; on the image corpus the same op runs on `phash`
+    (pytest-verified against planted near-identical images)."""
+    hashes = D.with_simhash(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
+    )
+    return D.hamming_dup_pairs(
+        hashes, id_col="doc_id", hash_col="simhash", max_hamming=8, nbits=60
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+def _o_phash_dups() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    h = D.hash60_expr("t", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+hs0 AS (SELECT doc_id, list_transform(toks, t -> {h}) AS hs FROM t),
+sh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60), j ->
+           CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+                CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+         AS simhash
+  FROM hs0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = T.with_token_stats(_read(spark, sf_dir, "documents"))
     return out.select(
@@ -3823,6 +3863,7 @@ QUERIES = {
     "sessionize": q_sessionize,  # new in round 4 (session_window)
     "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
     "repetition": q_repetition,  # new in round 4 (Gopher repetition signals)
+    "phash_dups": q_phash_dups,  # new in round 4 (banded Hamming image dedup)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -3967,6 +4008,7 @@ ORACLES = {
     "sessionize": _o_sessionize(),
     "tfidf": _o_tfidf(),
     "repetition": _o_repetition(),
+    "phash_dups": _o_phash_dups(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
