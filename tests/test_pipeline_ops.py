@@ -611,3 +611,74 @@ class TestClusterDuplicates:
         kept = sorted(r["doc_id"]
                       for r in out.where("doc_id = cluster_id").collect())
         assert kept == [0, 2, 4]
+
+
+class TestSampling:
+    def _ids(self, spark, n=4000):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("src"),
+        )
+
+    def test_split_disjoint_exhaustive_and_sized(self, spark):
+        from tilegrid.operators import sample as S
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = S.with_split(self._ids(spark), w).groupBy("split").count().toPandas()
+        counts = dict(zip(out["split"], out["count"]))
+        assert sum(counts.values()) == 4000  # exhaustive, disjoint
+        # binomial 5-sigma bands
+        assert abs(counts["train"] - 3200) < 5 * (4000 * 0.8 * 0.2) ** 0.5
+        assert abs(counts.get("val", 0) - 400) < 5 * (4000 * 0.1 * 0.9) ** 0.5
+
+    def test_sample_stable_under_repartition(self, spark):
+        from tilegrid.operators import sample as S
+
+        df = self._ids(spark)
+        a = set(
+            r.doc_id
+            for r in S.deterministic_sample(df, 0.3).select("doc_id").collect()
+        )
+        b = set(
+            r.doc_id
+            for r in S.deterministic_sample(df.repartition(17), 0.3)
+            .select("doc_id").collect()
+        )
+        assert a == b  # membership is a pure function of the id
+        assert abs(len(a) - 1200) < 5 * (4000 * 0.3 * 0.7) ** 0.5
+
+    def test_salt_decorrelates(self, spark):
+        from tilegrid.operators import sample as S
+
+        df = self._ids(spark)
+        a = set(r.doc_id for r in S.deterministic_sample(df, 0.5, salt="a").collect())
+        b = set(r.doc_id for r in S.deterministic_sample(df, 0.5, salt="b").collect())
+        inter = len(a & b)
+        # independent draws: |a&b| ~ Binomial(4000, 0.25)
+        assert abs(inter - 1000) < 5 * (4000 * 0.25 * 0.75) ** 0.5
+
+    def test_stratified_rates(self, spark):
+        from tilegrid.operators import sample as S
+
+        out = (
+            S.stratified_sample(
+                self._ids(spark), {"0": 1.0, "1": 0.0}, strata_col="src",
+                default=0.5,
+            )
+            .groupBy("src").count().toPandas()
+        )
+        counts = dict(zip(out["src"], out["count"]))
+        assert counts["0"] == 1000 and "1" not in counts
+        for s in ("2", "3"):
+            assert abs(counts[s] - 500) < 5 * (1000 * 0.25) ** 0.5
+
+    def test_sample_is_narrow(self, spark):
+        from tilegrid.operators import sample as S
+
+        plan = (
+            S.deterministic_sample(self._ids(spark), 0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan

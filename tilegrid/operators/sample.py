@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Spark's ``df.sample()`` draws from a per-partition RNG seed: the sampled
+set changes under task retry, repartitioning, AQE re-planning, or a
+checkpoint resume — unacceptable for a resumable 100 TB pipeline, where a
+retried partition would silently change the training set. Everything here
+keys membership off a 60-bit md5 hash of a row's stable id
+(``dedup.hash60_expr``), so membership is a pure function of the row:
+stable across retries, cluster sizes, partitionings, and engines (the
+DuckDB oracle replays the identical expression).
+
+Thresholds are precomputed INTEGER literals (``int(fraction * 2**60)``),
+so the comparison is exact integer math — no float-rounding drift between
+engines. All expressions are codegen; sample/split add zero shuffles (a
+narrow filter / projection over the scan, filters pushable past it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import hash60_expr
+
+_SCALE = 1 << 60
+
+
+def _hash_expr(id_col: str, salt: str, dialect: str = "spark") -> str:
+    """60-bit hash of (id, salt); the salt decorrelates independent draws
+    (a sample and a split over the same ids must not be correlated)."""
+    if dialect == "spark":
+        s = f"concat(CAST({id_col} AS STRING), '|{salt}')"
+    else:
+        s = f"(CAST({id_col} AS VARCHAR) || '|{salt}')"
+    return hash60_expr(s, dialect)
+
+
+def split_expr(
+    weights: dict[str, float], id_col: str, salt: str = "split",
+    dialect: str = "spark",
+) -> str:
+    """CASE expression assigning each row to one named split with the given
+    weights (need not sum to exactly 1; they are normalized). Ordered
+    cumulative integer thresholds over the id hash."""
+    total = sum(weights.values())
+    names = list(weights)
+    h = _hash_expr(id_col, salt, dialect)
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        arms.append(f"WHEN {h} < {int(cum * _SCALE)} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def with_split(
+    df: DataFrame, weights: dict[str, float], id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column ('train'/'val'/... per `weights`). Disjoint and
+    exhaustive by construction; membership is a pure function of
+    (id, salt)."""
+    return df.withColumn("split", F.expr(split_expr(weights, id_col, salt)))
+
+
+def sample_pred(
+    fraction: float, id_col: str, salt: str = "sample",
+    dialect: str = "spark",
+) -> str:
+    """Boolean expression: deterministic `fraction` sample of rows by id."""
+    return f"{_hash_expr(id_col, salt, dialect)} < {int(fraction * _SCALE)}"
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic `fraction` of rows. Retry/resume-stable (see
+    module docstring); a narrow pushable filter, zero shuffle."""
+    return df.where(F.expr(sample_pred(fraction, id_col, salt)))
+
+
+def stratified_sample_pred(
+    fractions: dict[str, float], strata_col: str, id_col: str,
+    default: float = 0.0, salt: str = "strata", dialect: str = "spark",
+) -> str:
+    """Boolean expression: per-stratum deterministic sampling rates (the
+    data-mixing primitive: upsample rare sources / downsample dominant
+    ones by source or language)."""
+    h = _hash_expr(id_col, salt, dialect)
+    arms = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v * _SCALE)}"
+        for k, v in fractions.items()
+    )
+    return f"{h} < (CASE {arms} ELSE {int(default * _SCALE)} END)"
+
+
+def stratified_sample(
+    df: DataFrame, fractions: dict[str, float], strata_col: str = "lang",
+    id_col: str = "doc_id", default: float = 0.0, salt: str = "strata",
+) -> DataFrame:
+    """Keep per-stratum deterministic fractions of rows (strata not listed
+    in `fractions` keep `default`). Same stability guarantees as
+    deterministic_sample; still a single narrow filter."""
+    return df.where(
+        F.expr(stratified_sample_pred(fractions, strata_col, id_col, default, salt))
+    )

@@ -27,6 +27,7 @@ from .grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
 from .operators import LAYER_SCHEMA
 from .operators import ann as A
 from .operators import dedup as D
+from .operators import sample as SMP
 from .operators import text as T
 from .operators.focal import focal_sum
 from .operators.join import knn_join_df, pip_join_df
@@ -2030,6 +2031,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_FRACTIONS = {"en": 0.5, "fr": 0.25}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed train/val/test assignment
+    (sample.with_split): retry/resume-stable membership, pure codegen,
+    zero shuffle — unlike df.sample's per-partition RNG."""
+    return SMP.with_split(
+        _read(spark, sf_dir, "documents"), _SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+def _o_train_split() -> str:
+    e = SMP.split_expr(_SPLIT_WEIGHTS, "doc_id", dialect="duckdb")
+    return f"SELECT doc_id, {e} AS split FROM documents"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling rates (the data-mixing
+    primitive: en 50%, fr 25%, everything else 10%)."""
+    return SMP.stratified_sample(
+        _read(spark, sf_dir, "documents"), _STRATA_FRACTIONS, default=0.1
+    ).select("doc_id", "lang")
+
+
+def _o_stratified_sample() -> str:
+    p = SMP.stratified_sample_pred(
+        _STRATA_FRACTIONS, "lang", "doc_id", default=0.1, dialect="duckdb"
+    )
+    return f"SELECT doc_id, lang FROM documents WHERE {p}"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = T.with_token_stats(_read(spark, sf_dir, "documents"))
     return out.select(
@@ -3864,6 +3898,8 @@ QUERIES = {
     "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
     "repetition": q_repetition,  # new in round 4 (Gopher repetition signals)
     "phash_dups": q_phash_dups,  # new in round 4 (banded Hamming image dedup)
+    "train_split": q_train_split,  # new in round 4 (deterministic splits)
+    "stratified_sample": q_stratified_sample,  # new in round 4 (data mixing)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -4009,6 +4045,8 @@ ORACLES = {
     "tfidf": _o_tfidf(),
     "repetition": _o_repetition(),
     "phash_dups": _o_phash_dups(),
+    "train_split": _o_train_split(),
+    "stratified_sample": _o_stratified_sample(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
