@@ -74,6 +74,18 @@ HEADLINE = [
     "euclidean_distance",
     "polygon_overlay",
     "streaming_counts",
+    # round-4 additions: datum reproject, line geometry, Avro store,
+    # multiband focal, ETL-era pipeline ops
+    "reproject_datum",
+    "line_clip",
+    "avro_roundtrip",
+    "focal_mean_multiband",
+    "dedup_clusters",
+    "sessionize",
+    "tfidf",
+    "repetition",
+    "phash_dups",
+    "train_split",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

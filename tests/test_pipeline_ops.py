@@ -682,3 +682,28 @@ class TestSampling:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestCorpusFilter:
+    def test_reasons_in_documented_order(self, spark):
+        from tilegrid.operators.text import corpus_filter
+
+        # varied vocab, no repeated 2-gram, en stopwords present -> keep
+        good = " ".join(f"the w{i} of x{i * 7 % 997} to y{i * 13 % 883}"
+                        for i in range(40))
+        # quality passes (diverse enough + stopwords) but one 2-gram dominates
+        repet = " ".join(f"the alpha beta w{i}" for i in range(30))
+        # quality passes, no repetition, but stopwords vote French
+        french = " ".join(f"le f{i} la g{i}" for i in range(20))
+        short = "tiny doc"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                          "text": [good, repet, french, short]})
+        )
+        out = (
+            corpus_filter(df).toPandas().set_index("doc_id").sort_index()
+        )
+        assert bool(out.loc[0, "keep"]) is True
+        assert out.loc[1, "reject_reason"] == "repetitive_2gram"
+        assert out.loc[2, "reject_reason"] == "lang"
+        assert out.loc[3, "reject_reason"] == "too_short"

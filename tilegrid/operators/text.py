@@ -177,6 +177,53 @@ def repetition_signals(
     )
 
 
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+    max_tokens: int = 4096,
+    min_quality: float = 0.5,
+    max_top2: float = 0.08,
+    max_dup3: float = 0.1,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The composed C4/Gopher-style cleaning rule, one call: length band +
+    quality score + repetition thresholds + language allowlist. Returns
+    (id, keep, reject_reason) where reject_reason names the FIRST failing
+    rule in documented order (length -> quality -> repetition -> lang) —
+    the audit column a production pipeline logs per document.
+
+    Pure composition of the individually-oracled stages (quality_score,
+    repetition_signals, lang_id_expr): one doc_id equi-join between the
+    narrow quality pass and the repetition aggregate; everything else
+    codegen."""
+    q = quality_score(df, text_col).withColumn(
+        "pred_lang", F.expr(lang_id_expr(f"({tokens_expr(text_col)})"))
+    ).select(id_col, "token_count", "quality", "pred_lang")
+    rep = repetition_signals(df, text_col, id_col)
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    reason = F.expr(
+        f"CASE WHEN token_count < {min_tokens} THEN 'too_short' "
+        f"WHEN token_count > {max_tokens} THEN 'too_long' "
+        f"WHEN quality < CAST({min_quality} AS DOUBLE) THEN 'low_quality' "
+        f"WHEN top_2gram_char_frac > CAST({max_top2} AS DOUBLE) "
+        f"THEN 'repetitive_2gram' "
+        f"WHEN dup_3gram_frac > CAST({max_dup3} AS DOUBLE) "
+        f"THEN 'repetitive_3gram' "
+        f"WHEN pred_lang NOT IN ({lang_list}) THEN 'lang' END"
+    )
+    return (
+        q.join(rep, id_col)
+        .withColumn("reject_reason", reason)
+        .select(
+            id_col,
+            F.col("reject_reason").isNull().alias("keep"),
+            "reject_reason",
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized token stream (robust to
     whitespace/punctuation), plus a head fingerprint of the first 8 tokens

@@ -2064,6 +2064,74 @@ def _o_stratified_sample() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {p}"
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4/Gopher cleaning rule (length band + quality +
+    repetition thresholds + language allowlist) with per-doc first-failing
+    reject reasons — the audit output of a production filter stage."""
+    return T.corpus_filter(_read(spark, sf_dir, "documents"))
+
+
+def _o_corpus_filter() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    sw = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    pred = T.lang_id_expr("toks", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS token_count,
+         CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS BIGINT)
+           AS stopword_hits,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dr,
+         {pred} AS pred_lang
+  FROM t
+),
+q AS (
+  SELECT doc_id, token_count, pred_lang,
+         round((CASE WHEN token_count BETWEEN 16 AND 4096 THEN 0.4 ELSE 0.0 END)
+               + least(dr, 0.5) * 0.6
+               + (CASE WHEN stopword_hits > 0 THEN 0.2 ELSE 0.0 END), 6)
+           AS quality
+  FROM s
+),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS g
+  FROM t
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' ')))
+  FROM t
+),
+c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+p AS (SELECT doc_id,
+        sum(CASE WHEN n = 2 THEN c * length(g) END) AS tc2,
+        max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+        sum(CASE WHEN n = 3 THEN c END) AS tot3,
+        sum(CASE WHEN n = 3 THEN 1 END) AS dist3
+      FROM c GROUP BY doc_id),
+rep AS (
+  SELECT d.doc_id,
+         round(COALESCE(CAST(top2 AS DOUBLE) / tc2, 0.0), 6) AS top2f,
+         round(COALESCE(CAST(tot3 - dist3 AS DOUBLE) / tot3, 0.0), 6) AS dup3f
+  FROM documents d LEFT JOIN p USING (doc_id)
+),
+r AS (
+  SELECT q.doc_id,
+         CASE WHEN token_count < 16 THEN 'too_short'
+              WHEN token_count > 4096 THEN 'too_long'
+              WHEN quality < CAST(0.5 AS DOUBLE) THEN 'low_quality'
+              WHEN top2f > CAST(0.08 AS DOUBLE) THEN 'repetitive_2gram'
+              WHEN dup3f > CAST(0.1 AS DOUBLE) THEN 'repetitive_3gram'
+              WHEN pred_lang NOT IN ('en') THEN 'lang' END AS reject_reason
+  FROM q JOIN rep ON q.doc_id = rep.doc_id
+)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = T.with_token_stats(_read(spark, sf_dir, "documents"))
     return out.select(
@@ -3900,6 +3968,7 @@ QUERIES = {
     "phash_dups": q_phash_dups,  # new in round 4 (banded Hamming image dedup)
     "train_split": q_train_split,  # new in round 4 (deterministic splits)
     "stratified_sample": q_stratified_sample,  # new in round 4 (data mixing)
+    "corpus_filter": q_corpus_filter,  # new in round 4 (composed cleaning rule)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -4047,6 +4116,7 @@ ORACLES = {
     "phash_dups": _o_phash_dups(),
     "train_split": _o_train_split(),
     "stratified_sample": _o_stratified_sample(),
+    "corpus_filter": _o_corpus_filter(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
