@@ -684,6 +684,29 @@ class TestSampling:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+    def test_mix_oversample_rates_and_stability(self, spark):
+        from tilegrid.operators import sample as S
+
+        df = self._ids(spark)  # src in 0..3, 1000 each
+        rates = {"0": 3.0, "1": 2.5, "2": 0.5}
+        out = (
+            S.mix_oversample(df, rates, strata_col="src", default=1.0)
+            .groupBy("src").count().toPandas()
+        )
+        counts = dict(zip(out["src"], out["count"]))
+        assert counts["0"] == 3000                       # integer rate exact
+        assert abs(counts["1"] - 2500) < 5 * (1000 * 0.25) ** 0.5
+        assert abs(counts["2"] - 500) < 5 * (1000 * 0.25) ** 0.5
+        assert counts["3"] == 1000                       # default 1.0 exact
+        # stability: identical rows + order keys under repartition
+        a = S.mix_oversample(df, rates, strata_col="src").select(
+            "doc_id", "copy", "order_key").toPandas()
+        b = S.mix_oversample(df.repartition(13), rates, strata_col="src").select(
+            "doc_id", "copy", "order_key").toPandas()
+        key = lambda p: sorted(map(tuple, p.values))  # noqa: E731
+        assert key(a) == key(b)
+
+
 class TestCorpusFilter:
     def test_reasons_in_documented_order(self, spark):
         from tilegrid.operators.text import corpus_filter

@@ -94,6 +94,59 @@ def stratified_sample_pred(
     return f"{h} < (CASE {arms} ELSE {int(default * _SCALE)} END)"
 
 
+def mix_rows_exprs(
+    rates: dict[str, float], strata_col: str, id_col: str,
+    default: float = 1.0, salt: str = "mix", dialect: str = "spark",
+) -> tuple[str, str, str]:
+    """(n_copies_expr, keep_pred_on_copy, order_key_expr) for a weighted
+    training mix with OVERSAMPLING: rate r emits floor(r) whole copies of
+    each row plus one more with probability frac(r), deterministically
+    keyed by (id, salt, copy). copy is the 1-based replica index column
+    the caller explodes; order_key is a stable pseudo-random sort key so
+    the interleave order of the mixed corpus is also a pure function of
+    the data (resume-safe epoch shuffling)."""
+    def arms(f):
+        body = " ".join(
+            f"WHEN {strata_col} = '{k}' THEN {f(v)}" for k, v in rates.items()
+        )
+        return f"CASE {body} ELSE {f(default)} END"
+
+    import math
+
+    ceil_expr = arms(lambda v: int(math.ceil(v)))
+    floor_expr = arms(lambda v: int(math.floor(v)))
+    thr_expr = arms(lambda v: int((v - math.floor(v)) * _SCALE))
+    if dialect == "spark":
+        hc = f"concat(CAST({id_col} AS STRING), '|{salt}|', CAST(copy AS STRING))"
+    else:
+        hc = f"(CAST({id_col} AS VARCHAR) || '|{salt}|' || CAST(copy AS VARCHAR))"
+    keep = f"(copy <= {floor_expr} OR {hash60_expr(hc, dialect)} < {thr_expr})"
+    if dialect == "spark":
+        oc = f"concat(CAST({id_col} AS STRING), '|{salt}|ord|', CAST(copy AS STRING))"
+    else:
+        oc = f"(CAST({id_col} AS VARCHAR) || '|{salt}|ord|' || CAST(copy AS VARCHAR))"
+    return ceil_expr, keep, hash60_expr(oc, dialect)
+
+
+def mix_oversample(
+    df: DataFrame, rates: dict[str, float], strata_col: str = "source",
+    id_col: str = "doc_id", default: float = 1.0, salt: str = "mix",
+) -> DataFrame:
+    """Weighted training mix with upsampling: each row appears
+    floor(rate) + Bernoulli(frac(rate)) times (deterministic, hash-keyed —
+    see module docstring), tagged with its replica index `copy` and a
+    stable pseudo-random `order_key` for resume-safe interleaving. The
+    explode is bounded by ceil(rate) (a narrow row-amplification, no
+    shuffle); sorting by order_key at write time is the one range
+    exchange a mixed-corpus materialization needs anyway."""
+    ceil_e, keep, order = mix_rows_exprs(rates, strata_col, id_col, default, salt)
+    return (
+        df.withColumn("copy", F.explode(F.expr(f"sequence(1, {ceil_e})")))
+        .where(F.expr(keep))
+        .withColumn("order_key", F.expr(order))
+    )
+
+
 def stratified_sample(
     df: DataFrame, fractions: dict[str, float], strata_col: str = "lang",
     id_col: str = "doc_id", default: float = 0.0, salt: str = "strata",

@@ -2064,6 +2064,31 @@ def _o_stratified_sample() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {p}"
 
 
+_MIX_RATES = {"en": 2.5, "fr": 1.0}
+
+
+def q_mix_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mix with upsampling (en x2.5, fr x1, rest x0.25):
+    deterministic copy counts + stable interleave key, resume-safe."""
+    return SMP.mix_oversample(
+        _read(spark, sf_dir, "documents"), _MIX_RATES, strata_col="lang",
+        default=0.25,
+    ).select("doc_id", "lang", "copy", "order_key")
+
+
+def _o_mix_oversample() -> str:
+    ceil_e, keep, order = SMP.mix_rows_exprs(
+        _MIX_RATES, "lang", "doc_id", default=0.25, dialect="duckdb"
+    )
+    return f"""
+WITH x AS (
+  SELECT doc_id, lang, unnest(range(1, {ceil_e} + 1)) AS copy FROM documents
+)
+SELECT doc_id, lang, CAST(copy AS INT) AS copy, {order} AS order_key
+FROM x WHERE {keep}
+"""
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed C4/Gopher cleaning rule (length band + quality +
     repetition thresholds + language allowlist) with per-doc first-failing
@@ -3969,6 +3994,7 @@ QUERIES = {
     "train_split": q_train_split,  # new in round 4 (deterministic splits)
     "stratified_sample": q_stratified_sample,  # new in round 4 (data mixing)
     "corpus_filter": q_corpus_filter,  # new in round 4 (composed cleaning rule)
+    "mix_oversample": q_mix_oversample,  # new in round 4 (weighted epoch mix)
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -4117,6 +4143,7 @@ ORACLES = {
     "train_split": _o_train_split(),
     "stratified_sample": _o_stratified_sample(),
     "corpus_filter": _o_corpus_filter(),
+    "mix_oversample": _o_mix_oversample(),
     "zonal_stats": _o_zonal_stats(),
     "knn_global": _o_knn_global(),
     "embed_dups": _o_embed_dups(),
