@@ -86,6 +86,8 @@ HEADLINE = [
     "repetition",
     "phash_dups",
     "train_split",
+    "corpus_filter",
+    "mix_oversample",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))
