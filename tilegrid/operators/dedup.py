@@ -170,16 +170,27 @@ def cluster_duplicates(
     label-set comparison join). 100 TB shape: edges/labels shuffle on
     uniform ids; real dup clusters are shallow, so rounds ~ a handful.
     Returns (doc_id, cluster_id)."""
-    spark = docs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).persist()
+    # propagate ONLY over nodes that appear in a pair: documents in no pair
+    # never change label (they are singletons of themselves) and re-joining
+    # them through every round would shuffle the whole corpus per round —
+    # the pair-graph node set is dup-cluster members only, typically orders
+    # of magnitude smaller than the corpus at 100 TB. Singletons rejoin via
+    # one left join at the end.
+    # localCheckpoint, not persist: each round's plan must stay O(1) — a
+    # persisted-but-lazy lineage regrows the full previous-round plan at
+    # ANALYSIS time every round (measured doubling per round once labels
+    # shrank to broadcast size; see vectorize._merged_labels rationale)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
     fp_expr = F.expr(
         "bit_xor(xxhash64(concat(cast(node as string), ':', cast(lbl as string))))"
     )
@@ -204,17 +215,22 @@ def cluster_duplicates(
                 stepped["node"],
                 F.least(F.col("lbl"), F.coalesce("plbl", F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()  # eager; truncates lineage (see init note)
         )
         fp = new_labels.agg(fp_expr).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if fp == prev_fp:
             break
         prev_fp = fp
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+    return (
+        docs.select(id_col)
+        .join(labels, docs[id_col] == labels["node"], "left")
+        .select(
+            docs[id_col],
+            F.coalesce("lbl", docs[id_col]).alias("cluster_id"),
+        )
+    )
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
