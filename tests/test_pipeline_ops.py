@@ -184,6 +184,42 @@ class TestDedup:
         assert got == exp
         assert ("img0000000000", "img_pert") in {(a, b) for a, b, _ in exp}
 
+    def test_hamming_dup_pairs_band_coverage_nbits64(self, spark):
+        """Worst case at the default nbits=64, max_hamming=8: a pair at
+        distance exactly 8 with one differing bit per byte (0 vs
+        0x0101010101010101). The old ceil-width banding shifted band 8 by
+        64 (masked to 0 by Spark), leaving only 8 covering bands — this
+        pair was silently dropped. The exact partition into 9 covering
+        bands must find it."""
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "image_id": ["a", "b"],
+                "phash": np.int64([0, 0x0101010101010101]),
+            })
+        )
+        out = D.hamming_dup_pairs(df, max_hamming=8, nbits=64).toPandas()
+        assert len(out) == 1 and int(out.hamming[0]) == 8
+
+    def test_hamming_dup_pairs_one_diff_per_band(self, spark):
+        """One differing bit in 8 of the 9 bands (the adversarial layout
+        for pigeonhole): still exactly distance 8, must be found. Band j
+        spans bits floor(j*64/9)..floor((j+1)*64/9)-1."""
+        cuts = [(j * 64) // 9 for j in range(10)]
+        h = 0
+        for j in range(8):  # skip band 8 so exactly one band agrees
+            h |= 1 << cuts[j]
+        df = spark.createDataFrame(
+            pd.DataFrame({"image_id": ["a", "b"], "phash": np.int64([0, h])})
+        )
+        out = D.hamming_dup_pairs(df, max_hamming=8, nbits=64).toPandas()
+        assert len(out) == 1 and int(out.hamming[0]) == 8
+        # sanity: distance 9 (one per band) is out of reach and excluded
+        h9 = h | (1 << cuts[8])
+        df9 = spark.createDataFrame(
+            pd.DataFrame({"image_id": ["a", "b"], "phash": np.int64([0, h9])})
+        )
+        assert D.hamming_dup_pairs(df9, max_hamming=8, nbits=64).count() == 0
+
     def test_hamming_dup_pairs_hot_bucket_cap(self, spark):
         # 50 identical hashes -> one mega bucket; the cap drops it so the
         # self-join output stays bounded
@@ -705,6 +741,49 @@ class TestSampling:
             "doc_id", "copy", "order_key").toPandas()
         key = lambda p: sorted(map(tuple, p.values))  # noqa: E731
         assert key(a) == key(b)
+
+    def test_mix_oversample_rate_zero_excludes_stratum(self, spark):
+        """rate 0.0 must emit ZERO rows for the stratum: Spark's
+        sequence(1, 0) is the descending [1, 0], and the bogus copy=0
+        replica used to slip through `copy <= floor(0)` — an
+        'exclude this source' mix silently kept the source."""
+        from tilegrid.operators import sample as S
+
+        df = self._ids(spark)
+        out = (
+            S.mix_oversample(df, {"0": 0.0, "1": 2.0}, strata_col="src",
+                             default=1.0)
+            .groupBy("src").count().toPandas()
+        )
+        counts = dict(zip(out["src"], out["count"]))
+        assert "0" not in counts
+        assert counts["1"] == 2000 and counts["2"] == 1000
+
+    def test_sql_literal_escaping(self, spark):
+        """Stratum keys / split names / salts containing single quotes are
+        escaped, not interpolated raw (expression injection guard)."""
+        from tilegrid.operators import sample as S
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [f"d{i}" for i in range(100)],
+                "src": ["o'brien" if i % 2 else "plain" for i in range(100)],
+            })
+        )
+        kept = S.stratified_sample(
+            df, {"o'brien": 1.0}, strata_col="src", default=0.0,
+            salt="s'alt",
+        ).toPandas()
+        assert set(kept.src) == {"o'brien"} and len(kept) == 50
+        split = S.with_split(
+            df, {"tr'ain": 0.5, "te'st": 0.5}, salt="a'b"
+        ).toPandas()
+        assert set(split.split) <= {"tr'ain", "te'st"}
+        mixed = S.mix_oversample(
+            df, {"o'brien": 2.0}, strata_col="src", default=1.0, salt="m'x"
+        ).groupBy("src").count().toPandas()
+        c = dict(zip(mixed["src"], mixed["count"]))
+        assert c["o'brien"] == 100 and c["plain"] == 50
 
 
 class TestCorpusFilter:

@@ -392,30 +392,37 @@ def hamming_dup_pairs(
     Hamming distance — THE image-dedup op for the corpus's `phash` column
     (perceptual hashes of near-identical images differ in a few bits).
 
-    EXACT by pigeonhole: the hash is split into max_hamming + 1 disjoint
-    bit bands; any pair within distance max_hamming agrees on >= 1 band, so
-    a band equi-join + bit_count(xor) refine returns exactly the pairs a
+    EXACT by pigeonhole: the hash is partitioned into exactly
+    max_hamming + 1 disjoint bit bands that together cover all `nbits`
+    (band j spans bits floor(j*nbits/(m+1)) .. floor((j+1)*nbits/(m+1))-1,
+    so widths differ by at most one and no band shifts past the word); any
+    pair within distance max_hamming agrees on >= 1 band, so a band
+    equi-join + bit_count(xor) refine returns exactly the pairs a
     brute-force O(n^2) scan would. The only shuffle is the (band, bucket)
     equi-join — never a cross join — and `max_bucket` bounds hot buckets
     (flat/monochrome images collapse to few hash values at scale) the same
     way minhash_lsh_pairs does. Output (id_a, id_b, hamming), id_a < id_b.
     All expressions are codegen bit ops; no Python in the path."""
-    band_w = -(-nbits // (max_hamming + 1))
-    mask = (1 << band_w) - 1
+    m1 = max_hamming + 1
+    if nbits < m1:
+        raise ValueError(f"nbits={nbits} < max_hamming+1={m1}: bands can't cover")
+    cuts = [(j * nbits) // m1 for j in range(m1 + 1)]
+    band_exprs = []
+    for j in range(m1):
+        lo, w = cuts[j], cuts[j + 1] - cuts[j]
+        mask = (1 << w) - 1
+        band_exprs.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(
+                    f"shiftrightunsigned({hash_col}, {lo}) & {mask}"
+                ).alias("bucket"),
+            )
+        )
     bands = df.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col),
         F.col(hash_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.expr(
-                        f"shiftrightunsigned({hash_col}, {j * band_w}) & {mask}"
-                    ).alias("bucket"),
-                )
-                for j in range(max_hamming + 1)
-            ])
-        ).alias("bb"),
+        F.explode(F.array(*band_exprs)).alias("bb"),
     ).select(id_col, hash_col, "bb.band", "bb.bucket")
     if max_bucket is not None:
         bands = _cap_buckets(bands, ["band", "bucket"], max_bucket, "hamming_dup")

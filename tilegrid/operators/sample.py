@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import hash60_expr
+from .text import sql_str
 
 _SCALE = 1 << 60
 
@@ -27,10 +28,11 @@ _SCALE = 1 << 60
 def _hash_expr(id_col: str, salt: str, dialect: str = "spark") -> str:
     """60-bit hash of (id, salt); the salt decorrelates independent draws
     (a sample and a split over the same ids must not be correlated)."""
+    tag = sql_str("|" + salt)
     if dialect == "spark":
-        s = f"concat(CAST({id_col} AS STRING), '|{salt}')"
+        s = f"concat(CAST({id_col} AS STRING), {tag})"
     else:
-        s = f"(CAST({id_col} AS VARCHAR) || '|{salt}')"
+        s = f"(CAST({id_col} AS VARCHAR) || {tag})"
     return hash60_expr(s, dialect)
 
 
@@ -48,8 +50,8 @@ def split_expr(
     arms = []
     for name in names[:-1]:
         cum += weights[name] / total
-        arms.append(f"WHEN {h} < {int(cum * _SCALE)} THEN '{name}'")
-    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+        arms.append(f"WHEN {h} < {int(cum * _SCALE)} THEN {sql_str(name)}")
+    return "CASE " + " ".join(arms) + f" ELSE {sql_str(names[-1])} END"
 
 
 def with_split(
@@ -88,7 +90,7 @@ def stratified_sample_pred(
     ones by source or language)."""
     h = _hash_expr(id_col, salt, dialect)
     arms = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(v * _SCALE)}"
+        f"WHEN {strata_col} = {sql_str(k)} THEN {int(v * _SCALE)}"
         for k, v in fractions.items()
     )
     return f"{h} < (CASE {arms} ELSE {int(default * _SCALE)} END)"
@@ -107,7 +109,8 @@ def mix_rows_exprs(
     the data (resume-safe epoch shuffling)."""
     def arms(f):
         body = " ".join(
-            f"WHEN {strata_col} = '{k}' THEN {f(v)}" for k, v in rates.items()
+            f"WHEN {strata_col} = {sql_str(k)} THEN {f(v)}"
+            for k, v in rates.items()
         )
         return f"CASE {body} ELSE {f(default)} END"
 
@@ -116,15 +119,24 @@ def mix_rows_exprs(
     ceil_expr = arms(lambda v: int(math.ceil(v)))
     floor_expr = arms(lambda v: int(math.floor(v)))
     thr_expr = arms(lambda v: int((v - math.floor(v)) * _SCALE))
+    tag = sql_str("|" + salt + "|")
+    otag = sql_str("|" + salt + "|ord|")
     if dialect == "spark":
-        hc = f"concat(CAST({id_col} AS STRING), '|{salt}|', CAST(copy AS STRING))"
+        hc = f"concat(CAST({id_col} AS STRING), {tag}, CAST(copy AS STRING))"
     else:
-        hc = f"(CAST({id_col} AS VARCHAR) || '|{salt}|' || CAST(copy AS VARCHAR))"
-    keep = f"(copy <= {floor_expr} OR {hash60_expr(hc, dialect)} < {thr_expr})"
+        hc = f"(CAST({id_col} AS VARCHAR) || {tag} || CAST(copy AS VARCHAR))"
+    # copy >= 1 guards the rate-0 stratum: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0], so the explode emits a bogus copy=0 replica that
+    # `copy <= floor(0)` would otherwise keep (the DuckDB oracle's
+    # range(1, 1) emits nothing — engines must agree on zero rows).
+    keep = (
+        f"(copy >= 1 AND (copy <= {floor_expr}"
+        f" OR {hash60_expr(hc, dialect)} < {thr_expr}))"
+    )
     if dialect == "spark":
-        oc = f"concat(CAST({id_col} AS STRING), '|{salt}|ord|', CAST(copy AS STRING))"
+        oc = f"concat(CAST({id_col} AS STRING), {otag}, CAST(copy AS STRING))"
     else:
-        oc = f"(CAST({id_col} AS VARCHAR) || '|{salt}|ord|' || CAST(copy AS VARCHAR))"
+        oc = f"(CAST({id_col} AS VARCHAR) || {otag} || CAST(copy AS VARCHAR))"
     return ceil_expr, keep, hash60_expr(oc, dialect)
 
 

@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame, functions as F
 NORMALIZE_RE = "[^a-z0-9 ]"
 
 
+def sql_str(v: str) -> str:
+    """Quote a Python string as a SQL string literal, escaping embedded
+    single quotes (''-doubling, identical in Spark SQL and DuckDB). Every
+    user-supplied value (stratum key, split name, salt, language code)
+    interpolated into a generated expression goes through this — a value
+    containing a quote must neither break the expression nor inject SQL."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def tokens_expr(text_col: str, dialect: str = "spark") -> str:
     """SQL expression: array of non-empty lowercase tokens."""
     if dialect == "spark":
@@ -202,7 +211,7 @@ def corpus_filter(
         "pred_lang", F.expr(lang_id_expr(f"({tokens_expr(text_col)})"))
     ).select(id_col, "token_count", "quality", "pred_lang")
     rep = repetition_signals(df, text_col, id_col)
-    lang_list = ", ".join(f"'{l}'" for l in langs)
+    lang_list = ", ".join(sql_str(l) for l in langs)
     reason = F.expr(
         f"CASE WHEN token_count < {min_tokens} THEN 'too_short' "
         f"WHEN token_count > {max_tokens} THEN 'too_long' "
