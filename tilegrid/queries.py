@@ -3979,22 +3979,69 @@ SELECT zone_id, matrix, COUNT(*) AS n FROM rel GROUP BY zone_id, matrix
 # new operators right after, and long-stable hash-green queries rotate to the
 # tail where a cap can only drop already-verified entries.
 QUERIES = {
-    # --- unchecked in r03 (driver cap recorded the first 50 of 79) —
-    # these 31 go first so every registry entry has a driver row in r03∪r04
-    "avro_roundtrip": q_avro_roundtrip,  # new in round 4 (Avro tile codec)
-    "reproject_datum": q_reproject_datum,  # new in round 4 (datum shifts)
-    "line_length": q_line_length,  # new in round 4 (LineString IO)
-    "line_clip": q_line_clip,  # new in round 4 (line ∩ polygon set op)
-    "dedup_clusters": q_dedup_clusters,  # new in round 4 (CC over LSH pairs)
-    "focal_mean_multiband": q_focal_mean_multiband,  # new in round 4
-    "sessionize": q_sessionize,  # new in round 4 (session_window)
-    "tfidf": q_tfidf,  # new in round 4 (corpus statistics)
-    "repetition": q_repetition,  # new in round 4 (Gopher repetition signals)
-    "phash_dups": q_phash_dups,  # new in round 4 (banded Hamming image dedup)
-    "train_split": q_train_split,  # new in round 4 (deterministic splits)
-    "stratified_sample": q_stratified_sample,  # new in round 4 (data mixing)
-    "corpus_filter": q_corpus_filter,  # new in round 4 (composed cleaning rule)
-    "mix_oversample": q_mix_oversample,  # new in round 4 (weighted epoch mix)
+    # --- last driver-checked in r03 or earlier (the r04 sweep capped at 50):
+    # these 43 go first so CORRECTNESS_r04 ∪ r05 covers all 93 entries
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "ann_topk": q_ann_topk,
+    "approx_viewshed": q_approx_viewshed,
+    "conway": q_conway,
+    "extent_query": q_extent_query,
+    "fingerprint": q_fingerprint,
+    "focal_max": q_focal_max,
+    "focal_median": q_focal_median,
+    "focal_sum": q_focal_sum,
+    "hist_exact": q_hist_exact,
+    "idw": q_idw,
+    "knn": q_knn,
+    "lang_id": q_lang_id,
+    "local_add": q_local_add,
+    "morans_global": q_morans_global,
+    "morans_local": q_morans_local,
+    "ngram_jaccard": q_ngram_jaccard,
+    "pip_join": q_pip_join,
+    "polygon_buffer": q_polygon_buffer,
+    "polygon_overlay": q_polygon_overlay,
+    "pricing_summary": q_pricing_summary,
+    "pyramid_max": q_pyramid_max,
+    "pyramid_sum": q_pyramid_sum,
+    "quality": q_quality,
+    "rasterize_count": q_rasterize_count,
+    "reclassify": q_reclassify,
+    "region_group": q_region_group,
+    "relate_counts": q_relate_counts,
+    "reproject_utm": q_reproject_utm,
+    "reproject_wm": q_reproject_wm,
+    "sketch_quantiles": q_sketch_quantiles,
+    "spatial_join": q_spatial_join,
+    "split_sum": q_split_sum,
+    "streaming_counts": q_streaming_counts,
+    "temporal_daily": q_temporal_daily,
+    "temporal_max": q_temporal_max,
+    "temporal_mean": q_temporal_mean,
+    "tile_assign": q_tile_assign,
+    "top_orders": q_top_orders,
+    "vectorize": q_vectorize,
+    "zorder3_topk": q_zorder3_topk,
+    "zorder_topk": q_zorder_topk,
+    # --- round-5 additions / code touched in round 5 — keep inside the
+    # sweep cap so the driver re-verifies them at final HEAD
+    "phash_dups": q_phash_dups,
+    "mix_oversample": q_mix_oversample,
+    "stratified_sample": q_stratified_sample,
+    "train_split": q_train_split,
+    "corpus_filter": q_corpus_filter,
+    # --- hash-green in r04 on code unchanged since — rotated to the tail
+    # where the cap can only drop already-driver-verified entries
+    "avro_roundtrip": q_avro_roundtrip,
+    "reproject_datum": q_reproject_datum,
+    "line_length": q_line_length,
+    "line_clip": q_line_clip,
+    "dedup_clusters": q_dedup_clusters,
+    "focal_mean_multiband": q_focal_mean_multiband,
+    "sessionize": q_sessionize,
+    "tfidf": q_tfidf,
+    "repetition": q_repetition,
     "band_stats": q_band_stats,
     "ndvi": q_ndvi,
     "zonal_hist": q_zonal_hist,
@@ -4024,9 +4071,6 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "token_stats": q_token_stats,
-    # --- code changed in round 4 (frontier-filtered propagation loops,
-    # multiband focal/reproject, datum-aware transform, line geometry) —
-    # keep inside the sweep cap so the driver re-verifies at HEAD
     "fill": q_fill,
     "flow_direction": q_flow_direction,
     "flow_accumulation": q_flow_accumulation,
@@ -4034,51 +4078,6 @@ QUERIES = {
     "viewshed": q_viewshed,
     "euclidean_distance": q_euclidean_distance,
     "cost_paths": q_cost_paths,
-    "approx_viewshed": q_approx_viewshed,
-    "reproject_utm": q_reproject_utm,
-    "reproject_wm": q_reproject_wm,
-    "focal_sum": q_focal_sum,
-    "focal_median": q_focal_median,
-    "focal_max": q_focal_max,
-    "conway": q_conway,
-    "morans_local": q_morans_local,
-    "morans_global": q_morans_global,
-    "relate_counts": q_relate_counts,
-    "polygon_overlay": q_polygon_overlay,
-    "polygon_buffer": q_polygon_buffer,
-    # --- hash-green in r03 on unchanged code — rotate to the tail where
-    # the cap can only drop already-verified entries
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "pricing_summary": q_pricing_summary,
-    "top_orders": q_top_orders,
-    "streaming_counts": q_streaming_counts,
-    "ann_ivf": q_ann_ivf,
-    "split_sum": q_split_sum,
-    "region_group": q_region_group,
-    "vectorize": q_vectorize,
-    "tile_assign": q_tile_assign,
-    "zorder_topk": q_zorder_topk,
-    "extent_query": q_extent_query,
-    "spatial_join": q_spatial_join,
-    "pip_join": q_pip_join,
-    "knn": q_knn,
-    "temporal_daily": q_temporal_daily,
-    "rasterize_count": q_rasterize_count,
-    "local_add": q_local_add,
-    "hist_exact": q_hist_exact,
-    "pyramid_sum": q_pyramid_sum,
-    "idw": q_idw,
-    "zorder3_topk": q_zorder3_topk,
-    "temporal_mean": q_temporal_mean,
-    "temporal_max": q_temporal_max,
-    "sketch_quantiles": q_sketch_quantiles,
-    "reclassify": q_reclassify,
-    "pyramid_max": q_pyramid_max,
 }
 
 ORACLES = {
