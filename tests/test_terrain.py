@@ -37,18 +37,20 @@ def dem_spiky() -> np.ndarray:
     return np.where(spikes, arr + 100.0, arr)
 
 
-def layer_from(spark, arr: np.ndarray):
+def layer_from(spark, arr: np.ndarray, ts: int = TS, skip=()):
     rows = []
-    n = arr.shape[0] // TS
+    n = arr.shape[0] // ts
     for r in range(n):
         for c in range(n):
-            t = arr[r * TS : (r + 1) * TS, c * TS : (c + 1) * TS]
+            if (c, r) in skip:
+                continue
+            t = arr[r * ts : (r + 1) * ts, c * ts : (c + 1) * ts]
             rows.append(
                 {
                     "zoom": np.int32(6), "col": np.int32(c), "row": np.int32(r),
                     "cell": np.int64(z2_encode(c, r)),
                     "tile": codec.raw_encode(np.ascontiguousarray(t)),
-                    "h": np.int32(TS), "w": np.int32(TS), "fmt": "raw",
+                    "h": np.int32(ts), "w": np.int32(ts), "fmt": "raw",
                 }
             )
     return spark.createDataFrame(pd.DataFrame(rows))
@@ -334,6 +336,75 @@ class TestFrontierFiltering:
         assert all(s <= NT * NT for s in sizes)
         if len(sizes) > 1:  # later rounds touch only changed tiles
             assert sum(sizes[1:]) < (len(sizes) - 1) * NT * NT
+
+
+class TestHaloBatching:
+    """batch=s merges tiles s x s into supertiles so the wavefront crosses
+    s tile boundaries per Spark round — the serial round chain (the one
+    r4 perf-weak item) shrinks ~s x. Must be RESULT-IDENTICAL to batch=1."""
+
+    def _friction(self, n):
+        gy, gx = np.mgrid[0:n, 0:n]
+        return (1.0 + (gx * 13 + gy * 7) % 5).astype(np.float64)
+
+    def test_cost_distance_batch_identical_and_fewer_rounds(self, spark):
+        ts, nt = 8, 8  # 8x8 tiles of 8px -> deep tile-crossing wavefront
+        n = nt * ts
+        layout = LayoutDefinition(
+            Extent(0.0, 0.0, float(n), float(n)), TileLayout(nt, nt, ts, ts))
+        fr = self._friction(n)
+        layer = layer_from(spark, fr, ts=ts)
+        sources = [(1, 1)]  # corner: the wavefront must cross 7 boundaries
+        got1 = stitched(TR.cost_distance(
+            layer, sources, layout, frontier="always").toPandas())
+        rounds1 = len(TR.LAST_FRONTIER_SIZES)
+        got4 = stitched(TR.cost_distance(
+            layer, sources, layout, frontier="always", batch=4).toPandas())
+        rounds4 = len(TR.LAST_FRONTIER_SIZES)
+        want = oracle.cost_distance_ref(fr, sources)
+        np.testing.assert_allclose(got1, want, rtol=1e-12)
+        np.testing.assert_array_equal(got4, got1)  # bit-identical
+        assert rounds1 >= 8  # batch=1 pays one round per boundary crossing
+        assert rounds4 * 2 <= rounds1  # the serial chain shrank >= 2x
+
+    def test_cost_distance_batch_missing_tiles(self, spark):
+        """Holes: absent member tiles must block propagation exactly like
+        batch=1 (NaN fill) and stay absent from the output row set."""
+        ts, nt = 8, 8
+        n = nt * ts
+        layout = LayoutDefinition(
+            Extent(0.0, 0.0, float(n), float(n)), TileLayout(nt, nt, ts, ts))
+        fr = self._friction(n)
+        skip = {(3, 3), (3, 4), (4, 3), (0, 7)}
+        layer = layer_from(spark, fr, ts=ts, skip=skip)
+        p1 = TR.cost_distance(layer, [(1, 1)], layout).toPandas()
+        p4 = TR.cost_distance(layer, [(1, 1)], layout, batch=4).toPandas()
+        k = lambda p: sorted(zip(p.col, p.row))  # noqa: E731
+        assert k(p1) == k(p4) and len(p1) == nt * nt - len(skip)
+        a1, _ = fixtures.stitch_layer_df(p1)
+        a4, _ = fixtures.stitch_layer_df(p4)
+        np.testing.assert_array_equal(a1, a4)
+
+    def test_flow_accumulation_batch_identical_and_fewer_rounds(self, spark):
+        ts, nt = 8, 8
+        n = nt * ts
+        gy, gx = np.mgrid[0:n, 0:n]
+        # tilted ramp (no flat ties): everything flows west, column 0
+        # flows north to the single sink at (0,0) — every flow path runs
+        # nearly the full raster, crossing up to 2*(nt-1) tile boundaries:
+        # the deep-propagation regime the batching exists for
+        dem = (gx * n + gy).astype(np.float64)
+        dirs = TR.flow_direction(layer_from(spark, dem, ts=ts))
+        got1 = stitched(TR.flow_accumulation(dirs, frontier="always").toPandas())
+        rounds1 = len(TR.LAST_ACC_FRONTIER_SIZES)
+        got4 = stitched(TR.flow_accumulation(
+            dirs, frontier="always", batch=4).toPandas())
+        rounds4 = len(TR.LAST_ACC_FRONTIER_SIZES)
+        want = oracle.flow_accumulation_ref(oracle.flow_direction_ref(dem))
+        np.testing.assert_allclose(got1, want, rtol=0, atol=0)
+        np.testing.assert_array_equal(got4, got1)
+        assert rounds1 >= nt  # batch=1 pays one round per boundary crossing
+        assert rounds4 * 2 <= rounds1  # the serial chain shrank >= 2x
 
 
 class TestEuclideanDistanceScale:

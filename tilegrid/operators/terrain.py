@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .. import codec
 from ..cell import z2_encode
-from ..grid import LayoutDefinition
+from ..grid import LayoutDefinition, TileLayout
 from . import LAYER_SCHEMA
 from .focal import _assemble, buffer_parts
 
@@ -274,9 +274,92 @@ def _frontier_filter(df: DataFrame, keys: list[tuple[int, int]],
                    "left_anti" if anti else "left_semi")
 
 
+# ------------------------------------------------- halo-k round batching
+
+def _superkey_cols(s: int) -> list:
+    return [
+        F.col("zoom"),
+        F.expr(f"CAST(floor(col / {s}) AS INT)").alias("scol"),
+        F.expr(f"CAST(floor(row / {s}) AS INT)").alias("srow"),
+    ]
+
+
+def _to_supertiles(layer: DataFrame, s: int) -> DataFrame:
+    """Merge each s x s block of tiles into ONE supertile row (NaN holes
+    where a member tile is absent — NaN is blocked friction / NoData flow
+    direction, so a hole behaves exactly like the missing tile did at
+    batch=1: nothing propagates through it).
+
+    This is the halo-k round-batching step for the propagation loops
+    (cost_distance / flow_accumulation, batch=s): one extra groupBy
+    shuffle up front buys a wavefront that crosses s tile boundaries per
+    Spark round instead of one, cutting the serial round chain ~s x — the
+    fixed ~0.4 s/round job latency, not compute, dominates those loops at
+    depth. Frontier filtering still applies, at supertile granularity."""
+
+    def merge(kdf: pd.DataFrame) -> pd.DataFrame:
+        first = kdf.iloc[0]
+        zoom = int(first["zoom"])
+        scol = int(np.floor(first["col"] / s))
+        srow = int(np.floor(first["row"] / s))
+        t0 = codec.decode_tile(bytes(first["tile"]), first["fmt"])
+        h, w = t0.shape[:2]
+        big = np.full((h * s, w * s), np.nan)
+        for t in kdf.itertuples(index=False):
+            arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+            ti, tj = int(t.col) - scol * s, int(t.row) - srow * s
+            big[tj * h : (tj + 1) * h, ti * w : (ti + 1) * w] = arr
+        return _layer_row(zoom, scol, srow, big)
+
+    return (
+        layer.groupBy(*_superkey_cols(s))
+        .applyInPandas(lambda _k, pdf: merge(pdf), LAYER_SCHEMA)
+    )
+
+
+def _split_supertiles(
+    big: DataFrame, original: DataFrame, s: int
+) -> DataFrame:
+    """Slice supertile result rows back into the ORIGINAL layer's tiles
+    (members absent from the input layer are dropped, not emitted as NaN
+    tiles — batch=s must return the same row set as batch=1). One cogroup
+    shuffle: the member-key side is key-only rows."""
+    keys = original.select(
+        *_superkey_cols(s), F.col("col").alias("mcol"),
+        F.col("row").alias("mrow"),
+    )
+    gk = [F.col("zoom"), F.col("col"), F.col("row")]
+
+    def split(big_pdf: pd.DataFrame, key_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(big_pdf) == 0 or len(key_pdf) == 0:
+            return _empty_layer_pdf()
+        t = big_pdf.iloc[0]
+        zoom = int(t["zoom"])
+        arr = codec.decode_tile(bytes(t["tile"]), t["fmt"])
+        h, w = arr.shape[0] // s, arr.shape[1] // s
+        scol, srow = int(t["col"]), int(t["row"])
+        out = []
+        for m in key_pdf.itertuples(index=False):
+            ti, tj = int(m.mcol) - scol * s, int(m.mrow) - srow * s
+            out.append(_layer_row(
+                zoom, int(m.mcol), int(m.mrow),
+                arr[tj * h : (tj + 1) * h, ti * w : (ti + 1) * w],
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        big.groupBy(*gk)
+        .cogroup(
+            keys.withColumnRenamed("scol", "col")
+            .withColumnRenamed("srow", "row").groupBy(*gk)
+        )
+        .applyInPandas(split, LAYER_SCHEMA)
+    )
+
+
 def flow_accumulation(
     dir_layer: DataFrame, max_rounds: int = 64, final: bool = True,
-    frontier: str = "auto",
+    frontier: str = "auto", batch: int = 1,
 ) -> DataFrame:
     """D8 flow accumulation (Accumulation.scala:29-216):
     acc(c) = sum over inflowing neighbors n of (acc(n) + 1), distributed as
@@ -295,7 +378,22 @@ def flow_accumulation(
     `frontier="auto"` applies the filter only when the skipped work clears
     the per-round fixed latency (same rule and rationale as
     cost_distance); a full re-sweep is result-identical because unchanged
-    tiles reproduce their old emissions exactly."""
+    tiles reproduce their old emissions exactly.
+
+    `batch=s` runs the HALO-BATCHED variant: tiles are merged s x s into
+    supertiles first (one extra groupBy), so flow crosses s tile
+    boundaries per Kahn round and the serial round chain shrinks ~s x —
+    the cure for the fixed per-round job latency at propagation depth.
+    Result-identical to batch=1 (NaN holes block exactly like missing
+    tiles; pytest asserts bit-equality and the round-count drop)."""
+    if batch > 1:
+        if not final:
+            raise ValueError("batch>1 requires final=True (inflow rows "
+                             "would be in supertile coordinates)")
+        big = flow_accumulation(
+            _to_supertiles(dir_layer, batch), max_rounds, True, frontier
+        )
+        return _split_supertiles(big, dir_layer, batch)
     spark = dir_layer.sparkSession
     key = ["zoom", "col", "row"]
     # one-time hash partitioning on the group key: per-round cogroups then
@@ -544,6 +642,7 @@ def cost_distance(
     layout: LayoutDefinition,
     max_rounds: int = 64,
     frontier: str = "auto",
+    batch: int = 1,
 ) -> DataFrame:
     """Accumulated-cost surface (CostDistance.scala:43-66) from global-pixel
     `sources` [(gx, gy), ...] over a friction layer, distributed as
@@ -564,7 +663,28 @@ def cost_distance(
     (skipped tiles > ~100 x parallelism); small layers solve everything,
     which is result-identical since re-solved tiles re-emit non-improving
     offers. Convergence = no offer improved (exact, per cell). Returns the
-    cost layer (NaN = unreachable)."""
+    cost layer (NaN = unreachable).
+
+    `batch=s` runs the HALO-BATCHED variant: the friction layer is merged
+    s x s into supertiles first (one extra groupBy), so each block-Dijkstra
+    round advances the wavefront s tile boundaries and the serial round
+    chain — the fixed ~0.4 s/round job latency that dominates deep
+    propagation at scale — shrinks ~s x, at the cost of s^2 more pixels
+    per ACTIVE (frontier) solve. Result-identical to batch=1: NaN holes
+    block exactly like missing tiles, and the converged fixpoint is the
+    global shortest-path distance regardless of blocking (pytest asserts
+    bit-equality and the round-count drop)."""
+    if batch > 1:
+        lt = layout.tile_layout
+        blayout = LayoutDefinition(layout.extent, TileLayout(
+            -(-lt.layout_cols // batch), -(-lt.layout_rows // batch),
+            lt.tile_cols * batch, lt.tile_rows * batch,
+        ))
+        big = cost_distance(
+            _to_supertiles(friction_layer, batch), sources, blayout,
+            max_rounds, frontier,
+        )
+        return _split_supertiles(big, friction_layer, batch)
     spark = friction_layer.sparkSession
     tw = layout.tile_layout.tile_cols
     th = layout.tile_layout.tile_rows

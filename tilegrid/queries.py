@@ -3304,6 +3304,17 @@ acc AS (
 """
 
 
+def q_flow_accumulation_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halo-batched flow accumulation (batch=2 supertile merge): flow
+    crosses 2 tile boundaries per Kahn round, halving the serial round
+    chain — result-identical to batch=1, proven here against the same
+    recursive-CTE path-counting oracle."""
+    from .operators.terrain import flow_accumulation, flow_direction
+
+    dirs = flow_direction(_dem_layer(spark, sf_dir, "distinct"))
+    return _layer_pixels(flow_accumulation(dirs, batch=2))
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost surface (CostDistance.scala:43-66) over a {{1,2}}
     friction raster from 3 sources — block Dijkstra across the 2x2-tile
@@ -3312,6 +3323,19 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fr = _dem_layer(spark, sf_dir, "friction")
     return _layer_pixels(cost_distance(fr, COST_SOURCES, LR), keep_zero=True)
+
+
+def q_cost_distance_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halo-batched cost distance (batch=2 supertile merge): each block-
+    Dijkstra round advances the wavefront 2 tile boundaries, halving the
+    serial round chain (the r4 perf-weak item) — result-identical to
+    batch=1, proven here against the same Bellman-Ford oracle."""
+    from .operators.terrain import cost_distance
+
+    fr = _dem_layer(spark, sf_dir, "friction")
+    return _layer_pixels(
+        cost_distance(fr, COST_SOURCES, LR, batch=2), keep_zero=True
+    )
 
 
 def _o_cost_distance() -> str:
@@ -4026,6 +4050,8 @@ QUERIES = {
     "zorder_topk": q_zorder_topk,
     # --- round-5 additions / code touched in round 5 — keep inside the
     # sweep cap so the driver re-verifies them at final HEAD
+    "cost_distance_batched": q_cost_distance_batched,
+    "flow_accumulation_batched": q_flow_accumulation_batched,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4087,7 +4113,9 @@ ORACLES = {
     "fill": _o_fill(),
     "flow_direction": _o_flow_direction(),
     "flow_accumulation": _o_flow_accumulation(),
+    "flow_accumulation_batched": _o_flow_accumulation(),  # batch==1 identical
     "cost_distance": _o_cost_distance(),
+    "cost_distance_batched": _o_cost_distance(),  # batch==1 identical
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
