@@ -18,6 +18,8 @@ caption byte-equality (BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -25,8 +27,8 @@ from pyspark.sql import DataFrame
 from .. import codec
 
 _FEAT_SCHEMA = (
-    "image_id string, w int, h int, fmt string, px_mean double, px_std double,"
-    " px_min double, px_max double, phash long"
+    "image_id string, w int, h int, fmt string, px_sum long, px_sq_sum long,"
+    " px_mean double, px_std double, px_min double, px_max double, phash long"
 )
 
 
@@ -42,34 +44,46 @@ def image_features(
 ) -> DataFrame:
     """Decode each image batch and emit per-image pixel statistics + a
     64-bit perceptual hash. One narrow Arrow pass — the decode stays off
-    the driver and off the shuffle."""
+    the driver and off the shuffle.
+
+    Mean/std are derived from EXACT integer moments (px_sum, px_sq_sum —
+    emitted too): uint8 pixel sums are exact in int64, so the doubles are
+    a fixed expression over exact integers and a SQL oracle replaying the
+    same algebra reproduces them bit-for-bit (summation-order float drift
+    can't creep in, unlike a streaming variance)."""
     from ..fixtures import phash64
 
     def run(it):
         for pdf in it:
             rows = []
             for t in pdf.itertuples(index=False):
-                arr = codec.decode_tile(
-                    bytes(getattr(t, bytes_col)), t.fmt
-                ).astype(np.float64)
+                arr = codec.decode_tile(bytes(getattr(t, bytes_col)), t.fmt)
+                ai = arr.astype(np.int64)
+                n = ai.size
+                s1 = int(ai.sum())
+                s2 = int((ai * ai).sum())
+                mean = s1 / n
+                std = math.sqrt(max(s2 / n - mean * mean, 0.0))
                 rows.append(
                     (
                         getattr(t, id_col),
                         np.int32(arr.shape[1]),
                         np.int32(arr.shape[0]),
                         t.fmt,
-                        float(arr.mean()),
-                        float(arr.std()),
-                        float(arr.min()),
-                        float(arr.max()),
-                        np.int64(phash64(arr)),
+                        np.int64(s1),
+                        np.int64(s2),
+                        mean,
+                        std,
+                        float(ai.min()),
+                        float(ai.max()),
+                        np.int64(phash64(arr.astype(np.float64))),
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "image_id", "w", "h", "fmt", "px_mean", "px_std",
-                    "px_min", "px_max", "phash",
+                    "image_id", "w", "h", "fmt", "px_sum", "px_sq_sum",
+                    "px_mean", "px_std", "px_min", "px_max", "phash",
                 ],
             )
 

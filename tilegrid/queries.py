@@ -2089,6 +2089,102 @@ FROM x WHERE {keep}
 """
 
 
+_IMG_FEAT_N = 96
+
+
+def _image_corpus(spark: SparkSession, n: int) -> DataFrame:
+    """Distributed deterministic PNG image corpus (the fixtures.py pattern
+    recipe, PNG-only so decoded pixels are bit-exact): one Arrow pass over
+    spark.range — generation scales with the cluster, nothing driver-side."""
+    from .fixtures import make_pattern_rgb, phash64
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (64, 128, 256)[i % 3]
+                h = (64, 128, 256)[(i // 3) % 3]
+                arr = make_pattern_rgb(i, h, w)
+                rows.append((
+                    f"img{i:010d}", codec.encode_tile(arr, "png"), "png",
+                    np.int64(phash64(arr)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "tile", "fmt", "phash_in"])
+
+    return spark.range(n).repartition(8).mapInPandas(
+        gen, "image_id string, tile binary, fmt string, phash_in long")
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction through the REAL PNG codec
+    (multimodal.image_features): decode each image's bytes, emit exact
+    integer pixel moments, the derived mean/std, and whether the
+    decoded-pixel phash equals the phash computed at encode time (decode
+    fidelity — the north-rule per-row invariant). The DuckDB oracle
+    replays the deterministic pattern recipe in closed-form SQL, so a
+    hash match proves the whole decode -> stats path end-to-end."""
+    from .operators import multimodal as MM
+
+    corpus = _image_corpus(spark, _IMG_FEAT_N)
+    feats = MM.image_features(corpus)
+    return feats.join(
+        F.broadcast(corpus.select("image_id", "phash_in")), "image_id"
+    ).select(
+        "image_id", "w", "h", "px_sum", "px_sq_sum", "px_mean", "px_std",
+        "px_min", "px_max",
+        (F.col("phash") == F.col("phash_in")).alias("phash_ok"),
+    )
+
+
+def _o_image_features() -> str:
+    def band(b: int) -> str:
+        return (
+            f"(CASE (i + {b}) % 4"
+            f" WHEN 0 THEN (i + {b}) % 256"
+            f" WHEN 1 THEN (gx + gy) % 256"
+            f" WHEN 2 THEN ((gx // 8 + gy // 8) % 2) * 255"
+            f" ELSE (gx * gy + i + {b}) % 97 END)"
+        )
+
+    v0, v1, v2 = band(0), band(1), band(2)
+    return f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+         CASE (i // 3) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h
+  FROM range({_IMG_FEAT_N}) t(i)
+),
+px AS (
+  SELECT i, w, h, {v0} AS v0, {v1} AS v1, {v2} AS v2
+  FROM imgs
+  JOIN range(256) xs(gx) ON gx < w
+  JOIN range(256) ys(gy) ON gy < h
+),
+agg AS (
+  SELECT i, w, h,
+         SUM(v0 + v1 + v2) AS s1,
+         SUM(v0*v0 + v1*v1 + v2*v2) AS s2,
+         MIN(LEAST(v0, v1, v2)) AS mn,
+         MAX(GREATEST(v0, v1, v2)) AS mx
+  FROM px GROUP BY i, w, h
+)
+SELECT printf('img%010d', i) AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(s1 AS BIGINT) AS px_sum, CAST(s2 AS BIGINT) AS px_sq_sum,
+       CAST(s1 AS DOUBLE) / (3 * w * h) AS px_mean,
+       sqrt(GREATEST(
+         CAST(s2 AS DOUBLE) / (3 * w * h)
+           - (CAST(s1 AS DOUBLE) / (3 * w * h))
+             * (CAST(s1 AS DOUBLE) / (3 * w * h)),
+         CAST(0.0 AS DOUBLE))) AS px_std,
+       CAST(mn AS DOUBLE) AS px_min, CAST(mx AS DOUBLE) AS px_max,
+       TRUE AS phash_ok
+FROM agg
+"""
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed C4/Gopher cleaning rule (length band + quality +
     repetition thresholds + language allowlist) with per-doc first-failing
@@ -4052,6 +4148,7 @@ QUERIES = {
     # sweep cap so the driver re-verifies them at final HEAD
     "cost_distance_batched": q_cost_distance_batched,
     "flow_accumulation_batched": q_flow_accumulation_batched,
+    "image_features": q_image_features,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4116,6 +4213,7 @@ ORACLES = {
     "flow_accumulation_batched": _o_flow_accumulation(),  # batch==1 identical
     "cost_distance": _o_cost_distance(),
     "cost_distance_batched": _o_cost_distance(),  # batch==1 identical
+    "image_features": _o_image_features(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
