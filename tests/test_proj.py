@@ -51,6 +51,10 @@ def _grid(lon_lo, lon_hi, lat_lo, lat_hi, n=9):
         ),
         (P.Sinusoidal(P.MODIS_SPHERE), (-170.0, 170.0, -85.0, 85.0)),
         (P.Sinusoidal(P.WGS84), (-170.0, 170.0, -85.0, 85.0)),
+        (P.crs("epsg:3035"), (-10.0, 30.0, 35.0, 70.0)),
+        (P.EquidistantConic(P.CLARKE_1866, 29.5, 45.5, 23.0, -96.0),
+         (-120.0, -70.0, 18.0, 55.0)),
+        (P.Krovak(), (12.1, 22.5, 47.8, 51.1)),
     ],
 )
 def test_roundtrip(p, dom):
@@ -136,6 +140,37 @@ def test_stere_spherical_limit():
     np.testing.assert_allclose(y, -rho * np.cos(lam), rtol=1e-12, atol=1e-6)
 
 
+def test_laea_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Lambert Azimuthal Equal Area example
+    (ETRS89-LAEA): 50N 5E -> E 3962799.45, N 2999718.85."""
+    p = P.crs("epsg:3035")
+    x, y = p.forward(np.array([5.0]), np.array([50.0]))
+    assert abs(float(x) - 3962799.45) < 0.01
+    assert abs(float(y) - 2999718.85) < 0.01
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Krovak example: 50d12'32.442N,
+    16d50'59.179E (Greenwich) -> southing 1050538.63, westing 568991.00;
+    the East-North variant (EPSG:5514) negates and swaps them."""
+    p = P.Krovak()
+    lam = 16.0 + 50.0 / 60.0 + 59.179 / 3600.0
+    phi = 50.0 + 12.0 / 60.0 + 32.442 / 3600.0
+    x, y = p.forward(np.array([lam]), np.array([phi]))
+    assert abs(float(x) - (-568991.00)) < 0.05
+    assert abs(float(y) - (-1050538.63)) < 0.05
+
+
+def test_eqdc_snyder_worked_example():
+    """Snyder's equidistant-conic numerical example (Appendix, Clarke 1866,
+    lat_1=29.5 lat_2=45.5 lat_0=23 lon_0=-96; 35N 75W):
+    x = 1885051.9, y = 1540507.6."""
+    p = P.EquidistantConic(P.CLARKE_1866, 29.5, 45.5, 23.0, -96.0)
+    x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+    assert abs(float(x) - 1885051.9) < 0.1
+    assert abs(float(y) - 1540507.6) < 0.1
+
+
 def test_webmercator_matches_grid_module():
     from tilegrid.grid import lnglat_to_webmercator
 
@@ -179,6 +214,7 @@ def _metric(el, lat):
         (P.Mercator(P.WGS84), (-150.0, 150.0, -75.0, 75.0)),
         (P.LambertConformalConic(P.WGS84), (-120.0, -70.0, 25.0, 50.0)),
         (P.PolarStereographic(P.WGS84, lat_ts=70.0, lon0=-45.0), (-170.0, 170.0, 62.0, 88.0)),
+        (P.Krovak(), (13.0, 22.0, 48.0, 51.0)),
     ],
 )
 def test_conformal_isotropy(p, dom):
@@ -208,6 +244,47 @@ def test_sinusoidal_unit_area_distortion():
     par_len, mer_len = _metric(p.ellipsoid, lat)
     det = np.abs(dxl * dyp - dyl * dxp)
     np.testing.assert_allclose(det, par_len * mer_len, rtol=5e-5)
+
+
+def test_laea_unit_area_distortion():
+    """Equal-area: |det J| equals the ellipsoid area element everywhere
+    over the EU grid's domain."""
+    p = P.crs("epsg:3035")
+    lon, lat = _grid(-8.0, 28.0, 37.0, 68.0, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    det = np.abs(dxl * dyp - dyl * dxp)
+    np.testing.assert_allclose(det, par_len * mer_len, rtol=5e-5)
+
+
+def test_eqdc_equidistant_properties():
+    """Equidistant conic: meridian scale h == 1 EVERYWHERE (its defining
+    property), and parallel scale k == 1 exactly on both standard
+    parallels."""
+    p = P.EquidistantConic(P.WGS84, 29.5, 45.5, 23.0, -96.0)
+    lon, lat = _grid(-120.0, -70.0, 18.0, 55.0, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    np.testing.assert_allclose(np.hypot(dxp, dyp) / mer_len, 1.0, rtol=5e-6)
+    for sp in (29.5, 45.5):
+        lons = np.linspace(-120.0, -70.0, 7)
+        lats = np.full(7, sp)
+        dxl, dyl, _, _ = _jacobian(p, lons, lats)
+        par_len, _ = _metric(p.ellipsoid, lats)
+        np.testing.assert_allclose(np.hypot(dxl, dyl) / par_len, 1.0, rtol=5e-6)
+
+
+def test_krovak_pseudo_parallel_scale():
+    """Krovak: scale ~ k0 = 0.9999 near the pseudo standard parallel's
+    trace through the Czech domain (conformal, so any direction)."""
+    p = P.Krovak()
+    # points where the rotated latitude T is near the pseudo parallel:
+    # the line of true-ish scale runs through the middle of the country
+    lon, lat = np.array([14.5, 16.5, 18.5]), np.array([49.35, 49.2, 49.0])
+    dxl, dyl, _, _ = _jacobian(p, lon, lat)
+    par_len, _ = _metric(p.ellipsoid, lat)
+    k = np.hypot(dxl, dyl) / par_len
+    assert np.all(np.abs(k - 0.9999) < 3e-4)
 
 
 def test_utm_central_meridian_anchors():
@@ -240,6 +317,14 @@ def test_registry_and_parser():
     assert P.crs("modis").ellipsoid.a == 6371007.181
     lcc = P.crs("+proj=lcc +lat_1=40 +lat_2=50 +lat_0=45 +lon_0=5 +x_0=1000")
     assert lcc.lat1 == 40.0 and lcc.fe == 1000.0
+    laea = P.crs("epsg:3035")
+    assert isinstance(laea, P.LambertAzimuthalEqualArea)
+    assert laea.fe == 4321000.0 and laea.lat0 == 52.0
+    kr = P.crs("epsg:5514")
+    assert isinstance(kr, P.Krovak)
+    assert kr.datum is not None and kr.datum.towgs84 == (589.0, 76.0, 480.0)
+    eq = P.crs("+proj=eqdc +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96")
+    assert isinstance(eq, P.EquidistantConic) and eq.lat1 == 29.5
     with pytest.raises(ValueError):
         P.crs("epsg:99999")
     with pytest.raises(ValueError):
@@ -268,6 +353,8 @@ _TWIN_PROJS = [
     P.Mercator(P.WGS84, lon0=7.0, k0=0.9996),
     P.LambertConformalConic(P.WGS84),
     P.Sinusoidal(P.MODIS_SPHERE),
+    P.crs("epsg:3035"),
+    P.EquidistantConic(P.WGS84, 29.5, 45.5, 23.0, -96.0),
 ]
 
 
@@ -297,6 +384,28 @@ def test_column_twin_matches_numpy(spark):
         x_np, y_np = p.forward(lon, lat)
         np.testing.assert_allclose(got["x"].to_numpy(), x_np, rtol=1e-12, atol=1e-6)
         np.testing.assert_allclose(got["y"].to_numpy(), y_np, rtol=1e-12, atol=1e-6)
+
+
+def test_krovak_twins_match_numpy(spark):
+    """Krovak's Column/SQL twins over its domain of use (the generic twin
+    grid spans latitudes where the unclipped asin would leave Krovak's
+    domain, so it gets its own grid)."""
+    import pandas as pd
+
+    p = P.Krovak()
+    lon, lat = _grid(12.2, 22.4, 47.9, 51.0, n=5)
+    x_np, y_np = p.forward(lon, lat)
+    xs, ys = p.forward_sql("lon", "lat")
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM pts").df()
+    np.testing.assert_allclose(got["x"].to_numpy(), x_np, rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(got["y"].to_numpy(), y_np, rtol=1e-12, atol=1e-6)
+    sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    xc, yc = p.forward_cols("lon", "lat")
+    gc = sdf.select(xc.alias("x"), yc.alias("y")).toPandas()
+    np.testing.assert_allclose(gc["x"].to_numpy(), x_np, rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(gc["y"].to_numpy(), y_np, rtol=1e-12, atol=1e-6)
 
 
 # ------------------------------------------------- generic distributed warp

@@ -46,6 +46,9 @@ __all__ = [
     "TransverseMercator",
     "LambertConformalConic",
     "AlbersEqualArea",
+    "LambertAzimuthalEqualArea",
+    "EquidistantConic",
+    "Krovak",
     "PolarStereographic",
     "Sinusoidal",
     "EquidistantCylindrical",
@@ -650,6 +653,392 @@ class AlbersEqualArea(Proj):
                     )
                 )
         return (theta / self.n) * _R2D + self.lon0, phi * _R2D
+
+
+def _authalic_phi(q, qp, e: float, e2: float, iters: int = 15):
+    """Latitude from authalic q (Snyder 3-16 iteration; e == 0 is exact)."""
+    if e == 0.0:
+        return np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        es = e * s
+        phi = phi + (
+            (1.0 - es * es) ** 2
+            / (2.0 * np.cos(phi))
+            * (
+                q / (1.0 - e2)
+                - s / (1.0 - es * es)
+                + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+            )
+        )
+    return phi
+
+
+class LambertAzimuthalEqualArea(Proj):
+    """Ellipsoidal oblique Lambert azimuthal equal-area, Snyder 24-2..24-27
+    / 3-11..3-12 (proj/LambertAzimuthalEqualAreaProjection.java). The EU
+    standard grid EPSG:3035 (ETRS89-LAEA, lat_0=52 lon_0=10 on GRS80) is
+    this projection — the top real-world miss of the r4 registry."""
+
+    name = "laea"
+
+    def __init__(
+        self,
+        ellipsoid: Ellipsoid = GRS80,
+        lat0: float = 52.0,
+        lon0: float = 10.0,
+        fe: float = 0.0,
+        fn: float = 0.0,
+    ):
+        self.ellipsoid = ellipsoid
+        self.lat0, self.lon0, self.fe, self.fn = lat0, lon0, fe, fn
+        e, e2, a = ellipsoid.e, ellipsoid.e2, ellipsoid.a
+        p0 = lat0 * _D2R
+        self.qp = float(_qsfn(math.pi / 2.0, e))
+        q0 = float(_qsfn(p0, e))
+        self.beta0 = math.asin(min(max(q0 / self.qp, -1.0), 1.0))
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        m0 = float(_msfn(p0, e2))
+        self.d = a * m0 / (self.rq * math.cos(self.beta0))
+
+    def forward(self, lon, lat):
+        el = self.ellipsoid
+        phi = np.asarray(lat, np.float64) * _D2R
+        lam = (np.asarray(lon, np.float64) - self.lon0) * _D2R
+        beta = np.arcsin(np.clip(_qsfn(phi, el.e) / self.qp, -1.0, 1.0))
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        b = self.rq * np.sqrt(
+            2.0 / (1.0 + sb0 * np.sin(beta) + cb0 * np.cos(beta) * np.cos(lam))
+        )
+        x = b * self.d * np.cos(beta) * np.sin(lam) + self.fe
+        y = (b / self.d) * (
+            cb0 * np.sin(beta) - sb0 * np.cos(beta) * np.cos(lam)
+        ) + self.fn
+        return x, y
+
+    def inverse(self, x, y):
+        el = self.ellipsoid
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        xs = (np.asarray(x, np.float64) - self.fe) / self.d
+        ys = (np.asarray(y, np.float64) - self.fn) * self.d
+        rho = np.sqrt(xs * xs + ys * ys)
+        safe = np.where(rho == 0.0, 1.0, rho)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+        q = self.qp * (
+            np.cos(ce) * sb0 + ys * np.sin(ce) * cb0 / safe
+        )
+        lam = np.arctan2(
+            xs * np.sin(ce),
+            safe * cb0 * np.cos(ce) - ys * sb0 * np.sin(ce),
+        )
+        phi = _authalic_phi(q, self.qp, el.e, el.e2)
+        phi = np.where(rho == 0.0, self.lat0 * _D2R, phi)
+        lam = np.where(rho == 0.0, 0.0, lam)
+        return lam * _R2D + self.lon0, phi * _R2D
+
+    def forward_cols(self, lon, lat):
+        from pyspark.sql import functions as F
+
+        lon = F.col(lon) if isinstance(lon, str) else lon
+        lat = F.col(lat) if isinstance(lat, str) else lat
+        el = self.ellipsoid
+        phi = lat * F.lit(_D2R)
+        lam = (lon - F.lit(self.lon0)) * F.lit(_D2R)
+        e = el.e
+        s = F.sin(phi)
+        if e == 0.0:
+            q = F.lit(2.0) * s
+        else:
+            es = F.lit(e) * s
+            q = F.lit(1.0 - e * e) * (
+                s / (F.lit(1.0) - es * es)
+                - F.lit(1.0 / (2.0 * e))
+                * F.log((F.lit(1.0) - es) / (F.lit(1.0) + es))
+            )
+        beta = F.asin(q / F.lit(self.qp))
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        b = F.lit(self.rq) * F.sqrt(
+            F.lit(2.0)
+            / (
+                F.lit(1.0)
+                + F.lit(sb0) * F.sin(beta)
+                + F.lit(cb0) * F.cos(beta) * F.cos(lam)
+            )
+        )
+        x = b * F.lit(self.d) * F.cos(beta) * F.sin(lam) + F.lit(self.fe)
+        y = (b / F.lit(self.d)) * (
+            F.lit(cb0) * F.sin(beta) - F.lit(sb0) * F.cos(beta) * F.cos(lam)
+        ) + F.lit(self.fn)
+        return x, y
+
+    def forward_sql(self, lon, lat):
+        el = self.ellipsoid
+        e = el.e
+        phi = f"(({lat}) * {_D2R!r})"
+        lam = f"((({lon}) - {self.lon0!r}) * {_D2R!r})"
+        s = f"sin({phi})"
+        if e == 0.0:
+            q = f"(2.0 * {s})"
+        else:
+            es = f"({e!r} * {s})"
+            q = (
+                f"({1.0 - e * e!r} * ({s} / (1.0 - {es} * {es})"
+                f" - {1.0 / (2.0 * e)!r}"
+                f" * ln((1.0 - {es}) / (1.0 + {es}))))"
+            )
+        beta = f"asin({q} / {self.qp!r})"
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        b = (
+            f"({self.rq!r} * sqrt(2.0 / (1.0 + {sb0!r} * sin({beta})"
+            f" + {cb0!r} * cos({beta}) * cos({lam}))))"
+        )
+        x = f"{b} * {self.d!r} * cos({beta}) * sin({lam}) + {self.fe!r}"
+        y = (
+            f"({b} / {self.d!r}) * ({cb0!r} * sin({beta})"
+            f" - {sb0!r} * cos({beta}) * cos({lam})) + {self.fn!r}"
+        )
+        return x, y
+
+
+class EquidistantConic(Proj):
+    """Equidistant conic with two standard parallels, Snyder 16-1..16-10
+    (proj/EquidistantConicProjection.java): true scale along every
+    meridian and along both standard parallels."""
+
+    name = "eqdc"
+
+    def __init__(
+        self,
+        ellipsoid: Ellipsoid = WGS84,
+        lat1: float = 55.0,
+        lat2: float = 65.0,
+        lat0: float = 0.0,
+        lon0: float = 0.0,
+        fe: float = 0.0,
+        fn: float = 0.0,
+    ):
+        self.ellipsoid = ellipsoid
+        self.lat1, self.lat2, self.lat0, self.lon0 = lat1, lat2, lat0, lon0
+        self.fe, self.fn = fe, fn
+        e2, a = ellipsoid.e2, ellipsoid.a
+        p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+        m1, m2 = float(_msfn(p1, e2)), float(_msfn(p2, e2))
+        M1, M2 = float(_mdist(p1, a, e2)), float(_mdist(p2, a, e2))
+        if abs(lat1 - lat2) < 1e-10:
+            self.n = math.sin(p1)
+        else:
+            self.n = a * (m1 - m2) / (M2 - M1)
+        self.G = m1 / self.n + M1 / a
+        self.rho0 = a * self.G - float(_mdist(p0, a, e2))
+
+    def forward(self, lon, lat):
+        el = self.ellipsoid
+        phi = np.asarray(lat, np.float64) * _D2R
+        lam = (np.asarray(lon, np.float64) - self.lon0) * _D2R
+        rho = el.a * self.G - _mdist(phi, el.a, el.e2)
+        th = self.n * lam
+        return rho * np.sin(th) + self.fe, self.rho0 - rho * np.cos(th) + self.fn
+
+    def inverse(self, x, y):
+        el = self.ellipsoid
+        xs = np.asarray(x, np.float64) - self.fe
+        ys = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(self.n) * np.sqrt(xs * xs + ys * ys)
+        theta = np.arctan2(np.sign(self.n) * xs, np.sign(self.n) * ys)
+        M = el.a * self.G - rho
+        c0 = _mdist_coeffs(el.e2)[0]
+        phi = _footpoint(M / (el.a * c0), el.e2)
+        return (theta / self.n) * _R2D + self.lon0, phi * _R2D
+
+    def _mdist_sqlish(self, phi, lit, sin):
+        c0, c2, c4, c6 = _mdist_coeffs(self.ellipsoid.e2)
+        a = self.ellipsoid.a
+        return (
+            lit(a * c0) * phi
+            - lit(a * c2) * sin(lit(2.0) * phi)
+            + lit(a * c4) * sin(lit(4.0) * phi)
+            - lit(a * c6) * sin(lit(6.0) * phi)
+        )
+
+    def forward_cols(self, lon, lat):
+        from pyspark.sql import functions as F
+
+        lon = F.col(lon) if isinstance(lon, str) else lon
+        lat = F.col(lat) if isinstance(lat, str) else lat
+        phi = lat * F.lit(_D2R)
+        lam = (lon - F.lit(self.lon0)) * F.lit(_D2R)
+        rho = F.lit(self.ellipsoid.a * self.G) - self._mdist_sqlish(
+            phi, F.lit, F.sin)
+        th = F.lit(self.n) * lam
+        return (
+            rho * F.sin(th) + F.lit(self.fe),
+            F.lit(self.rho0) - rho * F.cos(th) + F.lit(self.fn),
+        )
+
+    def forward_sql(self, lon, lat):
+        phi = f"(({lat}) * {_D2R!r})"
+        lam = f"((({lon}) - {self.lon0!r}) * {_D2R!r})"
+        M = self._mdist_sqlish(
+            _SqlExpr(phi), lambda v: _SqlExpr(repr(v)),
+            lambda v: _SqlExpr(f"sin({v})"))
+        rho = f"({self.ellipsoid.a * self.G!r} - {M})"
+        th = f"({self.n!r} * {lam})"
+        return (
+            f"{rho} * sin({th}) + {self.fe!r}",
+            f"{self.rho0!r} - {rho} * cos({th}) + {self.fn!r}",
+        )
+
+
+class _SqlExpr(str):
+    """SQL fragment with arithmetic operators, so one expression builder
+    serves Column and SQL-string emission (parenthesizes every step)."""
+
+    def __mul__(self, o):
+        return _SqlExpr(f"({self} * {o})")
+
+    def __add__(self, o):
+        return _SqlExpr(f"({self} + {o})")
+
+    def __sub__(self, o):
+        return _SqlExpr(f"({self} - {o})")
+
+    def __rsub__(self, o):
+        return _SqlExpr(f"({o} - {self})")
+
+
+class Krovak(Proj):
+    """Krovak oblique conformal conic on Bessel 1841 (EPSG Guidance Note
+    7-2 'Krovak'; proj/KrovakProjection.java) — the Czech/Slovak national
+    CRS. This is the EAST-NORTH variant (EPSG:5514): x = -westing,
+    y = -southing, both negative over the whole of use."""
+
+    name = "krovak"
+
+    # EPSG:5514 defining constants
+    _PHI_C = 49.5           # latitude of projection centre
+    _LON0 = 24.833333333333332   # 42deg30' east of Ferro, Greenwich deg
+    _ALPHA = 30.288139722222223  # co-latitude of cone axis (30d17'17.303")
+    _PHI_1 = 78.5           # pseudo standard parallel
+    _K0 = 0.9999
+
+    def __init__(self, ellipsoid: Ellipsoid = BESSEL):
+        self.ellipsoid = ellipsoid
+        e, e2, a = ellipsoid.e, ellipsoid.e2, ellipsoid.a
+        pc = self._PHI_C * _D2R
+        sc, cc = math.sin(pc), math.cos(pc)
+        self.B = math.sqrt(1.0 + e2 * cc**4 / (1.0 - e2))
+        self.A = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+        self.g0 = math.asin(sc / self.B)
+        self.t0 = (
+            math.tan(math.pi / 4.0 + self.g0 / 2.0)
+            * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * self.B / 2.0)
+            / math.tan(math.pi / 4.0 + pc / 2.0) ** self.B
+        )
+        p1 = self._PHI_1 * _D2R
+        self.n = math.sin(p1)
+        self.r0 = self._K0 * self.A / math.tan(p1)
+        self._tan1 = math.tan(math.pi / 4.0 + p1 / 2.0)
+        self._alpha_r = self._ALPHA * _D2R
+
+    def forward(self, lon, lat):
+        e = self.ellipsoid.e
+        phi = np.asarray(lat, np.float64) * _D2R
+        lam = np.asarray(lon, np.float64)
+        es = e * np.sin(phi)
+        u = 2.0 * (
+            np.arctan(
+                self.t0
+                * np.tan(phi / 2.0 + math.pi / 4.0) ** self.B
+                / ((1.0 + es) / (1.0 - es)) ** (e * self.B / 2.0)
+            )
+            - math.pi / 4.0
+        )
+        v = self.B * (self._LON0 - lam) * _D2R
+        ca, sa = math.cos(self._alpha_r), math.sin(self._alpha_r)
+        t = np.arcsin(np.clip(
+            ca * np.sin(u) + sa * np.cos(u) * np.cos(v), -1.0, 1.0))
+        d = np.arcsin(np.clip(np.cos(u) * np.sin(v) / np.cos(t), -1.0, 1.0))
+        theta = self.n * d
+        r = self.r0 * self._tan1**self.n / np.tan(t / 2.0 + math.pi / 4.0) ** self.n
+        southing = r * np.cos(theta)
+        westing = r * np.sin(theta)
+        return -westing, -southing
+
+    def inverse(self, x, y, iters: int = 15):
+        e = self.ellipsoid.e
+        southing = -np.asarray(y, np.float64)
+        westing = -np.asarray(x, np.float64)
+        r = np.sqrt(southing * southing + westing * westing)
+        theta = np.arctan2(westing, southing)
+        d = theta / self.n
+        t = 2.0 * (
+            np.arctan((self.r0 / r) ** (1.0 / self.n) * self._tan1)
+            - math.pi / 4.0
+        )
+        ca, sa = math.cos(self._alpha_r), math.sin(self._alpha_r)
+        u = np.arcsin(np.clip(
+            ca * np.sin(t) - sa * np.cos(t) * np.cos(d), -1.0, 1.0))
+        v = np.arcsin(np.clip(np.cos(t) * np.sin(d) / np.cos(u), -1.0, 1.0))
+        lam = self._LON0 - (v / self.B) * _R2D
+        phi = u
+        base = self.t0 ** (-1.0 / self.B) * np.tan(
+            u / 2.0 + math.pi / 4.0) ** (1.0 / self.B)
+        for _ in range(iters):
+            es = e * np.sin(phi)
+            phi = 2.0 * (
+                np.arctan(base * ((1.0 + es) / (1.0 - es)) ** (e / 2.0))
+                - math.pi / 4.0
+            )
+        return lam, phi * _R2D
+
+    def forward_cols(self, lon, lat):
+        from pyspark.sql import functions as F
+
+        lon = F.col(lon) if isinstance(lon, str) else lon
+        lat = F.col(lat) if isinstance(lat, str) else lat
+        e = self.ellipsoid.e
+        phi = lat * F.lit(_D2R)
+        es = F.lit(e) * F.sin(phi)
+        u = F.lit(2.0) * (
+            F.atan(
+                F.lit(self.t0)
+                * F.pow(F.tan(phi / F.lit(2.0) + F.lit(math.pi / 4.0)),
+                        F.lit(self.B))
+                / F.pow((F.lit(1.0) + es) / (F.lit(1.0) - es),
+                        F.lit(e * self.B / 2.0))
+            )
+            - F.lit(math.pi / 4.0)
+        )
+        v = F.lit(self.B) * (F.lit(self._LON0) - lon) * F.lit(_D2R)
+        ca, sa = math.cos(self._alpha_r), math.sin(self._alpha_r)
+        t = F.asin(F.lit(ca) * F.sin(u) + F.lit(sa) * F.cos(u) * F.cos(v))
+        d = F.asin(F.cos(u) * F.sin(v) / F.cos(t))
+        theta = F.lit(self.n) * d
+        r = F.lit(self.r0 * self._tan1**self.n) / F.pow(
+            F.tan(t / F.lit(2.0) + F.lit(math.pi / 4.0)), F.lit(self.n))
+        return -(r * F.sin(theta)), -(r * F.cos(theta))
+
+    def forward_sql(self, lon, lat):
+        e = self.ellipsoid.e
+        phi = f"(({lat}) * {_D2R!r})"
+        es = f"({e!r} * sin({phi}))"
+        u = (
+            f"(2.0 * (atan({self.t0!r}"
+            f" * pow(tan({phi} / 2.0 + {math.pi / 4.0!r}), {self.B!r})"
+            f" / pow((1.0 + {es}) / (1.0 - {es}), {e * self.B / 2.0!r}))"
+            f" - {math.pi / 4.0!r}))"
+        )
+        v = f"({self.B!r} * ({self._LON0!r} - ({lon})) * {_D2R!r})"
+        ca, sa = math.cos(self._alpha_r), math.sin(self._alpha_r)
+        t = f"asin({ca!r} * sin({u}) + {sa!r} * cos({u}) * cos({v}))"
+        d = f"asin(cos({u}) * sin({v}) / cos({t}))"
+        theta = f"({self.n!r} * {d})"
+        r = (
+            f"({self.r0 * self._tan1**self.n!r}"
+            f" / pow(tan({t} / 2.0 + {math.pi / 4.0!r}), {self.n!r}))"
+        )
+        return f"-({r} * sin({theta}))", f"-({r} * cos({theta}))"
 
 
 class PolarStereographic(Proj):
@@ -1297,6 +1686,14 @@ _NAMED: dict[str, str] = {
     ),
     "sinusoidal": "+proj=sinu +R=6371007.181",
     "modis": "+proj=sinu +R=6371007.181",
+    # ETRS89-LAEA, the EU standard statistical grid
+    "epsg:3035": (
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000"
+        " +ellps=GRS80"
+    ),
+    # S-JTSK / Krovak East North (Czech/Slovak national CRS); the towgs84
+    # triple is the EPSG:1623 S-JTSK -> WGS84 shift
+    "epsg:5514": "+proj=krovak +ellps=bessel +towgs84=589,76,480",
 }
 
 
@@ -1378,6 +1775,19 @@ def _proj_from_kv(kv: dict[str, str], ell: Ellipsoid) -> Proj:
             ell, lat1=g("lat_1", 29.5), lat2=g("lat_2", 45.5), lat0=g("lat_0", 23.0),
             lon0=g("lon_0", -96.0), fe=g("x_0", 0.0), fn=g("y_0", 0.0),
         )
+    if p == "laea":
+        return LambertAzimuthalEqualArea(
+            ell, lat0=g("lat_0", 0.0), lon0=g("lon_0", 0.0),
+            fe=g("x_0", 0.0), fn=g("y_0", 0.0),
+        )
+    if p == "eqdc":
+        return EquidistantConic(
+            ell, lat1=g("lat_1", 60.0), lat2=g("lat_2", 60.0),
+            lat0=g("lat_0", 0.0), lon0=g("lon_0", 0.0),
+            fe=g("x_0", 0.0), fn=g("y_0", 0.0),
+        )
+    if p == "krovak":
+        return Krovak(ell if "ellps" in kv or "a" in kv else BESSEL)
     if p == "stere":
         return PolarStereographic(
             ell, lat_ts=g("lat_ts", 70.0), lon0=g("lon_0", -45.0),

@@ -1050,6 +1050,39 @@ SELECT event_id, round({xs}, 2) AS easting, round({ys}, 2) AS northing FROM f
 """
 
 
+def q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point reprojection into the EU standard grid EPSG:3035 (ETRS89
+    Lambert azimuthal equal-area, Snyder 24-2..24-15) through the proj
+    module's Column twins — same pure-codegen shape as reproject_utm;
+    validated against the EPSG Guidance Note 7-2 worked example in
+    pytest (50N 5E -> 3962799.45 E, 2999718.85 N)."""
+    from .proj import crs
+
+    p = crs("epsg:3035")
+    ev = _events_points(spark, sf_dir).filter(
+        "lon >= -10.0 AND lon < 30.0 AND lat > 35.0 AND lat < 70.0"
+    )
+    xc, yc = p.forward_cols("lon", "lat")
+    return ev.select(
+        "event_id",
+        F.round(xc, 2).alias("easting"),
+        F.round(yc, 2).alias("northing"),
+    )
+
+
+def _o_reproject_laea() -> str:
+    from .proj import crs
+
+    p = crs("epsg:3035")
+    xs, ys = p.forward_sql("lon", "lat")
+    return f"""
+WITH p AS (SELECT event_id, {LON_E} AS lon, {LAT_E} AS lat FROM events),
+f AS (SELECT event_id, lon, lat FROM p
+      WHERE lon >= -10.0 AND lon < 30.0 AND lat > 35.0 AND lat < 70.0)
+SELECT event_id, round({xs}, 2) AS easting, round({ys}, 2) AS northing FROM f
+"""
+
+
 def q_reproject_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodetic datum shift OSGB36 -> WGS84 through geocentric XYZ +
     7-param Helmert (proj4 parity: datum/Datum.java:209-264,
@@ -4149,6 +4182,7 @@ QUERIES = {
     "cost_distance_batched": q_cost_distance_batched,
     "flow_accumulation_batched": q_flow_accumulation_batched,
     "image_features": q_image_features,
+    "reproject_laea": q_reproject_laea,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4214,6 +4248,7 @@ ORACLES = {
     "cost_distance": _o_cost_distance(),
     "cost_distance_batched": _o_cost_distance(),  # batch==1 identical
     "image_features": _o_image_features(),
+    "reproject_laea": _o_reproject_laea(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
