@@ -501,6 +501,35 @@ class TestReshape:
         idx = np.argsort(s)
         assert (np.diff(o[idx]) >= -1e-9).all()
 
+    def test_transfer_stats_fused_single_action_and_identical(self, spark):
+        """Discrete imagery takes the fused ONE-stat-action path (the
+        reference's RDDHistogramEqualization two-action shape) and its
+        output is bit-identical to the legacy min/max + bucket-count
+        path (forced via a cardinality cap of 0)."""
+        from tilegrid.operators import reshape as RS2
+
+        a = layer_df(spark, "mod-10000")
+        fast = stitched(RS2.histogram_equalization(a, 64).toPandas())
+        assert RS2.LAST_STAT_ACTIONS[0] == 1
+        old_cap = RS2._VALUE_FAST_CAP
+        RS2._VALUE_FAST_CAP = 0
+        try:
+            legacy = stitched(RS2.histogram_equalization(a, 64).toPandas())
+            assert RS2.LAST_STAT_ACTIONS[0] == 2
+        finally:
+            RS2._VALUE_FAST_CAP = old_cap
+        np.testing.assert_array_equal(fast, legacy)
+        # matching too
+        args = ([0.0, 10.0, 40.0, 100.0], [0.0, 0.5, 0.9, 1.0], 64)
+        fast_m = stitched(RS2.histogram_matching(a, *args).toPandas())
+        assert RS2.LAST_STAT_ACTIONS[0] == 1
+        RS2._VALUE_FAST_CAP = 0
+        try:
+            legacy_m = stitched(RS2.histogram_matching(a, *args).toPandas())
+        finally:
+            RS2._VALUE_FAST_CAP = old_cap
+        np.testing.assert_array_equal(fast_m, legacy_m)
+
 
 class TestRender:
     def test_render_and_slippy(self, spark, tmp_path):

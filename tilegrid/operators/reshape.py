@@ -183,6 +183,90 @@ def zoom_resample(
     return layer.mapInPandas(run, LAYER_SCHEMA)
 
 
+# distinct-value cap for the fused single-action stat path; above it the
+# legacy min/max + bucket-count actions run instead (exactness, not a
+# sample). 2^16 rows ~ 1 MB collected — trivial, and uint8/uint16 imagery
+# (the corpus) sits far below it.
+_VALUE_FAST_CAP = 65536
+
+# instrumentation: stat ACTIONS run by the most recent
+# histogram_equalization / histogram_matching call (1 = fused fast path,
+# 2 = high-cardinality fallback); tests pin the fast path on uint8 layers
+LAST_STAT_ACTIONS: list[int] = [0]
+
+
+def _transfer_stats(layer: DataFrame, num_buckets: int):
+    """(lo, hi, bucket_of, cdf) for the equalization/matching transfer in
+    ONE stat action when the layer's distinct-value count is small —
+    matching the reference's two-action shape
+    (RDDHistogramEqualization.scala:44-120: one histogram aggregate, then
+    the lazy transfer). The single pass emits per-partition EXACT value
+    counts; the driver derives min/max from the value set and re-buckets
+    the counts with the same floor rule, so lo/hi/cdf — and therefore the
+    output bits — are identical to the legacy min/max + bucket-count
+    3-action path, which remains the fallback above _VALUE_FAST_CAP
+    distinct values (continuous float rasters)."""
+
+    def count_values(it):
+        acc: dict[float, int] = {}
+        over = False
+        for pdf in it:
+            for t in pdf.itertuples(index=False):
+                if over:
+                    break
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                v = arr[~np.isnan(arr)]
+                if not v.size:
+                    continue
+                vals, cnts = np.unique(v, return_counts=True)
+                for val, c in zip(vals.tolist(), cnts.tolist()):
+                    acc[val] = acc.get(val, 0) + c
+                if len(acc) > _VALUE_FAST_CAP:
+                    over = True
+        if over:
+            yield pd.DataFrame({"value": [0.0], "n": np.int64([-1])})
+        else:
+            yield pd.DataFrame(
+                {"value": list(acc.keys()),
+                 "n": np.asarray(list(acc.values()), dtype=np.int64)})
+
+    rows = (
+        layer.mapInPandas(count_values, "value double, n long")
+        .groupBy("value").agg(F.sum("n").alias("n")).collect()
+    )
+    overflow = any(int(r["n"]) < 0 for r in rows) or len(rows) > _VALUE_FAST_CAP
+    if not overflow and rows:
+        LAST_STAT_ACTIONS[0] = 1
+        vals = np.asarray([float(r["value"]) for r in rows])
+        cnts = np.asarray([int(r["n"]) for r in rows], dtype=np.int64)
+        lo, hi = float(vals.min()), float(vals.max())
+        if hi <= lo:
+            hi = lo + 1.0
+
+        def bucket_of(arr: np.ndarray) -> np.ndarray:
+            return (
+                np.floor((arr - lo) / (hi - lo) * num_buckets)
+                .clip(0, num_buckets - 1)
+                .astype(np.int64)
+            )
+
+        counts = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(counts, bucket_of(vals), cnts)
+        cdf = np.cumsum(counts).astype(np.float64)
+        cdf = cdf / cdf[-1] if cdf[-1] > 0 else cdf
+        return lo, hi, bucket_of, cdf
+    # legacy path: exact at any cardinality, two stat actions
+    from .summary import min_max
+
+    LAST_STAT_ACTIONS[0] = 2
+    mm = min_max(layer).collect()[0]
+    lo, hi = float(mm["vmin"]), float(mm["vmax"])
+    if hi <= lo:
+        hi = lo + 1.0
+    bucket_of, cdf = _bucket_cdf(layer, lo, hi, num_buckets)
+    return lo, hi, bucket_of, cdf
+
+
 def _bucket_cdf(layer: DataFrame, lo: float, hi: float, num_buckets: int):
     """Floor-rule bucket CDF of a layer: cdf[b] = P(bucket(v) <= b) with
     bucket(v) = clip(floor((v-lo)/(hi-lo)*nb), 0, nb-1). Shared by the
@@ -229,18 +313,14 @@ def histogram_matching(
     linear CDF (cdf[0] = 0 .. cdf[-1] = 1). The source quantile uses the
     floor-rule bucket CDF; segment slopes are precomputed once so engine
     and SQL oracle share identical literals — the whole transfer is exact
-    rational arithmetic."""
-    from .summary import min_max
-
+    rational arithmetic. Stats come from _transfer_stats: one fused stat
+    action on discrete imagery, legacy two-action fallback above the
+    cardinality cap — bit-identical either way."""
     tv = np.asarray(target_values, dtype=np.float64)
     tc = np.asarray(target_cdf, dtype=np.float64)
     slopes = (tv[1:] - tv[:-1]) / (tc[1:] - tc[:-1])
-    layer = layer.persist()  # 3 passes: min/max, bucket counts, transfer
-    mm = min_max(layer).collect()[0]
-    lo, hi = float(mm["vmin"]), float(mm["vmax"])
-    if hi <= lo:
-        hi = lo + 1.0
-    bucket_of, cdf = _bucket_cdf(layer, lo, hi, num_buckets)
+    layer = layer.persist()  # stat action(s) + transfer read the cache
+    lo, hi, bucket_of, cdf = _transfer_stats(layer, num_buckets)
     spark = layer.sparkSession
     bc = spark.sparkContext.broadcast((cdf.tolist(), tv.tolist(), tc.tolist(), slopes.tolist()))
 
@@ -310,15 +390,12 @@ def histogram_equalization(layer: DataFrame, num_buckets: int = 256) -> DataFram
     Bucketing uses the floor rule bucket(v) = clip(floor((v-lo)/(hi-lo)*nb),
     0, nb-1) in BOTH passes (count and transfer; shared _bucket_cdf). Every
     step is +,-,*,/ of exact integer counts — no transcendentals — so the
-    transfer is bit-identical to the SQL oracle twin."""
-    from .summary import min_max
-
-    layer = layer.persist()  # 3 passes: min/max, bucket counts, transfer
-    mm = min_max(layer).collect()[0]
-    lo, hi = float(mm["vmin"]), float(mm["vmax"])
-    if hi <= lo:
-        hi = lo + 1.0
-    bucket_of, cdf = _bucket_cdf(layer, lo, hi, num_buckets)
+    transfer is bit-identical to the SQL oracle twin. Stats come from
+    _transfer_stats: ONE fused stat action on discrete imagery (the
+    reference's RDDHistogramEqualization two-action shape), legacy
+    min/max + bucket-count actions above the cardinality cap."""
+    layer = layer.persist()  # stat action(s) + transfer read the cache
+    lo, hi, bucket_of, cdf = _transfer_stats(layer, num_buckets)
     spark = layer.sparkSession
     bc = spark.sparkContext.broadcast((lo, hi, cdf.tolist()))
 
