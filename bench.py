@@ -88,6 +88,13 @@ HEADLINE = [
     "train_split",
     "corpus_filter",
     "mix_oversample",
+    # round-5 additions: halo-batched propagation, image decode path,
+    # LAEA reprojection, ANN retrieval quality
+    "cost_distance_batched",
+    "flow_accumulation_batched",
+    "image_features",
+    "reproject_laea",
+    "ann_recall",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))
