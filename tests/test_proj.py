@@ -667,3 +667,125 @@ def test_reproject_geoms_preserves_empty_multipolygon_type(spark):
     df = spark.createDataFrame(pd.DataFrame([("e", empty)], columns=["gid", "wkb"]))
     out = reproject_geoms(df, "latlng", "epsg:32633").toPandas()
     assert _struct.unpack_from("<I", bytes(out.iloc[0]["wkb"]), 1)[0] == 6
+
+
+# ------------------------- Mollweide / Robinson / Hotine Oblique Mercator
+
+
+@pytest.mark.parametrize(
+    "p, dom",
+    [
+        (P.Mollweide(6371000.0, lon0=10.0), (-150.0, 170.0, -89.0, 89.0)),
+        (P.Wagner4(6371000.0), (-170.0, 170.0, -85.0, 85.0)),
+        (P.Wagner5(6371000.0), (-170.0, 170.0, -85.0, 85.0)),
+        (P.Robinson(6371000.0, lon0=-20.0), (-150.0, 110.0, -88.0, 88.0)),
+    ],
+)
+def test_pseudocylindrical_roundtrip(p, dom):
+    lon, lat = _grid(*dom, n=7)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=2e-5, rtol=0)
+    np.testing.assert_allclose(lat2, lat, atol=2e-5, rtol=0)
+
+
+@pytest.mark.parametrize("cls", [P.Mollweide, P.Wagner4])
+def test_mollweide_family_unit_area_distortion(cls):
+    """Mollweide and Wagner IV are equal-area: |det J| == sphere area
+    element everywhere (Snyder ch. 31). Wagner V is a compromise and is
+    deliberately NOT asserted here."""
+    p = cls(6371000.0)
+    lon, lat = _grid(-150.0, 150.0, -75.0, 75.0, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    det = np.abs(dxl * dyp - dyl * dxp)
+    np.testing.assert_allclose(det, par_len * mer_len, rtol=5e-5)
+
+
+def test_mollweide_known_constants_and_poles():
+    m = P.Mollweide(1.0)
+    # Snyder 31-1..31-8 at p=pi/2: cx = 2*sqrt(2)/pi, cy = sqrt(2), cp = pi
+    assert abs(m.cx - 2.0 * math.sqrt(2.0) / math.pi) < 1e-12
+    assert abs(m.cy - math.sqrt(2.0)) < 1e-12
+    assert abs(m.cp - math.pi) < 1e-12
+    x, y = m.forward(np.array([0.0, 0.0]), np.array([90.0, -90.0]))
+    np.testing.assert_allclose(x, [0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(y, [math.sqrt(2.0), -math.sqrt(2.0)], atol=1e-9)
+    # equator: x spans exactly +-cx*pi*R (the 2:1 ellipse), y = 0
+    xe, ye = m.forward(np.array([180.0]), np.array([0.0]))
+    np.testing.assert_allclose(xe, [m.cx * math.pi], rtol=1e-12)
+    assert abs(float(ye[0])) < 1e-12
+    w5 = P.Wagner5(1.0)
+    assert (w5.cx, w5.cy, w5.cp) == (0.90977, 1.65014, 3.00896)
+
+
+def test_robinson_published_node_values():
+    """Forward at the exact 5-degree nodes reproduces the published USGS
+    PROJ table entries: x = 0.8487*R*X[i]*lam, y = 1.3523*R*Y[i]."""
+    r = P.Robinson(1.0)
+    lam = math.radians(30.0)
+    # 90 evaluates the last segment's cubic at z=5 (as USGS PROJ robin.c
+    # does), matching the pole row only to the table's fit accuracy ~1e-8
+    for lat_deg, xi, yi, tol in [(0.0, 1.0, 0.0, 1e-12), (30.0, 0.96, 0.372, 1e-12),
+                                 (60.0, 0.7986, 0.7346, 1e-12), (90.0, 0.5322, 1.0, 1e-7)]:
+        x, y = r.forward(np.array([30.0]), np.array([lat_deg]))
+        np.testing.assert_allclose(x, [0.8487 * xi * lam], rtol=tol)
+        np.testing.assert_allclose(y, [1.3523 * yi], rtol=tol, atol=1e-15 if tol < 1e-9 else 1e-7)
+        xs, ys = r.forward(np.array([30.0]), np.array([-lat_deg]))
+        np.testing.assert_allclose(ys, [-1.3523 * yi], rtol=tol, atol=1e-15 if tol < 1e-9 else 1e-7)
+
+
+def test_omerc_conformal_and_center_scale():
+    """Hotine oblique Mercator is conformal (h == k) and the scale on the
+    projection center equals k0 (Snyder ch. 9)."""
+    p = P.HotineObliqueMercator(P.WGS84, lat0=4.0, lonc=115.0,
+                                alpha=53.31582, k0=0.99984)
+    lon, lat = _grid(108.0, 122.0, -4.0, 12.0, n=7)
+    dxl, dyl, dxp, dyp = _jacobian(p, lon, lat)
+    par_len, mer_len = _metric(p.ellipsoid, lat)
+    k = np.hypot(dxl, dyl) / par_len
+    h = np.hypot(dxp, dyp) / mer_len
+    np.testing.assert_allclose(h, k, rtol=5e-5)
+    dxl, dyl, _, _ = _jacobian(p, np.array([115.0]), np.array([4.0]))
+    pc, _ = _metric(p.ellipsoid, np.array([4.0]))
+    np.testing.assert_allclose(np.hypot(dxl, dyl) / pc, [0.99984], rtol=1e-6)
+
+
+def test_omerc_roundtrip_and_false_origin():
+    p = P.HotineObliqueMercator(P.WGS84, lat0=4.0, lonc=115.0, alpha=53.3,
+                                k0=0.99984, fe=590476.87, fn=442857.65)
+    lon, lat = _grid(105.0, 125.0, -10.0, 18.0, n=7)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9, rtol=0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9, rtol=0)
+    # southern-aperture setup exercises the lat0 < 0 u_c sign branch
+    s = P.HotineObliqueMercator(P.WGS84, lat0=-20.0, lonc=140.0, alpha=-35.0)
+    x, y = s.forward(lon, lat)
+    lon2, lat2 = s.inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9, rtol=0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9, rtol=0)
+
+
+def test_omerc_rejects_degenerate_azimuth():
+    for bad in (0.0, 90.0, -90.0):
+        with pytest.raises(ValueError):
+            P.HotineObliqueMercator(P.WGS84, lat0=4.0, lonc=115.0, alpha=bad)
+
+
+def test_new_projections_in_parser():
+    m = P.crs("+proj=moll +a=6378137 +lon_0=15")
+    assert isinstance(m, P.Mollweide) and m.lon0 == 15.0
+    assert isinstance(P.crs("+proj=wag4"), P.Wagner4)
+    assert isinstance(P.crs("+proj=wag5"), P.Wagner5)
+    assert isinstance(P.crs("esri:54009"), P.Mollweide)
+    r = P.crs("esri:54030")
+    assert isinstance(r, P.Robinson) and r.R == 6378137.0
+    o = P.crs("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.3 +k=0.99984"
+              " +x_0=590476.87 +y_0=442857.65 +ellps=WGS84")
+    assert isinstance(o, P.HotineObliqueMercator)
+    assert o.k0 == 0.99984 and o.fe == 590476.87
+    # transform() chains through the new CRSs end-to-end
+    x, y = P.transform("latlng", "robinson", np.array([12.0]), np.array([45.0]))
+    lon, lat = P.transform("robinson", "latlng", x, y)
+    np.testing.assert_allclose([float(lon[0]), float(lat[0])], [12.0, 45.0], atol=1e-6)

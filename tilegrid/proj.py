@@ -56,6 +56,11 @@ __all__ = [
     "Orthographic",
     "Gnomonic",
     "Cassini",
+    "Mollweide",
+    "Wagner4",
+    "Wagner5",
+    "Robinson",
+    "HotineObliqueMercator",
     "crs",
     "utm",
     "transform",
@@ -1343,6 +1348,257 @@ class Cassini(_Spherical):
         return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
 
 
+class Mollweide(_Spherical):
+    """moll / wag4 / wag5 — Mollweide family, spherical equal-area
+    pseudo-cylindrical (Snyder ch. 31; proj/MolleweideProjection.java is
+    spherical-only too). The generalized constants follow Snyder 31-1..31-8
+    with bounding parallel parameter p: Mollweide p=pi/2, Wagner IV p=pi/3;
+    Wagner V uses its published fixed constants and is NOT equal-area."""
+
+    name = "moll"
+
+    def __init__(self, R: float = 6371000.0, lon0: float = 0.0, p: float = math.pi / 2):
+        super().__init__(R, lon0, 0.0)
+        p2 = p + p
+        sp = math.sin(p)
+        r = math.sqrt(2.0 * math.pi * sp / (p2 + math.sin(p2)))
+        self.cx = 2.0 * r / math.pi
+        self.cy = r / sp
+        self.cp = p2 + math.sin(p2)
+
+    def forward(self, lon, lat):
+        lam, phi = self._ll(lon, lat)
+        k = self.cp * np.sin(phi)
+        # Newton for theta' in theta' + sin(theta') = cp*sin(phi); seeded at
+        # phi, converges quadratically everywhere except the poles, where the
+        # iterate is clamped (same guard the reference applies after MAX_ITER)
+        th = np.array(phi, np.float64, copy=True)
+        # 30 fixed iterations: quadratic in the interior; near the poles the
+        # derivative 1+cos(theta) -> 0 makes it linear, and 30 reaches 1e-11
+        # degrees at lat 89.999 (the reference clamps after 10 instead)
+        for _ in range(30):
+            th = th - (th + np.sin(th) - k) / (1.0 + np.cos(th))
+        th = np.where(np.isfinite(th), th, np.where(phi < 0, -math.pi, math.pi))
+        th = 0.5 * th
+        x = self.R * self.cx * lam * np.cos(th)
+        y = self.R * self.cy * np.sin(th)
+        return x, y
+
+    def inverse(self, x, y):
+        th = np.arcsin(np.clip(np.asarray(y, np.float64) / (self.R * self.cy), -1.0, 1.0))
+        lam = np.asarray(x, np.float64) / (self.R * self.cx * np.cos(th))
+        th2 = th + th
+        phi = np.arcsin(np.clip((th2 + np.sin(th2)) / self.cp, -1.0, 1.0))
+        return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
+
+
+class Wagner4(Mollweide):
+    name = "wag4"
+
+    def __init__(self, R: float = 6371000.0, lon0: float = 0.0):
+        super().__init__(R, lon0, p=math.pi / 3)
+
+
+class Wagner5(Mollweide):
+    """Wagner V: Mollweide iteration with the published fixed constants
+    (cx 0.90977, cy 1.65014, cp 3.00896) — compromise, not equal-area."""
+
+    name = "wag5"
+
+    def __init__(self, R: float = 6371000.0, lon0: float = 0.0):
+        super().__init__(R, lon0, p=math.pi / 2)
+        self.cx, self.cy, self.cp = 0.90977, 1.65014, 3.00896
+
+
+# Robinson interpolation tables — published USGS PROJ constants (public
+# domain; also shipped verbatim by proj/RobinsonProjection.java): per-5-degree
+# cubic coefficients for the X scale and Y position, nodes at 0,5,...,90.
+_ROBIN_X = np.array([
+    [1, -5.67239e-12, -7.15511e-05, 3.11028e-06],
+    [0.9986, -0.000482241, -2.4897e-05, -1.33094e-06],
+    [0.9954, -0.000831031, -4.4861e-05, -9.86588e-07],
+    [0.99, -0.00135363, -5.96598e-05, 3.67749e-06],
+    [0.9822, -0.00167442, -4.4975e-06, -5.72394e-06],
+    [0.973, -0.00214869, -9.03565e-05, 1.88767e-08],
+    [0.96, -0.00305084, -9.00732e-05, 1.64869e-06],
+    [0.9427, -0.00382792, -6.53428e-05, -2.61493e-06],
+    [0.9216, -0.00467747, -0.000104566, 4.8122e-06],
+    [0.8962, -0.00536222, -3.23834e-05, -5.43445e-06],
+    [0.8679, -0.00609364, -0.0001139, 3.32521e-06],
+    [0.835, -0.00698325, -6.40219e-05, 9.34582e-07],
+    [0.7986, -0.00755337, -5.00038e-05, 9.35532e-07],
+    [0.7597, -0.00798325, -3.59716e-05, -2.27604e-06],
+    [0.7186, -0.00851366, -7.0112e-05, -8.63072e-06],
+    [0.6732, -0.00986209, -0.000199572, 1.91978e-05],
+    [0.6213, -0.010418, 8.83948e-05, 6.24031e-06],
+    [0.5722, -0.00906601, 0.000181999, 6.24033e-06],
+    [0.5322, 0.0, 0.0, 0.0],
+], np.float64)
+_ROBIN_Y = np.array([
+    [0, 0.0124, 3.72529e-10, 1.15484e-09],
+    [0.062, 0.0124001, 1.76951e-08, -5.92321e-09],
+    [0.124, 0.0123998, -7.09668e-08, 2.25753e-08],
+    [0.186, 0.0124008, 2.66917e-07, -8.44523e-08],
+    [0.248, 0.0123971, -9.99682e-07, 3.15569e-07],
+    [0.31, 0.0124108, 3.73349e-06, -1.1779e-06],
+    [0.372, 0.0123598, -1.3935e-05, 4.39588e-06],
+    [0.434, 0.0125501, 5.20034e-05, -1.00051e-05],
+    [0.4958, 0.0123198, -9.80735e-05, 9.22397e-06],
+    [0.5571, 0.0120308, 4.02857e-05, -5.2901e-06],
+    [0.6176, 0.0120369, -3.90662e-05, 7.36117e-07],
+    [0.6769, 0.0117015, -2.80246e-05, -8.54283e-07],
+    [0.7346, 0.0113572, -4.08389e-05, -5.18524e-07],
+    [0.7903, 0.0109099, -4.86169e-05, -1.0718e-06],
+    [0.8435, 0.0103433, -6.46934e-05, 5.36384e-09],
+    [0.8936, 0.00969679, -6.46129e-05, -8.54894e-06],
+    [0.9394, 0.00840949, -0.000192847, -4.21023e-06],
+    [0.9761, 0.00616525, -0.000256001, -4.21021e-06],
+    [1.0, 0.0, 0.0, 0.0],
+], np.float64)
+
+
+def _robin_poly(tbl: np.ndarray, i, z):
+    """Vectorized per-node cubic: tbl[i] evaluated at z (degrees past node)."""
+    c = tbl[i]
+    return c[..., 0] + z * (c[..., 1] + z * (c[..., 2] + z * c[..., 3]))
+
+
+class Robinson(_Spherical):
+    """robin — Robinson compromise pseudo-cylindrical (Robinson 1974; the
+    published USGS PROJ per-5-degree cubic tables above;
+    proj/RobinsonProjection.java). Forward: node lookup + cubic in latitude.
+    Inverse: Newton on the Y cubic within the bracketing node, then divide
+    out the X scale. Neither conformal nor equal-area by design."""
+
+    name = "robin"
+    _FXC, _FYC = 0.8487, 1.3523
+
+    def forward(self, lon, lat):
+        # index the table from the degree input directly (no deg->rad->deg
+        # roundtrip) so exact 5-degree nodes hit their own segment
+        lam = (np.asarray(lon, np.float64) - self.lon0) * _D2R
+        latd = np.asarray(lat, np.float64)
+        ad = np.abs(latd)
+        i = np.minimum(np.floor(ad / 5.0).astype(np.int64), 17)
+        z = ad - 5.0 * i
+        x = self.R * self._FXC * _robin_poly(_ROBIN_X, i, z) * lam
+        y = self.R * self._FYC * np.sign(latd) * _robin_poly(_ROBIN_Y, i, z)
+        return x, y
+
+    def inverse(self, x, y):
+        xs = np.asarray(x, np.float64) / (self.R * self._FXC)
+        yy = np.clip(np.abs(np.asarray(y, np.float64)) / (self.R * self._FYC), 0.0, 1.0)
+        # bracketing node: largest i with Y[i] <= yy (Y column 0 is monotone)
+        i = np.clip(np.searchsorted(_ROBIN_Y[:, 0], yy, side="right") - 1, 0, 17)
+        # Newton for z in [0, 5) degrees past the node on the Y cubic
+        c = _ROBIN_Y[i]
+        z = 5.0 * (yy - c[..., 0]) / np.maximum(_ROBIN_Y[np.minimum(i + 1, 18), 0] - c[..., 0], 1e-12)
+        for _ in range(10):
+            f = c[..., 0] + z * (c[..., 1] + z * (c[..., 2] + z * c[..., 3])) - yy
+            d = c[..., 1] + z * (2.0 * c[..., 2] + z * 3.0 * c[..., 3])
+            z = z - f / np.where(np.abs(d) < 1e-12, 1e-12, d)
+        at_pole = yy >= 1.0 - 1e-12
+        phi = np.where(at_pole, 90.0, 5.0 * i + z) * np.sign(np.asarray(y, np.float64) + 0.0)
+        xscale = np.where(at_pole, _ROBIN_X[18, 0], _robin_poly(_ROBIN_X, i, z))
+        lam = xs / xscale
+        return _norm_lon(lam * _R2D + self.lon0), phi
+
+
+class HotineObliqueMercator(Proj):
+    """omerc — Hotine Oblique Mercator, ellipsoidal, azimuth-defined center
+    (Snyder 9-6..9-39; proj/ObliqueMercatorProjection.java follows the same
+    USGS PROJ derivation). Variant with the u_c offset applied (EPSG 9815
+    'variant B' behavior, matching the reference's u_0 term) and rectified
+    axes rotated by the azimuth alpha at the projection center."""
+
+    name = "omerc"
+
+    def __init__(self, ellipsoid: Ellipsoid = WGS84, lat0: float = 45.0,
+                 lonc: float = 0.0, alpha: float = 45.0, k0: float = 1.0,
+                 fe: float = 0.0, fn: float = 0.0):
+        if abs(alpha) < 1e-7 or abs(abs(alpha) - 90.0) < 1e-7 or abs(abs(lat0) - 90.0) < 1e-7:
+            raise ValueError("omerc requires 0 < |alpha| < 90 and |lat_0| < 90")
+        self.ellipsoid, self.lat0, self.lonc = ellipsoid, lat0, lonc
+        self.alpha, self.k0, self.fe, self.fn = alpha, k0, fe, fn
+        el = ellipsoid
+        e2, e = el.e2, math.sqrt(el.e2)
+        p0, a_r = lat0 * _D2R, alpha * _D2R
+        sp, cp = math.sin(p0), math.cos(p0)
+        if abs(lat0) > 1e-10:
+            con = 1.0 - e2 * sp * sp
+            B = math.sqrt(1.0 + e2 * cp ** 4 / (1.0 - e2))
+            A = el.a * B * k0 * math.sqrt(1.0 - e2) / con
+            D = B * math.sqrt(1.0 - e2) / (cp * math.sqrt(con))
+            f = math.sqrt(max(D * D - 1.0, 0.0))
+            if lat0 < 0.0:
+                f = -f
+            F = f + D
+            E = F * float(_tsfn(p0, e)) ** B
+        else:
+            B = 1.0 / math.sqrt(1.0 - e2)
+            A = el.a * k0 * math.sqrt(1.0 - e2) * B  # == a*k0*B*com with con=1
+            D = E = F = 1.0
+        gamma0 = math.asin(math.sin(a_r) / D)
+        G = 0.5 * (F - 1.0 / F)
+        self.B, self.A, self.E, self.gamma0 = B, A, E, gamma0
+        self.lon0 = lonc - math.degrees(math.asin(min(1.0, max(-1.0, G * math.tan(gamma0))) ) / B)
+        self.singam, self.cosgam = math.sin(gamma0), math.cos(gamma0)
+        self.sinrot, self.cosrot = math.sin(a_r), math.cos(a_r)
+        uc = abs(A / B * math.atan2(math.sqrt(max(D * D - 1.0, 0.0)), self.cosrot))
+        self.uc = -uc if lat0 < 0.0 else uc
+        self._e = e
+
+    def forward(self, lon, lat):
+        el, e = self.ellipsoid, self._e
+        A, B, E = self.A, self.B, self.E
+        lam = _norm_lon(np.asarray(lon, np.float64) - self.lon0) * _D2R
+        phi = np.asarray(lat, np.float64) * _D2R
+        vl = np.sin(B * lam)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            Q = E / np.power(_tsfn(phi, e), B)
+            S = 0.5 * (Q - 1.0 / Q)
+            T = 0.5 * (Q + 1.0 / Q)
+            U = (S * self.singam - vl * self.cosgam) / T
+            con = np.cos(B * lam)
+            num = S * self.cosgam + vl * self.singam
+            us = np.where(
+                np.abs(con) < 1e-7,
+                A * B * lam,
+                A / B * (np.arctan(num / con) + np.where(con < 0.0, math.pi, 0.0)),
+            )
+            # poles: U -> +-sin(gamma0), u -> A*phi/B along the center line
+            at_pole = np.abs(np.abs(phi) - math.pi / 2) <= 1e-10
+            U = np.where(at_pole, np.where(phi < 0, -self.singam, self.singam), U)
+            us = np.where(at_pole, A * phi / B, us)
+            vs = 0.5 * A / B * np.log((1.0 - U) / (1.0 + U))
+        u = us - self.uc
+        x = vs * self.cosrot + u * self.sinrot
+        y = u * self.cosrot - vs * self.sinrot
+        return x + self.fe, y + self.fn
+
+    def inverse(self, x, y):
+        e = self._e
+        A, B, E = self.A, self.B, self.E
+        xs = np.asarray(x, np.float64) - self.fe
+        ys = np.asarray(y, np.float64) - self.fn
+        vs = xs * self.cosrot - ys * self.sinrot
+        us = ys * self.cosrot + xs * self.sinrot + self.uc
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            Q = np.exp(-B * vs / A)
+            S = 0.5 * (Q - 1.0 / Q)
+            T = 0.5 * (Q + 1.0 / Q)
+            vl = np.sin(B * us / A)
+            U = np.clip((vl * self.cosgam + S * self.singam) / T, -1.0, 1.0)
+            ts = np.power(E / np.sqrt((1.0 + U) / (1.0 - U)), 1.0 / B)
+            phi = np.where(
+                np.abs(np.abs(U) - 1.0) < 1e-10,
+                np.where(U < 0, -math.pi / 2, math.pi / 2),
+                _phi2(ts, e),
+            )
+            lam = -np.arctan2(S * self.cosgam - vl * self.singam, np.cos(B * us / A)) / B
+        return _norm_lon(lam * _R2D + self.lon0), phi * _R2D
+
+
 # ---------------------------------------------------------------------------
 # Registry + proj-string parser (Registry.java, parser/Proj4Parser.java)
 # ---------------------------------------------------------------------------
@@ -1694,6 +1950,13 @@ _NAMED: dict[str, str] = {
     # S-JTSK / Krovak East North (Czech/Slovak national CRS); the towgs84
     # triple is the EPSG:1623 S-JTSK -> WGS84 shift
     "epsg:5514": "+proj=krovak +ellps=bessel +towgs84=589,76,480",
+    # World Mollweide / World Robinson (spherical, as the reference's
+    # pseudo-cylindrical family is; authalic-equivalent usage keeps the
+    # WGS84 semi-major as the sphere radius, matching proj4j's +a handling)
+    "esri:54009": "+proj=moll +a=6378137",
+    "mollweide": "+proj=moll +a=6378137",
+    "esri:54030": "+proj=robin +a=6378137",
+    "robinson": "+proj=robin +a=6378137",
 }
 
 
@@ -1806,6 +2069,19 @@ def _proj_from_kv(kv: dict[str, str], ell: Ellipsoid) -> Proj:
         return Gnomonic(R, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0))
     if p == "cass":
         return Cassini(R, lon0=g("lon_0", 0.0), lat0=g("lat_0", 0.0))
+    if p == "moll":
+        return Mollweide(R, lon0=g("lon_0", 0.0))
+    if p == "wag4":
+        return Wagner4(R, lon0=g("lon_0", 0.0))
+    if p == "wag5":
+        return Wagner5(R, lon0=g("lon_0", 0.0))
+    if p == "robin":
+        return Robinson(R, lon0=g("lon_0", 0.0))
+    if p == "omerc":
+        return HotineObliqueMercator(
+            ell, lat0=g("lat_0", 45.0), lonc=g("lonc", g("lon_0", 0.0)),
+            alpha=g("alpha", 45.0), k0=g("k", 1.0), fe=g("x_0", 0.0), fn=g("y_0", 0.0),
+        )
     raise ValueError(f"unsupported +proj={p}")
 
 
