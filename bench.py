@@ -95,6 +95,8 @@ HEADLINE = [
     "image_features",
     "reproject_laea",
     "ann_recall",
+    "decontaminate",
+    "dedup_paragraphs",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -828,3 +828,121 @@ class TestCorpusFilter:
         assert out.loc[1, "reject_reason"] == "repetitive_2gram"
         assert out.loc[2, "reject_reason"] == "lang"
         assert out.loc[3, "reject_reason"] == "too_short"
+
+
+class TestDecontaminate:
+    """decontaminate: per-train-doc distinct-n-gram overlap vs the eval set,
+    checked against a pure-Python replay."""
+
+    def _frames(self, spark):
+        pdf = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+        train = spark.createDataFrame(pdf[pdf.doc_id % 2 == 0])
+        ev = spark.createDataFrame(pdf[pdf.doc_id % 2 == 1])
+        return pdf, train, ev
+
+    def py_grams(self, text, n):
+        toks = py_tokens(text)
+        return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
+    def test_matches_python_oracle(self, spark):
+        pdf, train, ev = self._frames(spark)
+        n = 3
+        ev_set = set()
+        for t in pdf[pdf.doc_id % 2 == 1].text:
+            ev_set |= self.py_grams(t, n)
+        out = (
+            T.decontaminate(train, ev, n=n, threshold=0.5)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        for doc_id in pdf[pdf.doc_id % 2 == 0].doc_id:
+            g = self.py_grams(pdf.text[doc_id], n)
+            row = out.loc[doc_id]
+            assert row.total_grams == len(g)
+            assert row.matched_grams == len(g & ev_set)
+            want = round(len(g & ev_set) / len(g), 6) if g else 0.0
+            assert abs(row.contaminated_frac - want) < 1e-9
+            assert bool(row.contaminated) == (want >= 0.5)
+
+    def test_exact_dup_is_fully_contaminated(self, spark):
+        pdf, train, ev = self._frames(spark)
+        # doc 0 == doc 1 byte-for-byte: every gram of train doc 0 is in eval
+        out = T.decontaminate(train, ev, n=5).toPandas().set_index("doc_id")
+        assert out.loc[0].contaminated_frac == 1.0
+        assert bool(out.loc[0].contaminated)
+
+    def test_short_doc_zero_grams(self, spark):
+        train = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["too short"]})
+        )
+        ev = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [DOCS[2]]})
+        )
+        row = T.decontaminate(train, ev, n=5).toPandas().iloc[0]
+        assert row.total_grams == 0 and row.matched_grams == 0
+        assert row.contaminated_frac == 0.0 and not row.contaminated
+
+    def test_eval_join_is_broadcast_no_python(self, spark):
+        _, train, ev = self._frames(spark)
+        plan = (
+            T.decontaminate(train, ev)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the corpus must never shuffle on gram text: the semi join against
+        # the eval set is broadcast, and nothing drops out of codegen
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+class TestChunkDedupStats:
+    def test_matches_python_oracle(self, spark):
+        w = 4
+        df = _docs_df(spark)
+        out = (
+            D.chunk_dedup_stats(df, width=w)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        # python replay
+        chunks_of = {}
+        for i, t in enumerate(DOCS):
+            toks = py_tokens(t)
+            chunks_of[i] = [
+                " ".join(toks[j: j + w])
+                for j in range(0, len(toks) - w + 1, w)
+            ]
+        from collections import defaultdict
+        docs_with = defaultdict(set)
+        for i, cs in chunks_of.items():
+            for c in cs:
+                docs_with[c].add(i)
+        for i, cs in chunks_of.items():
+            row = out.loc[i]
+            dup = sum(1 for c in cs if len(docs_with[c]) > 1)
+            assert row.n_chunks == len(cs)
+            assert row.dup_chunks == dup
+            want = round(dup / len(cs), 6) if cs else 0.0
+            assert abs(row.dup_chunk_frac - want) < 1e-9
+
+    def test_exact_dups_fully_flagged(self, spark):
+        df = _docs_df(spark)
+        out = D.chunk_dedup_stats(df, width=4).toPandas().set_index("doc_id")
+        # docs 0 and 1 are byte-identical: all their chunks are shared
+        assert out.loc[0].dup_chunk_frac == 1.0
+        assert out.loc[1].dup_chunk_frac == 1.0
+        # doc 2 shares no 4-token chunk with anything
+        assert out.loc[2].dup_chunk_frac == 0.0
+
+    def test_short_doc_empty(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7], "text": ["tiny doc"]})
+        )
+        row = D.chunk_dedup_stats(df, width=16).toPandas().iloc[0]
+        assert row.n_chunks == 0 and row.dup_chunks == 0
+        assert row.dup_chunk_frac == 0.0
+
+    def test_no_python_in_plan(self, spark):
+        df = _docs_df(spark)
+        plan = (
+            D.chunk_dedup_stats(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "CartesianProduct" not in plan

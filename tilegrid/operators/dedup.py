@@ -486,3 +486,82 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+
+
+def chunk_exprs(tok_arr: str, width: int, dialect: str = "spark") -> str:
+    """SQL expression: non-overlapping `width`-token chunks of the token
+    array expression `tok_arr` (space-joined; full windows only, so the
+    chunking is alignment-stable and a doc shorter than `width` tokens
+    yields an empty array in both dialects)."""
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({tok_arr}) >= {width} THEN "
+            f"transform(sequence(1, size({tok_arr}) - {width - 1}, {width}), "
+            f"i -> concat_ws(' ', slice({tok_arr}, i, {width}))) "
+            f"ELSE array() END"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({tok_arr}) - {width - 1}, 0) + 1,"
+        f" {width}), i -> array_to_string({tok_arr}[i:i+{width - 1}], ' '))"
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level (sub-document) duplication signal: chunk each doc
+    into non-overlapping `width`-token windows and report, per document,
+    how many of its chunks also occur in at least one OTHER document.
+    This is the C4-style "duplicated span" pass (C4 drops any three-
+    sentence span seen before) expressed as a per-doc statistic a cleaning
+    rule can threshold on — exact doc-level dedup misses boilerplate
+    shared across otherwise-distinct pages; this catches it.
+
+    Shape for 100 TB: chunks are keyed by a 60-bit md5-derived integer
+    (fixed-width shuffle key instead of the chunk text), one
+    groupBy(chunk_key) with map-side partial aggregation counting distinct
+    docs per chunk (uniform hash keys — no skew), an equi-join back, and
+    one groupBy(doc_id). Two bounded shuffles, both on uniform keys;
+    linear in corpus size.
+
+    Output: id_col, n_chunks, dup_chunks, dup_chunk_frac (6dp; 0.0 for
+    docs shorter than `width` tokens).
+    """
+    toks = tokens_expr(text_col)
+    chunks = chunk_exprs("toks", width)
+    key = hash60_expr("c")
+    base = df.select(F.col(id_col), F.expr(toks).alias("toks")).select(
+        F.col(id_col),
+        F.expr(f"transform({chunks}, c -> {key})").alias("keys"),
+    )
+    ex = base.select(F.col(id_col), F.explode("keys").alias("k"))
+    ndocs = ex.groupBy("k").agg(F.countDistinct(id_col).alias("ndocs"))
+    per = (
+        ex.join(ndocs, "k")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("dup_chunks", F.lit(0)).cast("long").alias("dup_chunks"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_chunks").cast("double") / F.col("n_chunks"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -287,3 +287,83 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def grams_expr(tok_arr: str, n: int, dialect: str = "spark") -> str:
+    """SQL expression: array of space-joined token `n`-grams of the token
+    array expression `tok_arr` (full windows only; a doc shorter than `n`
+    tokens yields an empty array in both dialects)."""
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({tok_arr}) >= {n} THEN "
+            f"transform(sequence(1, size({tok_arr}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({tok_arr}, i, {n}))) "
+            f"ELSE array() END"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({tok_arr}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({tok_arr}[i:i+{n - 1}], ' '))"
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination check: for every training document, the
+    fraction of its distinct token `n`-grams that also appear in the held-
+    out evaluation corpus `eval_df`, plus a `contaminated` flag at
+    `threshold`. This is the decontamination pass an LLM training pipeline
+    runs before mixing (the n-gram-overlap rule popularized by the GPT-3 /
+    PaLM data cards), rebuilt relationally.
+
+    Shape for 100 TB: the eval n-gram set is DISTINCT n-grams of the
+    benchmark suite — thousands of docs, i.e. broadcast-sized by
+    construction regardless of corpus scale. Train side is one narrow
+    explode of per-doc distinct grams, a broadcast LEFT SEMI join (no
+    shuffle of the corpus), and one groupBy(doc_id) with map-side partial
+    aggregation. Total: one bounded shuffle keyed by doc_id.
+
+    Output: id_col, total_grams, matched_grams, contaminated_frac
+    (6dp; 0.0 for docs shorter than `n` tokens), contaminated (bool).
+    """
+    toks = tokens_expr(text_col)
+    grams = grams_expr("toks", n)
+    base = df.select(F.col(id_col), F.expr(toks).alias("toks")).select(
+        F.col(id_col),
+        F.expr(f"array_distinct({grams})").alias("grams"),
+    )
+    eval_grams = (
+        eval_df.select(F.expr(toks).alias("toks"))
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .distinct()
+    )
+    train = base.select(F.col(id_col), F.explode("grams").alias("g"))
+    matched = (
+        train.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("matched_grams"))
+    )
+    totals = base.select(F.col(id_col), F.size("grams").alias("total_grams"))
+    frac = F.round(
+        F.coalesce(
+            F.col("matched_grams").cast("double") / F.col("total_grams"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .select(
+            id_col,
+            F.col("total_grams").cast("long").alias("total_grams"),
+            F.coalesce("matched_grams", F.lit(0)).cast("long")
+            .alias("matched_grams"),
+            frac.alias("contaminated_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )

@@ -2392,6 +2392,80 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: fraction of each training doc's
+    distinct 5-grams that appear in the held-out eval slice (doc_id % 97
+    == 0 — deterministic, plays the role of a benchmark suite). Plan:
+    per-doc distinct grams (narrow), broadcast LEFT SEMI join against the
+    eval gram set, one groupBy(doc_id)."""
+    docs = _read(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return T.decontaminate(
+        docs.where(~is_eval), docs.where(is_eval), n=5, threshold=0.05
+    )
+
+
+def _o_decontaminate() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    grams = T.grams_expr("toks", 5, "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({grams})) AS g FROM t),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, count(*) AS total_grams FROM tr GROUP BY doc_id),
+m AS (SELECT tr.doc_id, count(*) AS matched_grams
+      FROM tr JOIN ev USING (g) GROUP BY tr.doc_id),
+f AS (
+  SELECT d.doc_id,
+         COALESCE(total_grams, 0) AS total_grams,
+         COALESCE(matched_grams, 0) AS matched_grams
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+  LEFT JOIN tot USING (doc_id) LEFT JOIN m USING (doc_id)
+)
+SELECT doc_id, total_grams, matched_grams,
+       round(CASE WHEN total_grams = 0 THEN 0.0
+             ELSE CAST(matched_grams AS DOUBLE) / total_grams END, 6)
+         AS contaminated_frac,
+       (CASE WHEN total_grams = 0 THEN 0.0
+        ELSE round(CAST(matched_grams AS DOUBLE) / total_grams, 6) END)
+         >= 0.05 AS contaminated
+FROM f
+"""
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) duplication signal: per doc, the
+    fraction of its non-overlapping 16-token chunks that also occur in
+    another document (C4's duplicated-span rule as a thresholdable
+    statistic). Chunks shuffle as 60-bit integer keys, never as text."""
+    return D.chunk_dedup_stats(_read(spark, sf_dir, "documents"), width=16)
+
+
+def _o_dedup_paragraphs() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    chunks = D.chunk_exprs("toks", 16, "duckdb")
+    key = D.hash60_expr("c", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(list_transform({chunks}, c -> {key})) AS k
+       FROM t),
+nd AS (SELECT k, count(DISTINCT doc_id) AS ndocs FROM ex GROUP BY k),
+per AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS dup_chunks
+  FROM ex JOIN nd USING (k) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(dup_chunks, 0) AS BIGINT) AS dup_chunks,
+       round(CASE WHEN COALESCE(n_chunks, 0) = 0 THEN 0.0
+             ELSE CAST(dup_chunks AS DOUBLE) / n_chunks END, 6)
+         AS dup_chunk_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents")
     return df.select(
@@ -4221,6 +4295,8 @@ QUERIES = {
     "image_features": q_image_features,
     "reproject_laea": q_reproject_laea,
     "ann_recall": q_ann_recall,
+    "decontaminate": q_decontaminate,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4288,6 +4364,8 @@ ORACLES = {
     "image_features": _o_image_features(),
     "reproject_laea": _o_reproject_laea(),
     "ann_recall": _o_ann_recall(),
+    "decontaminate": _o_decontaminate(),
+    "dedup_paragraphs": _o_dedup_paragraphs(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
