@@ -530,13 +530,19 @@ def chunk_dedup_stats(
     Output: id_col, n_chunks, dup_chunks, dup_chunk_frac (6dp; 0.0 for
     docs shorter than `width` tokens).
     """
+    from .text import fan_out
+
     toks = tokens_expr(text_col)
     chunks = chunk_exprs("toks", width)
     key = hash60_expr("c")
+    df = fan_out(df, id_col)
+    # persist(): Generate would otherwise re-evaluate the inlined
+    # tokenize+chunk+md5 pipeline per output chunk (see decontaminate /
+    # with_minhash_sql — the same Catalyst re-inlining trap)
     base = df.select(F.col(id_col), F.expr(toks).alias("toks")).select(
         F.col(id_col),
         F.expr(f"transform({chunks}, c -> {key})").alias("keys"),
-    )
+    ).persist()
     ex = base.select(F.col(id_col), F.explode("keys").alias("k"))
     ndocs = ex.groupBy("k").agg(F.countDistinct(id_col).alias("ndocs"))
     per = (

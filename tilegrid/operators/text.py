@@ -289,6 +289,22 @@ def tfidf_top_terms(
     )
 
 
+def fan_out(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread a partition-starved scan across the cluster before CPU-heavy
+    per-document expression work (gram construction, array_distinct).
+
+    A small parquet fixture is one row group = ONE split — Spark cannot
+    subdivide it, so a 32-core session would run the whole gram stage on a
+    single core (measured 22 s -> ~2 s at sf0.1). Only fires when the scan
+    has fewer partitions than the session's parallelism: at corpus scale
+    the scan already carries thousands of splits and this is a no-op —
+    it never introduces a full-corpus shuffle on the 100 TB path."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, id_col)
+    return df
+
+
 def grams_expr(tok_arr: str, n: int, dialect: str = "spark") -> str:
     """SQL expression: array of space-joined token `n`-grams of the token
     array expression `tok_arr` (full windows only; a doc shorter than `n`
@@ -333,10 +349,15 @@ def decontaminate(
     """
     toks = tokens_expr(text_col)
     grams = grams_expr("toks", n)
+    df = fan_out(df, id_col)
+    # persist() is the boundary that stops Catalyst re-inlining the full
+    # tokenize+gram pipeline into the Generate (explode) child, where it
+    # is re-evaluated per OUTPUT gram — measured 21 s -> 0.3 s on the
+    # sf0.1 corpus (same trap and fix as with_minhash_sql's md5 arrays)
     base = df.select(F.col(id_col), F.expr(toks).alias("toks")).select(
         F.col(id_col),
         F.expr(f"array_distinct({grams})").alias("grams"),
-    )
+    ).persist()
     eval_grams = (
         eval_df.select(F.expr(toks).alias("toks"))
         .select(F.explode(F.expr(grams)).alias("g"))
