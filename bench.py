@@ -192,8 +192,15 @@ def flagship_pipeline(spark) -> dict:
     t0 = time.time()
     # spread the scan across all cores before the decode-heavy UDF stages:
     # mapInPandas chains narrowly on scan splits, so file-count must not cap
-    # parallelism (one cheap shuffle of compressed bytes buys full width)
-    imgs = spark.read.parquet(path).repartition(CPUS * 2, "image_id").persist()
+    # parallelism. Only shuffle when the scan is actually starved (small
+    # corpora coalesce to a handful of splits under maxPartitionBytes) — at
+    # full volume the scan already carries >= 2 splits/core and the
+    # unconditional repartition was a pure full-corpus-bytes shuffle tax
+    # (~16 GB at 1.6M images) on the measured path
+    imgs = spark.read.parquet(path)
+    if imgs.rdd.getNumPartitions() < CPUS * 2:
+        imgs = imgs.repartition(CPUS * 2, "image_id")
+    imgs = imgs.persist()
     placed = with_extent_from_center(imgs, layout, "lon", "lat")
     layer = tile_to_layout(placed, layout, FLAGSHIP_ZOOM).persist()
     n_tiles = layer.count()
