@@ -97,6 +97,7 @@ HEADLINE = [
     "ann_recall",
     "decontaminate",
     "dedup_paragraphs",
+    "stream_dedup",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -259,3 +259,50 @@ class TestStreamSlippy:
         assert got_files.keys() == want_files.keys() and len(got_files) > 0
         for k in got_files:
             assert got_files[k] == want_files[k], k
+
+
+class TestDedupStream:
+    """dedup_stream: exact first-occurrence dedup, batch == stream, with
+    watermark-bounded state on the stream side."""
+
+    def _pdf(self):
+        import numpy as np
+        base = pd.Timestamp("2024-01-01")
+        rows = []
+        for i in range(400):
+            fp = f"fp{i % 120:04d}"           # 120 distinct keys, re-ingested
+            rows.append((i, fp, base + pd.Timedelta(seconds=30 * i)))
+        return pd.DataFrame(rows, columns=["event_id", "fp", "ts"])
+
+    def test_batch_dedup_counts(self, spark):
+        from tilegrid.streaming import dedup_stream
+
+        df = spark.createDataFrame(self._pdf())
+        out = dedup_stream(df, key_cols=("fp",)).toPandas()
+        assert len(out) == 120
+        assert sorted(out.fp) == sorted(self._pdf().fp.unique())
+
+    def test_stream_dedup_within_watermark(self, spark, tmp_path):
+        from tilegrid.streaming import dedup_stream
+
+        pdf = self._pdf()
+        src = str(tmp_path / "dedup_src")
+        spark.createDataFrame(pdf.iloc[:200]).write.mode("overwrite").parquet(src)
+        spark.createDataFrame(pdf.iloc[200:]).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = dedup_stream(stream, key_cols=("fp",), ts_col="ts",
+                           watermark="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM dedup_out").toPandas()
+        # every key re-ingests within 30*120 s = 1 h < the 2 h watermark,
+        # so the stream drops exactly the duplicates batch dedup drops
+        assert sorted(got.fp) == sorted(pdf.fp.unique())
+        assert len(got) == 120

@@ -4114,6 +4114,49 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: replay the documents table through a real
+    readStream file source, fingerprint each doc (md5 of the normalized
+    token stream — pure codegen), drop duplicate fingerprints with
+    dropDuplicatesWithinWatermark (state bounded by the watermark), memory
+    sink. Output = the distinct fingerprint set, which must equal the
+    batch/DuckDB DISTINCT bit-for-bit — stream == batch == oracle."""
+    from .streaming import dedup_stream
+
+    schema = _read(spark, sf_dir, "documents").schema
+    toks = T.tokens_expr("text")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("fp", F.expr(f"md5(concat_ws(' ', {toks}))"))
+        # a synthetic monotone event time: the corpus replay is one batch,
+        # so any timestamp works; TIMESTAMP type is what the watermark needs
+        .withColumn("ts", F.expr(
+            "timestamp_seconds(1700000000 + doc_id % 86400)"))
+    )
+    out = dedup_stream(stream, key_cols=("fp",), ts_col="ts",
+                       watermark="2 days")
+    _STREAM_SINK_N[0] += 1
+    sink = f"tg_stream_dedup_{_STREAM_SINK_N[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("fp")
+
+
+def _o_stream_dedup() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    return f"""
+SELECT DISTINCT md5(array_to_string({toks}, ' ')) AS fp FROM documents
+"""
+
+
 _SESSION_GAP_H = 8
 
 
@@ -4297,6 +4340,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "decontaminate": q_decontaminate,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "stream_dedup": q_stream_dedup,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4366,6 +4410,7 @@ ORACLES = {
     "ann_recall": _o_ann_recall(),
     "decontaminate": _o_decontaminate(),
     "dedup_paragraphs": _o_dedup_paragraphs(),
+    "stream_dedup": _o_stream_dedup(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),

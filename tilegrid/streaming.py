@@ -215,3 +215,28 @@ def stream_tiles_to_slippy(
     if trigger:
         w = w.trigger(**trigger)
     return w.start()
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup on a continuously-ingesting corpus: keep the first
+    occurrence of each key (e.g. a content fingerprint from
+    text.fingerprint) and drop re-ingests. Works on BATCH and STREAMING
+    inputs identically.
+
+    On a stream with `ts_col`, uses dropDuplicatesWithinWatermark: the
+    dedup state store only remembers keys younger than the watermark, so
+    state is BOUNDED by ingest-rate x watermark instead of growing with
+    the all-time corpus — the 100 TB shape (an unbounded exact-dedup
+    state store would itself become corpus-sized; bounded-window dedup +
+    a periodic batch exact_dedup compaction is the production pattern).
+    Without `ts_col` (or on batch input) it is plain dropDuplicates on
+    the key columns."""
+    cols = list(key_cols)
+    if df.isStreaming and ts_col is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+    return df.dropDuplicates(cols)
