@@ -98,6 +98,7 @@ HEADLINE = [
     "decontaminate",
     "dedup_paragraphs",
     "stream_dedup",
+    "pack_sequences",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -946,3 +946,60 @@ class TestChunkDedupStats:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+class TestPackSequences:
+    def test_matches_python_replay(self, spark):
+        from collections import defaultdict
+        from tilegrid.operators import sample as S
+
+        cap, shards = 16, 4
+        df = _docs_df(spark)
+        out = (
+            S.pack_sequences(df, capacity=cap, n_shards=shards)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        # python replay: same hash-shard, same id order, same cumsum
+        h = {
+            i: int(hashlib.md5(f"{i}|pack".encode()).hexdigest()[:15], 16) % shards
+            for i in range(len(DOCS))
+        }
+        per_shard = defaultdict(list)
+        for i in sorted(range(len(DOCS))):
+            per_shard[h[i]].append(i)
+        for sh, ids in per_shard.items():
+            off = 0
+            for i in ids:
+                n = len(py_tokens(DOCS[i]))
+                row = out.loc[i]
+                assert row.shard == sh and row.n_tokens == n
+                assert row.seq_id == off // cap
+                assert row.seq_off == off % cap
+                want_span = (off + max(n, 1) - 1) // cap - off // cap + 1
+                assert row.n_seqs_spanned == want_span
+                off += n
+
+    def test_offsets_contiguous_and_bounded(self, spark):
+        from tilegrid.operators import sample as S
+
+        df = _docs_df(spark)
+        out = S.pack_sequences(df, capacity=32, n_shards=2).toPandas()
+        assert (out.seq_off < 32).all() and (out.seq_off >= 0).all()
+        # within a shard, global offsets (seq_id*cap + seq_off) are exactly
+        # the running token sum in doc_id order — no gaps, no overlap
+        for sh, g in out.groupby("shard"):
+            g = g.sort_values("doc_id")
+            goff = (g.seq_id * 32 + g.seq_off).values
+            assert goff[0] == 0
+            assert (goff[1:] == (goff[:-1] + g.n_tokens.values[:-1])).all()
+
+    def test_single_shuffle_on_shard(self, spark):
+        from tilegrid.operators import sample as S
+
+        df = _docs_df(spark)
+        plan = (
+            S.pack_sequences(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Python" not in plan and "CartesianProduct" not in plan

@@ -169,3 +169,53 @@ def stratified_sample(
     return df.where(
         F.expr(stratified_sample_pred(fractions, strata_col, id_col, default, salt))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in deterministic
+    id order) into fixed-`capacity` training sequences, documents
+    straddling sequence boundaries (the standard causal-LM packing — no
+    padding waste, an EOD token separates docs). Emits, per document, the
+    packed location: which sequence its first token lands in and at what
+    offset, plus how many sequences it spans.
+
+    A single global concatenation order would serialize the cumsum, so
+    packing is SHARDED (shard = id hash % n_shards, the same layout a
+    shuffle-read data loader consumes): within a shard, docs are ordered
+    by id and offsets are a window cumsum — embarrassingly parallel
+    across shards, one shuffle keyed by shard. Deterministic: a pure
+    function of (id, token count), stable across retries / repartitioning
+    / engines (the DuckDB oracle replays the identical window).
+
+    Output: id_col, shard, n_tokens, seq_id, seq_off, n_seqs_spanned.
+    """
+    from .text import tokens_expr
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"pmod({_hash_expr(id_col, 'pack')}, {n_shards})")
+        .cast("int").alias("shard"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("g_off")
+    out = base.select(id_col, "shard", "n_tokens", start)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("g_off") / capacity).cast("long").alias("seq_id"),
+        (F.col("g_off") % capacity).cast("long").alias("seq_off"),
+        (
+            F.floor((F.col("g_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                    / capacity) - F.floor(F.col("g_off") / capacity) + 1
+        ).cast("long").alias("n_seqs_spanned"),
+    )

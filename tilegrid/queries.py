@@ -4114,6 +4114,40 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: shard-parallel deterministic
+    concatenation order, window cumsum offsets, docs straddle fixed-
+    capacity sequence boundaries. One shuffle keyed by shard."""
+    return SMP.pack_sequences(
+        _read(spark, sf_dir, "documents"), capacity=512, n_shards=16
+    )
+
+
+def _o_pack_sequences() -> str:
+    toks = T.tokens_expr("text", "duckdb")
+    h = SMP._hash_expr("doc_id", "pack", "duckdb")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(({h}) % 16 AS INT) AS shard,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           - n_tokens AS g_off
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(g_off / 512.0) AS BIGINT) AS seq_id,
+       CAST(g_off % 512 AS BIGINT) AS seq_off,
+       CAST(floor((g_off + greatest(n_tokens, 1) - 1) / 512.0)
+            - floor(g_off / 512.0) + 1 AS BIGINT) AS n_seqs_spanned
+FROM o
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: replay the documents table through a real
     readStream file source, fingerprint each doc (md5 of the normalized
@@ -4341,6 +4375,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dedup_paragraphs": q_dedup_paragraphs,
     "stream_dedup": q_stream_dedup,
+    "pack_sequences": q_pack_sequences,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4411,6 +4446,7 @@ ORACLES = {
     "decontaminate": _o_decontaminate(),
     "dedup_paragraphs": _o_dedup_paragraphs(),
     "stream_dedup": _o_stream_dedup(),
+    "pack_sequences": _o_pack_sequences(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
