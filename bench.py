@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "stream_dedup",
     "pack_sequences",
+    "aspect_buckets",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -1003,3 +1003,44 @@ class TestPackSequences:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+class TestAspectBucket:
+    def test_matches_python_argmin(self, spark):
+        import math
+
+        shapes = [(64, 64), (128, 64), (256, 64), (64, 128), (100, 300),
+                  (300, 100), (257, 256), (99, 101)]
+        pdf = pd.DataFrame(
+            {"image_id": [f"i{k}" for k in range(len(shapes))],
+             "w": np.int32([s[0] for s in shapes]),
+             "h": np.int32([s[1] for s in shapes])}
+        )
+        out = (
+            M.aspect_bucket(spark.createDataFrame(pdf))
+            .toPandas().set_index("image_id")
+        )
+        for k, (w, h) in enumerate(shapes):
+            r = math.log(w / h)
+            dists = [abs(r - math.log(bw / bh)) for bw, bh in M.ASPECT_BUCKETS]
+            want = dists.index(min(dists))  # first-wins ties
+            row = out.loc[f"i{k}"]
+            assert row.bucket_id == want
+            assert (row.bucket_w, row.bucket_h) == M.ASPECT_BUCKETS[want]
+
+    def test_square_tie_first_wins(self, spark):
+        # a perfect square is equidistant (0) only to bucket 0; also check
+        # a ratio exactly between two buckets resolves to the earlier one
+        pdf = pd.DataFrame({"image_id": ["sq"], "w": np.int32([512]),
+                            "h": np.int32([512])})
+        out = M.aspect_bucket(spark.createDataFrame(pdf)).toPandas()
+        assert out.bucket_id[0] == 0 and out.bucket_w[0] == 256
+
+    def test_pure_codegen_no_shuffle(self, spark):
+        pdf = pd.DataFrame({"image_id": ["a"], "w": np.int32([64]),
+                            "h": np.int32([128])})
+        plan = (
+            M.aspect_bucket(spark.createDataFrame(pdf))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan

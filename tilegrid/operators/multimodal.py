@@ -210,3 +210,76 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# The SDXL-style aspect-bucket table: fixed (w, h) training resolutions of
+# roughly equal pixel area; every image trains at the bucket whose aspect
+# ratio is nearest its own, so batches stay shape-homogeneous without
+# square-cropping away content.
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (256, 256),
+    (320, 192), (192, 320),
+    (384, 160), (160, 384),
+    (320, 256), (256, 320),
+)
+
+
+def aspect_bucket(
+    df: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+    w: str = "w",
+    h: str = "h",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Aspect-ratio bucketing for image training batches: assign every
+    image the bucket minimizing |ln(w/h) - ln(bw/bh)| (log-ratio distance;
+    ties to the smaller bucket index). The multimodal data-loader groups
+    batches by bucket_id so all tensors in a batch share one shape.
+
+    Pure expression work over the (w, h) METADATA columns — no decode, no
+    join, no shuffle: the 7-bucket argmin unrolls into a literal
+    expression chain the oracle replays verbatim. Output: id_col, w, h,
+    bucket_id, bucket_w, bucket_h.
+    """
+    from pyspark.sql import functions as F
+
+    expr = bucket_assign_expr(buckets, w, h)
+    return df.select(
+        F.col(id_col), F.col(w), F.col(h),
+        F.expr(expr).cast("int").alias("bucket_id"),
+    ).select(
+        id_col, w, h, "bucket_id",
+        F.expr(_bucket_dim_expr(buckets, 0)).cast("int").alias("bucket_w"),
+        F.expr(_bucket_dim_expr(buckets, 1)).cast("int").alias("bucket_h"),
+    )
+
+
+def bucket_assign_expr(
+    buckets: tuple[tuple[int, int], ...], w: str, h: str
+) -> str:
+    """SQL expression: index of the bucket with the nearest log aspect
+    ratio. Unrolled argmin over literal ratios — ln/abs/CASE spell the
+    same in Spark SQL and DuckDB, so engine and oracle run the IDENTICAL
+    expression text (same float math in the same order)."""
+    r = f"ln(CAST({w} AS DOUBLE) / {h})"
+    dists = [
+        f"abs(({r}) - {math.log(bw / bh)!r})" for bw, bh in buckets
+    ]
+    # argmin with first-wins ties: d_i is the answer iff no earlier d_j is
+    # <= d_i and no later d_k is < d_i
+    arms = []
+    for i in range(len(buckets)):
+        conds = [f"{dists[j]} <= {dists[i]}" for j in range(i)] + [
+            f"{dists[k]} < {dists[i]}" for k in range(i + 1, len(buckets))
+        ]
+        guard = " OR ".join(conds) if conds else "FALSE"
+        arms.append(f"WHEN NOT ({guard}) THEN {i}")
+    return "CASE " + " ".join(arms) + " ELSE 0 END"
+
+
+def _bucket_dim_expr(buckets, axis: int) -> str:
+    """CASE mapping bucket_id -> literal bucket width/height."""
+    arms = " ".join(
+        f"WHEN bucket_id = {i} THEN {b[axis]}" for i, b in enumerate(buckets)
+    )
+    return f"CASE {arms} END"

@@ -4148,6 +4148,48 @@ FROM o
 """
 
 
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image-training batches: decode the PNG
+    corpus (real codec path), assign every image the SDXL-style bucket
+    with the nearest log aspect ratio, emit the training resolution. The
+    oracle replays the fixture w/h recipe plus the IDENTICAL argmin
+    expression text."""
+    from .operators import multimodal as MM
+
+    corpus = _image_corpus(spark, _IMG_FEAT_N)
+    feats = MM.image_features(corpus).select("image_id", "w", "h")
+    return MM.aspect_bucket(feats)
+
+
+def _o_aspect_buckets() -> str:
+    from .operators import multimodal as MM
+
+    assign = MM.bucket_assign_expr(MM.ASPECT_BUCKETS, "w", "h")
+    bw = " ".join(
+        f"WHEN bucket_id = {i} THEN {b[0]}"
+        for i, b in enumerate(MM.ASPECT_BUCKETS)
+    )
+    bh = " ".join(
+        f"WHEN bucket_id = {i} THEN {b[1]}"
+        for i, b in enumerate(MM.ASPECT_BUCKETS)
+    )
+    return f"""
+WITH imgs AS (
+  SELECT printf('img%010d', i) AS image_id,
+         CAST(CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END
+              AS INT) AS w,
+         CAST(CASE (i // 3) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END
+              AS INT) AS h
+  FROM range({_IMG_FEAT_N}) t(i)
+),
+b AS (SELECT image_id, w, h, CAST({assign} AS INT) AS bucket_id FROM imgs)
+SELECT image_id, w, h, bucket_id,
+       CAST(CASE {bw} END AS INT) AS bucket_w,
+       CAST(CASE {bh} END AS INT) AS bucket_h
+FROM b
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: replay the documents table through a real
     readStream file source, fingerprint each doc (md5 of the normalized
@@ -4376,6 +4418,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "stream_dedup": q_stream_dedup,
     "pack_sequences": q_pack_sequences,
+    "aspect_buckets": q_aspect_buckets,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4447,6 +4490,7 @@ ORACLES = {
     "dedup_paragraphs": _o_dedup_paragraphs(),
     "stream_dedup": _o_stream_dedup(),
     "pack_sequences": _o_pack_sequences(),
+    "aspect_buckets": _o_aspect_buckets(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
