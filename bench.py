@@ -100,6 +100,7 @@ HEADLINE = [
     "stream_dedup",
     "pack_sequences",
     "aspect_buckets",
+    "resize_roundtrip",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

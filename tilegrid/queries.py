@@ -4190,6 +4190,67 @@ FROM b
 """
 
 
+def q_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the REAL codec path: decode the PNG corpus,
+    nearest-neighbor resample to 32x32, re-encode PNG, decode again and
+    emit exact pixel moments. The DuckDB oracle replays the NN index map
+    (floor((out+0.5)*src/32), clipped) over the closed-form pattern
+    recipe, so a hash match proves decode -> resample -> encode -> decode
+    end-to-end."""
+    from .operators import multimodal as MM
+
+    corpus = _image_corpus(spark, _IMG_FEAT_N)
+    wh = MM.image_features(corpus).select("image_id", "w", "h")
+    src = corpus.join(F.broadcast(wh), "image_id").select(
+        "image_id", "tile", "fmt", "w", "h"
+    )
+    small = MM.resize_images(src, 32, 32, method="nearest")
+    return MM.image_features(small).select(
+        "image_id", "w", "h", "px_sum", "px_sq_sum", "px_min", "px_max"
+    )
+
+
+def _o_resize_roundtrip() -> str:
+    def band(b: int) -> str:
+        return (
+            f"(CASE (i + {b}) % 4"
+            f" WHEN 0 THEN (i + {b}) % 256"
+            f" WHEN 1 THEN (sx + sy) % 256"
+            f" WHEN 2 THEN ((sx // 8 + sy // 8) % 2) * 255"
+            f" ELSE (sx * sy + i + {b}) % 97 END)"
+        )
+
+    v0, v1, v2 = band(0), band(1), band(2)
+    return f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+         CASE (i // 3) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h
+  FROM range({_IMG_FEAT_N}) t(i)
+),
+px AS (
+  SELECT i,
+         LEAST(CAST(floor((ox + 0.5) * w / 32.0) AS BIGINT), w - 1) AS sx,
+         LEAST(CAST(floor((oy + 0.5) * h / 32.0) AS BIGINT), h - 1) AS sy
+  FROM imgs JOIN range(32) xs(ox) ON TRUE JOIN range(32) ys(oy) ON TRUE
+),
+vals AS (SELECT i, {v0} AS v0, {v1} AS v1, {v2} AS v2 FROM px),
+agg AS (
+  SELECT i,
+         SUM(v0 + v1 + v2) AS s1,
+         SUM(v0*v0 + v1*v1 + v2*v2) AS s2,
+         MIN(LEAST(v0, v1, v2)) AS mn,
+         MAX(GREATEST(v0, v1, v2)) AS mx
+  FROM vals GROUP BY i
+)
+SELECT printf('img%010d', i) AS image_id,
+       CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+       CAST(s1 AS BIGINT) AS px_sum, CAST(s2 AS BIGINT) AS px_sq_sum,
+       CAST(mn AS DOUBLE) AS px_min, CAST(mx AS DOUBLE) AS px_max
+FROM agg
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: replay the documents table through a real
     readStream file source, fingerprint each doc (md5 of the normalized
@@ -4419,6 +4480,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "pack_sequences": q_pack_sequences,
     "aspect_buckets": q_aspect_buckets,
+    "resize_roundtrip": q_resize_roundtrip,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4491,6 +4553,7 @@ ORACLES = {
     "stream_dedup": _o_stream_dedup(),
     "pack_sequences": _o_pack_sequences(),
     "aspect_buckets": _o_aspect_buckets(),
+    "resize_roundtrip": _o_resize_roundtrip(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
