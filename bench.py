@@ -101,6 +101,7 @@ HEADLINE = [
     "pack_sequences",
     "aspect_buckets",
     "resize_roundtrip",
+    "stream_pip",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

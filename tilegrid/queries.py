@@ -4294,6 +4294,52 @@ SELECT DISTINCT md5(array_to_string({toks}, ' ')) AS fp FROM documents
 """
 
 
+def q_stream_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spatial enrichment: replay the events table through a
+    real readStream file source and run the SAME pip_join_df the batch
+    path uses (stream-static broadcast join on cell covers + stateless
+    vectorized ray-casting refine — no plan changes needed), then a
+    per-polygon count in complete mode. Stream == batch == the DuckDB
+    half-plane oracle, grouped."""
+    schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("lon", F.expr(LON_E))
+        .withColumn("lat", F.expr(LAT_E))
+        .withColumn("point_id", F.col("event_id"))
+    )
+    tri = spark.createDataFrame(_triangles(spark, sf_dir))
+    joined = pip_join_df(
+        stream, tri, L5, 5, x="lon", y="lat", point_cols=("point_id",)
+    )
+    counts = joined.groupBy("polygon_id").count()
+    _STREAM_SINK_N[0] += 1
+    sink = f"tg_stream_pip_{_STREAM_SINK_N[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("polygon_id").cast("int"),
+        F.col("count").cast("long").alias("n_points"),
+    )
+
+
+def _o_stream_pip() -> str:
+    inner = _o_pip_join()
+    return f"""
+WITH j AS ({inner})
+SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_points
+FROM j GROUP BY polygon_id
+"""
+
+
 _SESSION_GAP_H = 8
 
 
@@ -4481,6 +4527,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "aspect_buckets": q_aspect_buckets,
     "resize_roundtrip": q_resize_roundtrip,
+    "stream_pip": q_stream_pip,
     "phash_dups": q_phash_dups,
     "mix_oversample": q_mix_oversample,
     "stratified_sample": q_stratified_sample,
@@ -4554,6 +4601,7 @@ ORACLES = {
     "pack_sequences": _o_pack_sequences(),
     "aspect_buckets": _o_aspect_buckets(),
     "resize_roundtrip": _o_resize_roundtrip(),
+    "stream_pip": _o_stream_pip(),
     "viewshed": _o_viewshed(),
     "euclidean_distance": _o_euclidean_distance(),
     "cost_paths": _o_cost_paths(),
