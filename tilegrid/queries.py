@@ -2710,6 +2710,42 @@ FROM pq LEFT JOIN hits h ON pq.query_id = h.query_id
 """
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the IVF-Flat scale path: per-query recall@5
+    of ivf_topk (8 lists, 2 probes — the `ann_ivf` configuration)
+    against the exact brute-force top-5. Completes the recall evidence:
+    `ann_recall` rates the LSH path, this rates IVF, both in-engine and
+    driver-gated against the composed DuckDB replay."""
+    cands = _read(spark, sf_dir, "embeddings")
+    qs = _emb_queries(spark, sf_dir)
+    exact = A.cosine_topk(cands, qs, k=5)
+    ivf = A.ivf_topk(cands, qs, k=5, n_list=8, n_probe=2)
+    return A.recall_at_k(ivf, exact, k=5).select(
+        "query_id", "n_hit", "n_exact", "recall"
+    )
+
+
+def _o_ann_recall_ivf() -> str:
+    return f"""
+WITH a AS (SELECT query_id, vec_id FROM ({_o_ann_ivf()}) WHERE rank <= 5),
+e AS (SELECT query_id, vec_id FROM ({_o_ann_topk()}) WHERE rank <= 5),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM a JOIN e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+),
+pq AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM e GROUP BY query_id
+)
+SELECT pq.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       pq.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / pq.n_exact AS recall
+FROM pq LEFT JOIN hits h ON pq.query_id = h.query_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (FAISS-style coarse quantize -> probe -> exact refine,
     the scale path beside LSH): 8 inverted lists from a deterministic
@@ -4580,6 +4616,7 @@ QUERIES = {
     "viewshed": q_viewshed,
     "euclidean_distance": q_euclidean_distance,
     "cost_paths": q_cost_paths,
+    "ann_recall_ivf": q_ann_recall_ivf,
 }
 
 ORACLES = {
@@ -4688,6 +4725,7 @@ ORACLES = {
     "ann_lsh": _o_ann_lsh(),
     "pricing_summary": _o_pricing_summary(),
     "top_orders": _o_top_orders(),
+    "ann_recall_ivf": _o_ann_recall_ivf(),
 }
 
 
