@@ -102,6 +102,7 @@ HEADLINE = [
     "aspect_buckets",
     "resize_roundtrip",
     "stream_pip",
+    "ann_recall_ivf",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))
