@@ -103,6 +103,7 @@ HEADLINE = [
     "resize_roundtrip",
     "stream_pip",
     "ann_recall_ivf",
+    "temporal_gapfill",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -1,0 +1,120 @@
+"""temporal_gapfill: per-pixel linear interpolation of NoData gaps across
+a space-time layer's time slices (beyond-reference member of the temporal
+family — the reference stops at windowed reduces,
+spark/src/main/scala/geotrellis/spark/mapalgebra/local/temporal/
+LocalTemporalStatistics.scala:34-60)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrid import codec
+from tilegrid.operators import LAYER_SCHEMA
+from tilegrid.operators.summary import temporal_gapfill
+
+H = W = 4
+SCHEMA = LAYER_SCHEMA + ", ts timestamp"
+
+
+def _layer(spark, days, pixel_series, nodata=np.nan):
+    """pixel_series: {(py, px): [v_day0, v_day1, ...]} — unset pixels are
+    `nodata` in every slice."""
+    rows = []
+    for i, d in enumerate(days):
+        a = np.full((H, W), nodata, dtype=np.float64)
+        for (py, px), vs in pixel_series.items():
+            a[py, px] = vs[i]
+        rows.append(
+            (3, 2, 1, 9, codec.raw_encode(a), H, W, "raw", pd.Timestamp(d))
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["zoom", "col", "row", "cell", "tile", "h", "w", "fmt", "ts"],
+    )
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+def _decoded(out):
+    out = out.sort_values("ts").reset_index(drop=True)
+    return [codec.decode_tile(bytes(t), f) for t, f in zip(out.tile, out.fmt)]
+
+
+def _py_fill(values, ts_ns):
+    """Per-pixel reference replay: the documented formula, interior only."""
+    vals = list(values)
+    valid = [i for i, v in enumerate(vals) if not np.isnan(v)]
+    for i, v in enumerate(vals):
+        if not np.isnan(v):
+            continue
+        before = [j for j in valid if j < i]
+        after = [j for j in valid if j > i]
+        if before and after:
+            p, n = before[-1], after[0]
+            vp, vn = values[p], values[n]
+            t, tp, tn = float(ts_ns[i]), float(ts_ns[p]), float(ts_ns[n])
+            vals[i] = vp + (vn - vp) * ((t - tp) / (tn - tp))
+    return vals
+
+
+class TestTemporalGapfill:
+    def test_interior_fill_unequal_spacing(self, spark):
+        """Time-weighted (not slice-index) interpolation: a gap closer in
+        time to its left neighbour takes more of the left value. Exact
+        bit-match vs the python replay of the documented formula."""
+        days = ["2024-01-01", "2024-01-02", "2024-01-09"]  # 1-day then 7-day
+        series = {(0, 0): [10.0, np.nan, 90.0]}
+        out = _decoded(temporal_gapfill(_layer(spark, days, series), "ts").toPandas())
+        ts_ns = [pd.Timestamp(d).value for d in days]
+        expect = _py_fill(series[(0, 0)], ts_ns)
+        got = [a[0, 0] for a in out]
+        assert got == expect  # bitwise: same formula, same operand order
+        assert abs(got[1] - 20.0) < 1e-9  # 1/8 of the way from 10 to 90
+
+    def test_leading_trailing_and_allgap_stay_nodata(self, spark):
+        days = [f"2024-01-0{i}" for i in range(1, 5)]
+        series = {
+            (0, 0): [10.0, np.nan, np.nan, 40.0],  # both fill
+            (1, 1): [np.nan, 5.0, np.nan, np.nan],  # lead+trail stay
+        }
+        out = _decoded(temporal_gapfill(_layer(spark, days, series), "ts").toPandas())
+        assert [a[0, 0] for a in out] == [10.0, 20.0, 30.0, 40.0]
+        p11 = [a[1, 1] for a in out]
+        assert p11[1] == 5.0 and np.isnan(p11[0]) and np.isnan(p11[2:]).all()
+        assert all(np.isnan(a[2, 2]) for a in out)  # all-gap pixel untouched
+
+    def test_sentinel_nodata(self, spark):
+        """nodata=0.0 treats zero (the count-raster gap value) as the gap;
+        valid values interpolate over it, unfillable zeros survive."""
+        days = [f"2024-01-0{i}" for i in range(1, 5)]
+        series = {(0, 0): [2.0, 0.0, 0.0, 8.0], (1, 1): [0.0, 0.0, 0.0, 3.0]}
+        layer = _layer(spark, days, series, nodata=0.0)
+        out = _decoded(temporal_gapfill(layer, "ts", nodata=0.0).toPandas())
+        assert [a[0, 0] for a in out] == [2.0, 4.0, 6.0, 8.0]
+        assert [a[1, 1] for a in out] == [0.0, 0.0, 0.0, 3.0]
+
+    def test_slice_count_and_metadata_preserved(self, spark):
+        days = ["2024-01-01", "2024-01-02"]
+        df = _layer(spark, days, {(0, 0): [1.0, 2.0]})
+        out = temporal_gapfill(df, "ts").toPandas()
+        assert len(out) == 2
+        assert (out.zoom == 3).all() and (out.col == 2).all()
+        assert (out.fmt == "raw").all() and (out.h == H).all()
+
+    def test_single_shuffle(self, spark):
+        """One groupBy on the spatial key is the only Exchange — the same
+        distribution shape as temporal_stats; no cartesian, no collect."""
+        df = _layer(spark, ["2024-01-01", "2024-01-02"], {(0, 0): [1.0, 2.0]})
+        plan = (
+            temporal_gapfill(df, "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_rejects_unknown_columns(self, spark):
+        df = _layer(spark, ["2024-01-01"], {(0, 0): [1.0]}).withColumn(
+            "stray", F.lit(1)
+        )
+        with pytest.raises(AssertionError):
+            temporal_gapfill(df, "ts")

@@ -268,3 +268,69 @@ def temporal_stats(
     return grouped.applyInPandas(
         reduce_group, LAYER_SCHEMA + ", window_start timestamp"
     )
+
+
+def temporal_gapfill(
+    layer: DataFrame, ts_col: str = "ts", nodata: float | None = None
+) -> DataFrame:
+    """Per-pixel linear interpolation of NoData gaps across a space-time
+    layer's time slices — the cloud-gap compositing step of satellite
+    time-series pipelines. Beyond-reference member of the temporal family
+    (the reference stops at windowed reduces, LocalTemporalStatistics
+    .scala:34-60); same distribution shape as temporal_stats: exactly one
+    shuffle (groupBy spatial key), per-group memory T x H x W float64.
+
+    Semantics: per spatial key, slices sorted by `ts_col`; a gap pixel
+    (NaN, or == `nodata` when given) with a valid slice both before and
+    after in time is filled with vp + (vn - vp) * ((t - tp) / (tn - tp))
+    over epoch-ns time; leading/trailing gaps (and all-gap pixels) are
+    left as-is. Fully vectorized: prev/next valid slice indices via
+    running max/min accumulate along the time axis."""
+    from . import LAYER_SCHEMA
+
+    def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        stack = np.stack(
+            [codec.decode_tile(bytes(t), f).astype(np.float64)
+             for t, f in zip(pdf["tile"], pdf["fmt"])]
+        )
+        ts = (
+            pd.to_datetime(pdf[ts_col])
+            .astype("datetime64[ns]").astype("int64")
+            .to_numpy().astype(np.float64)
+        )
+        T = stack.shape[0]
+        valid = ~np.isnan(stack)
+        if nodata is not None:
+            valid &= stack != nodata
+        idx = np.broadcast_to(
+            np.arange(T)[:, None, None], stack.shape
+        )
+        prev = np.maximum.accumulate(np.where(valid, idx, -1), axis=0)
+        nxt = np.minimum.accumulate(
+            np.where(valid, idx, T)[::-1], axis=0
+        )[::-1]
+        can = (~valid) & (prev >= 0) & (nxt <= T - 1)
+        pi, ni = np.clip(prev, 0, T - 1), np.clip(nxt, 0, T - 1)
+        pv = np.take_along_axis(stack, pi, axis=0)
+        nv = np.take_along_axis(stack, ni, axis=0)
+        t, tp, tn = ts[idx], ts[pi], ts[ni]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fill = pv + (nv - pv) * ((t - tp) / (tn - tp))
+        out = np.where(can, fill, stack)
+        res = pdf.copy()
+        res["tile"] = [
+            codec.raw_encode(np.ascontiguousarray(out[i])) for i in range(T)
+        ]
+        res["fmt"] = "raw"
+        return res
+
+    ts_type = dict(
+        zip(layer.schema.fieldNames(), layer.schema.fields)
+    )[ts_col].dataType.simpleString()
+    base_cols = [f.split()[0] for f in LAYER_SCHEMA.split(",")]
+    extra = [c for c in layer.columns if c not in base_cols and c != ts_col]
+    assert not extra, f"unexpected columns: {extra}"
+    return layer.groupBy("zoom", "col", "row").applyInPandas(
+        fill_group, LAYER_SCHEMA + f", {ts_col} {ts_type}"
+    )

@@ -304,6 +304,107 @@ FROM k GROUP BY col, row, day
 """
 
 
+def q_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time gap-fill: per-(tile, day) count rasters at zoom 3
+    (kernel_density with a day group column — the SpaceTimeKey batch
+    layout), then temporal_gapfill interpolates each pixel's zero-count
+    days that sit between two event-bearing days (time-weighted linear
+    over epoch-ns). Emits every non-gap pixel as (col,row,px,py,day,val):
+    original counts plus the interpolated interior fills; leading/
+    trailing gaps stay NoData and are dropped. The beyond-reference
+    member of the temporal family (the reference stops at windowed
+    reduces, LocalTemporalStatistics.scala:34-60)."""
+    from .operators.summary import temporal_gapfill
+
+    pts = _events_points(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = kernel_density(
+        pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
+    )
+    filled = temporal_gapfill(daily, ts_col="day", nodata=0.0)
+
+    def explode(it):
+        for pdf in it:
+            outs = []
+            for t in pdf.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.float64)
+                m = ~np.isnan(arr) & (arr != 0.0)
+                yy, xx = np.nonzero(m)
+                if len(yy) == 0:
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "col": np.full(len(yy), t.col, np.int32),
+                            "row": np.full(len(yy), t.row, np.int32),
+                            "px": xx.astype(np.int32),
+                            "py": yy.astype(np.int32),
+                            "day": t.day.strftime("%Y-%m-%d"),
+                            "val": arr[yy, xx],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return filled.mapInPandas(
+        explode, "col int, row int, px int, py int, day string, val double"
+    )
+
+
+def _o_temporal_gapfill() -> str:
+    cx, rx = _keyed_sql("lon", "lat", LR)
+    tw, th = repr(LR.tile_width), repr(LR.tile_height)
+    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    return f"""
+WITH pts AS (SELECT {LON_E} AS lon, {LAT_E} AS lat, date_trunc('day', ts) AS day FROM events),
+k AS (SELECT lon, lat, day, {cx} AS col, {rx} AS row FROM pts),
+gpx AS (
+  SELECT col, row, day,
+         CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px,
+         CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py
+  FROM k
+),
+pc AS (
+  SELECT col, row, px, py, day, CAST(count(*) AS DOUBLE) AS cnt
+  FROM gpx
+  WHERE px BETWEEN 0 AND 31 AND py BETWEEN 0 AND 31
+  GROUP BY col, row, px, py, day
+),
+kd AS (SELECT DISTINCT col, row, day FROM pc),
+grid AS (SELECT a.range AS px, b.range AS py FROM range(32) a CROSS JOIN range(32) b),
+dom AS (SELECT kd.col, kd.row, kd.day, g.px, g.py FROM kd CROSS JOIN grid g),
+s AS (
+  SELECT d.col, d.row, d.px, d.py, d.day, pc.cnt,
+         CAST(epoch_ns(d.day) AS DOUBLE) AS t
+  FROM dom d LEFT JOIN pc
+    ON d.col = pc.col AND d.row = pc.row AND d.px = pc.px
+   AND d.py = pc.py AND d.day = pc.day
+),
+w AS (
+  SELECT col, row, px, py, day, cnt, t,
+    last_value(cnt IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN cnt IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS tp,
+    first_value(cnt IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN cnt IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS tn
+  FROM s
+  WINDOW
+    wb AS (PARTITION BY col, row, px, py ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wf AS (PARTITION BY col, row, px, py ORDER BY day
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(col AS INT) AS col, CAST(row AS INT) AS row,
+       CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       strftime(day, '%Y-%m-%d') AS day,
+       CASE WHEN cnt IS NOT NULL THEN cnt
+            ELSE pv + (nv - pv) * ((t - tp) / (tn - tp)) END AS val
+FROM w
+WHERE cnt IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+"""
+
+
 # ================================================== raster pipeline (zoom 3)
 
 def _const_layer(spark: SparkSession, value_fn) -> DataFrame:
@@ -4617,6 +4718,7 @@ QUERIES = {
     "euclidean_distance": q_euclidean_distance,
     "cost_paths": q_cost_paths,
     "ann_recall_ivf": q_ann_recall_ivf,
+    "temporal_gapfill": q_temporal_gapfill,
 }
 
 ORACLES = {
@@ -4726,6 +4828,7 @@ ORACLES = {
     "pricing_summary": _o_pricing_summary(),
     "top_orders": _o_top_orders(),
     "ann_recall_ivf": _o_ann_recall_ivf(),
+    "temporal_gapfill": _o_temporal_gapfill(),
 }
 
 
