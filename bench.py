@@ -104,6 +104,7 @@ HEADLINE = [
     "stream_pip",
     "ann_recall_ivf",
     "temporal_gapfill",
+    "temporal_trend",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

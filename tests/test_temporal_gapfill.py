@@ -118,3 +118,65 @@ class TestTemporalGapfill:
         )
         with pytest.raises(AssertionError):
             temporal_gapfill(df, "ts")
+
+
+class TestTemporalTrend:
+    def _slopes(self, spark, days, series, nodata=np.nan):
+        from tilegrid.operators.summary import temporal_trend
+
+        layer = _layer(spark, days, series, nodata=nodata)
+        nd = None if np.isnan(nodata) else nodata
+        out = temporal_trend(layer, "ts", nodata=nd).toPandas()
+        assert len(out) == 1  # one trend tile per spatial key
+        return codec.decode_tile(bytes(out.tile[0]), out.fmt[0])
+
+    def test_known_slope(self, spark):
+        """y = 2x + 1 over day numbers -> slope exactly 2.0 (all sums are
+        exact integers, so OLS is bit-deterministic)."""
+        days = ["2024-01-01", "2024-01-03", "2024-01-07"]
+        dn = [pd.Timestamp(d).value // 86_400_000_000_000 for d in days]
+        series = {(0, 0): [2.0 * d + 1.0 for d in dn]}
+        arr = self._slopes(spark, days, series)
+        assert arr[0, 0] == 2.0
+
+    def test_matches_python_ols(self, spark):
+        days = ["2024-01-01", "2024-01-02", "2024-01-05", "2024-01-09"]
+        vals = [3.0, 7.0, 2.0, 11.0]
+        arr = self._slopes(spark, days, {(1, 2): vals})
+        x = np.array(
+            [pd.Timestamp(d).value // 86_400_000_000_000 for d in days],
+            dtype=np.float64,
+        )
+        v = np.array(vals)
+        n = float(len(v))
+        expect = (n * (x * v).sum() - x.sum() * v.sum()) / (
+            n * (x * x).sum() - x.sum() * x.sum()
+        )
+        assert arr[1, 2] == expect  # bitwise: same exact-integer sums
+
+    def test_under_two_valid_is_nodata(self, spark):
+        days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+        series = {
+            (0, 0): [5.0, np.nan, np.nan],   # 1 valid -> NaN
+            (1, 1): [1.0, np.nan, 3.0],      # 2 valid -> slope 1.0
+        }
+        arr = self._slopes(spark, days, series)
+        assert np.isnan(arr[0, 0]) and np.isnan(arr[2, 2])
+        assert arr[1, 1] == 1.0
+
+    def test_sentinel_nodata(self, spark):
+        days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+        series = {(0, 0): [2.0, 0.0, 6.0]}  # 0 is a gap, not a value
+        arr = self._slopes(spark, days, series, nodata=0.0)
+        assert arr[0, 0] == 2.0  # (6-2)/(d3-d1) = 4/2
+
+    def test_single_shuffle(self, spark):
+        from tilegrid.operators.summary import temporal_trend
+
+        df = _layer(spark, ["2024-01-01", "2024-01-02"], {(0, 0): [1.0, 2.0]})
+        plan = (
+            temporal_trend(df, "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan

@@ -334,3 +334,64 @@ def temporal_gapfill(
     return layer.groupBy("zoom", "col", "row").applyInPandas(
         fill_group, LAYER_SCHEMA + f", {ts_col} {ts_type}"
     )
+
+
+def temporal_trend(
+    layer: DataFrame, ts_col: str = "ts", nodata: float | None = None
+) -> DataFrame:
+    """Per-pixel OLS trend (value change per DAY) across a space-time
+    layer's slices — the NDVI-trend / change-detection primitive of
+    satellite time-series analysis. Beyond-reference member of the
+    temporal family (LocalTemporalStatistics.scala:34-60 stops at
+    windowed reduces); one shuffle (groupBy spatial key), one output
+    tile per key.
+
+    slope = (n*Stv - St*Sv) / (n*Stt - St*St) over x = integer day
+    number (days since 1970-01-01, UTC): with integer x and the layer's
+    values, every sum is a sum of exactly-representable doubles, so the
+    result is identical under ANY accumulation order — the property that
+    makes a distributed reduce and a single-process replay bit-equal.
+    Pixels with < 2 valid slices are NoData (NaN)."""
+    from . import LAYER_SCHEMA
+
+    def trend_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack(
+            [codec.decode_tile(bytes(t), f).astype(np.float64)
+             for t, f in zip(pdf["tile"], pdf["fmt"])]
+        )
+        days = (
+            pd.to_datetime(pdf[ts_col])
+            .astype("datetime64[ns]").astype("int64")
+            .to_numpy() // 86_400_000_000_000
+        ).astype(np.float64)
+        valid = ~np.isnan(stack)
+        if nodata is not None:
+            valid &= stack != nodata
+        v = np.where(valid, stack, 0.0)
+        x = days[:, None, None] * valid
+        n = valid.sum(axis=0, dtype=np.float64)
+        st = x.sum(axis=0)
+        sv = v.sum(axis=0)
+        stv = (x * v).sum(axis=0)
+        stt = (x * x).sum(axis=0)
+        denom = n * stt - st * st
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(
+                (n >= 2) & (denom != 0.0),
+                (n * stv - st * sv) / denom,
+                np.nan,
+            )
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [int(first["zoom"])], "col": [int(first["col"])],
+                "row": [int(first["row"])], "cell": [int(first["cell"])],
+                "tile": [codec.raw_encode(np.ascontiguousarray(slope))],
+                "h": [int(first["h"])], "w": [int(first["w"])],
+                "fmt": ["raw"],
+            }
+        )
+
+    return layer.groupBy("zoom", "col", "row").applyInPandas(
+        trend_group, LAYER_SCHEMA
+    )

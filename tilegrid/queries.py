@@ -41,6 +41,7 @@ from .operators.zonal import zonal_histogram
 L8 = LayoutDefinition(LATLNG_WORLD, TileLayout(256, 256, 256, 256))   # zoom 8
 L5 = LayoutDefinition(LATLNG_WORLD, TileLayout(32, 32, 256, 256))     # zoom 5
 LR = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 32, 32))         # zoom 3 raster
+LG = LayoutDefinition(LATLNG_WORLD, TileLayout(8, 8, 8, 8))           # coarse space-time grid
 ZR = 3
 
 # deterministic point placement (same text runs in Spark SQL and DuckDB)
@@ -320,7 +321,7 @@ def q_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_trunc("day", F.col("ts"))
     )
     daily = kernel_density(
-        pts, LR, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
+        pts, LG, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
     )
     filled = temporal_gapfill(daily, ts_col="day", nodata=0.0)
 
@@ -354,9 +355,9 @@ def q_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_temporal_gapfill() -> str:
-    cx, rx = _keyed_sql("lon", "lat", LR)
-    tw, th = repr(LR.tile_width), repr(LR.tile_height)
-    cw, ch = repr(LR.cell_width), repr(LR.cell_height)
+    cx, rx = _keyed_sql("lon", "lat", LG)
+    tw, th = repr(LG.tile_width), repr(LG.tile_height)
+    cw, ch = repr(LG.cell_width), repr(LG.cell_height)
     return f"""
 WITH pts AS (SELECT {LON_E} AS lon, {LAT_E} AS lat, date_trunc('day', ts) AS day FROM events),
 k AS (SELECT lon, lat, day, {cx} AS col, {rx} AS row FROM pts),
@@ -369,11 +370,11 @@ gpx AS (
 pc AS (
   SELECT col, row, px, py, day, CAST(count(*) AS DOUBLE) AS cnt
   FROM gpx
-  WHERE px BETWEEN 0 AND 31 AND py BETWEEN 0 AND 31
+  WHERE px BETWEEN 0 AND 7 AND py BETWEEN 0 AND 7
   GROUP BY col, row, px, py, day
 ),
 kd AS (SELECT DISTINCT col, row, day FROM pc),
-grid AS (SELECT a.range AS px, b.range AS py FROM range(32) a CROSS JOIN range(32) b),
+grid AS (SELECT a.range AS px, b.range AS py FROM range(8) a CROSS JOIN range(8) b),
 dom AS (SELECT kd.col, kd.row, kd.day, g.px, g.py FROM kd CROSS JOIN grid g),
 s AS (
   SELECT d.col, d.row, d.px, d.py, d.day, pc.cnt,
@@ -402,6 +403,64 @@ SELECT CAST(col AS INT) AS col, CAST(row AS INT) AS row,
             ELSE pv + (nv - pv) * ((t - tp) / (tn - tp)) END AS val
 FROM w
 WHERE cnt IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+"""
+
+
+def q_temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time trend: per-pixel OLS slope (events/day) across the
+    per-(tile, day) count rasters — the NDVI-trend / change-detection
+    primitive. Valid slices are the event-bearing days of each pixel
+    (nodata=0.0); pixels with < 2 valid days are NoData and dropped.
+    Integer day numbers make every sum exactly representable, so the
+    distributed reduce and the SQL replay are bit-identical regardless
+    of accumulation order."""
+    from .operators.summary import temporal_trend
+
+    pts = _events_points(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = kernel_density(
+        pts, LG, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
+    )
+    return _layer_pixels(
+        temporal_trend(daily, ts_col="day", nodata=0.0), keep_zero=True
+    )
+
+
+def _o_temporal_trend() -> str:
+    cx, rx = _keyed_sql("lon", "lat", LG)
+    tw, th = repr(LG.tile_width), repr(LG.tile_height)
+    cw, ch = repr(LG.cell_width), repr(LG.cell_height)
+    return f"""
+WITH pts AS (SELECT {LON_E} AS lon, {LAT_E} AS lat, date_trunc('day', ts) AS day FROM events),
+k AS (SELECT lon, lat, day, {cx} AS col, {rx} AS row FROM pts),
+gpx AS (
+  SELECT col, row, day,
+         CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px,
+         CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py
+  FROM k
+),
+pc AS (
+  SELECT col, row, px, py, day, CAST(count(*) AS DOUBLE) AS cnt
+  FROM gpx
+  WHERE px BETWEEN 0 AND 7 AND py BETWEEN 0 AND 7
+  GROUP BY col, row, px, py, day
+),
+x AS (
+  SELECT col, row, px, py, cnt,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS d
+  FROM pc
+),
+a AS (
+  SELECT col, row, px, py,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(d) AS st, sum(cnt) AS sv, sum(d * cnt) AS stv, sum(d * d) AS stt
+  FROM x GROUP BY col, row, px, py
+)
+SELECT CAST(3 AS INT) AS zoom, CAST(col AS INT) AS col, CAST(row AS INT) AS row,
+       CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       (n * stv - st * sv) / (n * stt - st * st) AS val
+FROM a WHERE n >= 2
 """
 
 
@@ -4719,6 +4778,7 @@ QUERIES = {
     "cost_paths": q_cost_paths,
     "ann_recall_ivf": q_ann_recall_ivf,
     "temporal_gapfill": q_temporal_gapfill,
+    "temporal_trend": q_temporal_trend,
 }
 
 ORACLES = {
@@ -4829,6 +4889,7 @@ ORACLES = {
     "top_orders": _o_top_orders(),
     "ann_recall_ivf": _o_ann_recall_ivf(),
     "temporal_gapfill": _o_temporal_gapfill(),
+    "temporal_trend": _o_temporal_trend(),
 }
 
 
