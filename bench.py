@@ -105,6 +105,7 @@ HEADLINE = [
     "ann_recall_ivf",
     "temporal_gapfill",
     "temporal_trend",
+    "temporal_composite",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -180,3 +180,128 @@ class TestTemporalTrend:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestTemporalArgmax:
+    def _two_layers(self, spark, days, q_series, v_series):
+        return (
+            _layer(spark, days, q_series),
+            _layer(spark, days, v_series),
+        )
+
+    def _composite(self, spark, days, q_series, v_series, nodata=None):
+        from tilegrid.operators.summary import temporal_argmax
+
+        q, v = self._two_layers(spark, days, q_series, v_series)
+        out = temporal_argmax(q, v, "ts", nodata=nodata).toPandas()
+        assert len(out) == 1
+        return codec.decode_tile(bytes(out.tile[0]), out.fmt[0])
+
+    def test_max_quality_wins_and_carries_payload(self, spark):
+        days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+        arr = self._composite(
+            spark, days,
+            {(0, 0): [1.0, 9.0, 3.0]},        # quality peaks on day 2
+            {(0, 0): [100.0, 200.0, 300.0]},  # payload
+        )
+        assert arr[0, 0] == 200.0
+
+    def test_tie_earliest_slice_wins(self, spark):
+        days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+        arr = self._composite(
+            spark, days,
+            {(0, 0): [5.0, 5.0, 2.0]},
+            {(0, 0): [111.0, 222.0, 333.0]},
+        )
+        assert arr[0, 0] == 111.0
+
+    def test_gap_quality_never_wins(self, spark):
+        days = ["2024-01-01", "2024-01-02"]
+        arr = self._composite(
+            spark, days,
+            {(0, 0): [np.nan, 1.0], (1, 1): [np.nan, np.nan]},
+            {(0, 0): [999.0, 7.0], (1, 1): [4.0, 5.0]},
+        )
+        assert arr[0, 0] == 7.0          # NaN quality slice skipped
+        assert np.isnan(arr[1, 1])       # no valid slice -> NoData
+        q_series = {(0, 0): [0.0, 2.0]}
+        arr2 = self._composite(
+            spark, days, q_series, {(0, 0): [50.0, 60.0]}, nodata=0.0
+        )
+        assert arr2[0, 0] == 60.0        # sentinel quality skipped too
+
+    def test_single_shuffle_round(self, spark):
+        """The q-v equi-join and the groupBy share the spatial key: the
+        plan needs one hash-partitioning round per input, no cartesian."""
+        from tilegrid.operators.summary import temporal_argmax
+
+        q, v = self._two_layers(
+            spark, ["2024-01-01"], {(0, 0): [1.0]}, {(0, 0): [2.0]}
+        )
+        plan = (
+            temporal_argmax(q, v, "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+
+class TestKernelDensityStats:
+    def _pts(self, spark):
+        import pandas as pdlib
+
+        pdf = pdlib.DataFrame(
+            {
+                "x": [10.0, 10.0, 100.0],
+                "y": [40.0, 40.0, -40.0],
+                "w": [3.0, 7.0, 2.0],
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    def test_weighted_sum_and_max(self, spark):
+        from tilegrid.grid import LATLNG_WORLD, LayoutDefinition, TileLayout
+        from tilegrid.operators.rasterize import kernel_density
+
+        layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 8, 8))
+        k = np.ones((1, 1))
+
+        def pixel(df, want):
+            out = df.toPandas()
+            vals = {}
+            for t in out.itertuples(index=False):
+                arr = codec.decode_tile(bytes(t.tile), t.fmt)
+                m = ~np.isnan(arr) & (arr != 0.0) if want == "nz" else ~np.isnan(arr)
+                for yy, xx in zip(*np.nonzero(m)):
+                    vals[(t.col, t.row, int(xx), int(yy))] = arr[yy, xx]
+            return vals
+
+        wsum = pixel(
+            kernel_density(self._pts(spark), layout, 2, k, weight="w"), "nz"
+        )
+        wmax = pixel(
+            kernel_density(self._pts(spark), layout, 2, k, weight="w", stat="max"),
+            "all",
+        )
+        assert 10.0 in wsum.values() and 2.0 in wsum.values()  # 3+7 stamp-sum
+        assert 7.0 in wmax.values() and 2.0 in wmax.values()   # max, not sum
+        assert 10.0 not in wmax.values()
+
+    def test_max_untouched_pixels_are_nan(self, spark):
+        from tilegrid.grid import LATLNG_WORLD, LayoutDefinition, TileLayout
+        from tilegrid.operators.rasterize import kernel_density
+
+        layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 8, 8))
+        out = kernel_density(
+            self._pts(spark), layout, 2, np.ones((1, 1)), weight="w", stat="max"
+        ).toPandas()
+        arrs = [codec.decode_tile(bytes(t), f) for t, f in zip(out.tile, out.fmt)]
+        assert all(np.isnan(a).sum() >= a.size - 2 for a in arrs)
+
+    def test_rejects_unknown_stat(self, spark):
+        from tilegrid.grid import LATLNG_WORLD, LayoutDefinition, TileLayout
+        from tilegrid.operators.rasterize import kernel_density
+
+        layout = LayoutDefinition(LATLNG_WORLD, TileLayout(4, 4, 8, 8))
+        with pytest.raises(ValueError):
+            kernel_density(self._pts(spark), layout, 2, np.ones((1, 1)), stat="mean")

@@ -175,15 +175,24 @@ def kernel_density(
     x: str = "x",
     y: str = "y",
     group_cols: tuple[str, ...] = (),
+    weight: str | None = None,
+    stat: str = "sum",
 ) -> DataFrame:
     """RDDKernelDensity (density/RDDKernelDensity.scala:72-177): each point
     explodes to every tile its kernel footprint touches (computed in
     Catalyst from the kernel radius), tiles stamp+sum their points in one
     groupBy — the canonical point->raster aggregation. group_cols adds
     extra grouping dimensions (e.g. a day column -> one raster per
-    (key, day): the SpaceTimeKey batch layout)."""
+    (key, day): the SpaceTimeKey batch layout). `weight` names a per-point
+    value column (stamp is kernel * w; default 1). stat='sum' accumulates
+    stamps (the density path); stat='max' takes the pixelwise maximum
+    stamp instead — ORDER-INDEPENDENT, so it stays bit-deterministic for
+    arbitrary float weights (sums of arbitrary floats are not); pixels no
+    stamp touches are NoData (NaN) rather than 0."""
     from .tiler import explode_covering_keys
 
+    if stat not in ("sum", "max"):
+        raise ValueError(f"stat must be 'sum' or 'max', got {stat!r}")
     kr_y, kr_x = kernel.shape[0] // 2, kernel.shape[1] // 2
     cw, ch = layout.cell_width, layout.cell_height
     rx, ry = kr_x * cw, kr_y * ch
@@ -193,8 +202,9 @@ def kernel_density(
         .withColumn("ymin", F.col(y) - F.lit(ry))
         .withColumn("ymax", F.col(y) + F.lit(ry))
     )
+    carry = (x, y) + ((weight,) if weight else ())
     exploded = explode_covering_keys(df, layout, zoom).select(
-        "zoom", "col", "row", "cell", x, y, *group_cols
+        "zoom", "col", "row", "cell", *carry, *group_cols
     )
     mt = layout.map_transform
     tc, tr = layout.tile_layout.tile_cols, layout.tile_layout.tile_rows
@@ -207,11 +217,12 @@ def kernel_density(
         first = pdf.iloc[0]
         col, row = int(first["col"]), int(first["row"])
         ext = mt.extent_for_key(col, row)
-        out = np.zeros((tr, tc))
+        out = np.zeros((tr, tc)) if stat == "sum" else np.full((tr, tc), -np.inf)
         # pixel index of each point's center within this tile's grid
         px = np.floor((pdf[x].values - ext.xmin) / cw).astype(np.int64)
         py = np.floor((ext.ymax - pdf[y].values) / ch).astype(np.int64)
-        for cx_, cy_ in zip(px, py):
+        ws = pdf[weight].values if weight else np.ones(len(pdf))
+        for cx_, cy_, w_ in zip(px, py, ws):
             y0, y1 = cy_ - kr_y, cy_ + kr_y + 1
             x0, x1 = cx_ - kr_x, cx_ + kr_x + 1
             ky0, kx0 = max(0, -y0), max(0, -x0)
@@ -219,9 +230,14 @@ def kernel_density(
             ty1, tx1 = min(tr, y1), min(tc, x1)
             if ty1 <= ty0 or tx1 <= tx0:
                 continue
-            out[ty0:ty1, tx0:tx1] += kernel[
-                ky0 : ky0 + (ty1 - ty0), kx0 : kx0 + (tx1 - tx0)
-            ]
+            k = kernel[ky0 : ky0 + (ty1 - ty0), kx0 : kx0 + (tx1 - tx0)]
+            patch = k if w_ == 1.0 else k * w_
+            if stat == "sum":
+                out[ty0:ty1, tx0:tx1] += patch
+            else:
+                np.maximum(out[ty0:ty1, tx0:tx1], patch, out=out[ty0:ty1, tx0:tx1])
+        if stat == "max":
+            out[~np.isfinite(out)] = np.nan
         row_out = {
             "zoom": [int(first["zoom"])], "col": [col], "row": [row],
             "cell": [int(first["cell"])], "tile": [codec.raw_encode(out)],

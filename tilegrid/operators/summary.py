@@ -395,3 +395,63 @@ def temporal_trend(
     return layer.groupBy("zoom", "col", "row").applyInPandas(
         trend_group, LAYER_SCHEMA
     )
+
+
+def temporal_argmax(
+    quality: DataFrame,
+    value: DataFrame,
+    ts_col: str = "ts",
+    nodata: float | None = None,
+) -> DataFrame:
+    """Best-pixel composite: for each pixel, take the VALUE from the time
+    slice whose QUALITY is maximal (ties -> earliest slice) — the
+    max-NDVI / greenest-pixel compositing pattern of satellite pipelines,
+    beyond-reference like the rest of the temporal family
+    (LocalTemporalStatistics.scala:34-60 reduces a single layer; the
+    composite carries a payload band from the winning slice).
+
+    `quality` and `value` are same-keyed space-time layers (joined on
+    spatial key + ts_col; slices missing from either side are dropped).
+    Gap pixels (NaN quality, or == `nodata`) never win; pixels with no
+    valid slice are NoData. One equi-join co-partitioned with the
+    following groupBy (a single shuffle round on the spatial key), one
+    output tile per key."""
+    from . import LAYER_SCHEMA
+
+    keys = ["zoom", "col", "row", ts_col]
+    q = quality.select(*keys, "cell", "h", "w",
+                       F.col("tile").alias("_qt"), F.col("fmt").alias("_qf"))
+    v = value.select(*keys, F.col("tile").alias("_vt"), F.col("fmt").alias("_vf"))
+    joined = q.join(v, keys)
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        qs = np.stack(
+            [codec.decode_tile(bytes(t), f).astype(np.float64)
+             for t, f in zip(pdf["_qt"], pdf["_qf"])]
+        )
+        vs = np.stack(
+            [codec.decode_tile(bytes(t), f).astype(np.float64)
+             for t, f in zip(pdf["_vt"], pdf["_vf"])]
+        )
+        valid = ~np.isnan(qs)
+        if nodata is not None:
+            valid &= qs != nodata
+        ranked = np.where(valid, qs, -np.inf)
+        win = np.argmax(ranked, axis=0)  # first max -> earliest slice wins ties
+        out = np.take_along_axis(vs, win[None], axis=0)[0]
+        out = np.where(valid.any(axis=0), out, np.nan)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "zoom": [int(first["zoom"])], "col": [int(first["col"])],
+                "row": [int(first["row"])], "cell": [int(first["cell"])],
+                "tile": [codec.raw_encode(np.ascontiguousarray(out))],
+                "h": [int(first["h"])], "w": [int(first["w"])],
+                "fmt": ["raw"],
+            }
+        )
+
+    return joined.groupBy("zoom", "col", "row").applyInPandas(
+        compose, LAYER_SCHEMA
+    )

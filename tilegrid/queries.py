@@ -464,6 +464,62 @@ FROM a WHERE n >= 2
 """
 
 
+def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-pixel composite over the space-time grid: per pixel, the
+    max-of-`value` payload from the DAY with the most events (ties ->
+    earliest day) — the max-NDVI / greenest-pixel compositing pattern.
+    Quality = per-(tile,day) count rasters; payload = per-(tile,day)
+    MAX(value) rasters (stat='max' keeps the payload order-independent,
+    so the distributed stamp is bit-equal to the SQL replay — a SUM of
+    arbitrary doubles would not be)."""
+    from .operators.summary import temporal_argmax
+
+    pts = _events_points(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    q = kernel_density(
+        pts, LG, ZR, np.ones((1, 1)), x="lon", y="lat", group_cols=("day",)
+    )
+    v = kernel_density(
+        pts, LG, ZR, np.ones((1, 1)), x="lon", y="lat",
+        group_cols=("day",), weight="value", stat="max",
+    )
+    composite = temporal_argmax(q, v, ts_col="day", nodata=0.0)
+    return _layer_pixels(composite, keep_zero=True)
+
+
+def _o_temporal_composite() -> str:
+    cx, rx = _keyed_sql("lon", "lat", LG)
+    tw, th = repr(LG.tile_width), repr(LG.tile_height)
+    cw, ch = repr(LG.cell_width), repr(LG.cell_height)
+    return f"""
+WITH pts AS (SELECT {LON_E} AS lon, {LAT_E} AS lat, value, date_trunc('day', ts) AS day FROM events),
+k AS (SELECT lon, lat, value, day, {cx} AS col, {rx} AS row FROM pts),
+gpx AS (
+  SELECT col, row, day, value,
+         CAST(floor((lon - (-180.0 + col * {tw})) / {cw}) AS INT) AS px,
+         CAST(floor(((90.0 - row * {th}) - lat) / {ch}) AS INT) AS py
+  FROM k
+),
+pd AS (
+  SELECT col, row, px, py, day,
+         CAST(count(*) AS DOUBLE) AS cnt, max(value) AS vmax
+  FROM gpx
+  WHERE px BETWEEN 0 AND 7 AND py BETWEEN 0 AND 7
+  GROUP BY col, row, px, py, day
+),
+w AS (
+  SELECT col, row, px, py, vmax,
+         row_number() OVER (PARTITION BY col, row, px, py
+                            ORDER BY cnt DESC, day ASC) AS rk
+  FROM pd
+)
+SELECT CAST(3 AS INT) AS zoom, CAST(col AS INT) AS col, CAST(row AS INT) AS row,
+       CAST(px AS INT) AS px, CAST(py AS INT) AS py, vmax AS val
+FROM w WHERE rk = 1
+"""
+
+
 # ================================================== raster pipeline (zoom 3)
 
 def _const_layer(spark: SparkSession, value_fn) -> DataFrame:
@@ -4779,6 +4835,7 @@ QUERIES = {
     "ann_recall_ivf": q_ann_recall_ivf,
     "temporal_gapfill": q_temporal_gapfill,
     "temporal_trend": q_temporal_trend,
+    "temporal_composite": q_temporal_composite,
 }
 
 ORACLES = {
@@ -4890,6 +4947,7 @@ ORACLES = {
     "ann_recall_ivf": _o_ann_recall_ivf(),
     "temporal_gapfill": _o_temporal_gapfill(),
     "temporal_trend": _o_temporal_trend(),
+    "temporal_composite": _o_temporal_composite(),
 }
 
 
