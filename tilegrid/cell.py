@@ -617,3 +617,105 @@ def z2_sql(col_expr: str, row_expr: str, dialect: str = "spark") -> str:
     if dialect == "spark":
         return f"({cx} | shiftleft({rx}, 1))"
     return f"({cx} | ({rx} << 1))"
+
+
+# ---- Geohash (public base32 lat/lon cell code; Niemeyer 2008) ----
+# Complements the integer curves above with the interoperable string cell
+# id the rest of the geo ecosystem exchanges: the same Morton interleave,
+# but lon leads the bit stream and the 5-bit groups are base32 chars.
+# For precision p (chars), total = 5p bits; lon gets ceil(total/2) bits,
+# lat floor(total/2). When total is even the leading (MSB) lon bit lands
+# on an odd Morton position -> z2_encode(lat, lon); when odd, on an even
+# position -> z2_encode(lon, lat). Encode/decode/SQL share one quantizer
+# so NumPy, Spark SQL, and DuckDB agree bit-for-bit.
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_DEC = {c: i for i, c in enumerate(GEOHASH32)}
+
+
+def _gh_nbits(precision: int) -> tuple[int, int]:
+    if not 1 <= precision <= 11:
+        raise ValueError("geohash precision must be in 1..11")
+    total = 5 * precision
+    return (total + 1) // 2, total // 2  # (lon bits, lat bits)
+
+
+def geohash_int(lon, lat, precision: int = 6) -> np.ndarray:
+    """The 5*precision-bit geohash integer (bits of the base32 string)."""
+    nlon, nlat = _gh_nbits(precision)
+    lon_q = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0
+                     * (1 << nlon))
+    lat_q = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0
+                     * (1 << nlat))
+    lon_q = np.clip(lon_q, 0, (1 << nlon) - 1).astype(np.int64)
+    lat_q = np.clip(lat_q, 0, (1 << nlat) - 1).astype(np.int64)
+    if precision % 2 == 0:
+        return z2_encode(lat_q, lon_q)
+    return z2_encode(lon_q, lat_q)
+
+
+def geohash_encode(lon, lat, precision: int = 6) -> np.ndarray:
+    """Base32 geohash strings (vectorized)."""
+    g = np.asarray(geohash_int(lon, lat, precision)).astype(np.uint64)
+    tbl = np.array(list(GEOHASH32))
+    out = None
+    for j in range(precision):
+        sh = np.uint64(5 * (precision - 1 - j))
+        ch = tbl[((g >> sh) & np.uint64(31)).astype(np.int64)]
+        out = ch if out is None else np.char.add(out, ch)
+    return out
+
+
+def geohash_decode(gh) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Cell centers + half-widths: (lon, lat, lon_err, lat_err)."""
+    ghs = np.atleast_1d(np.asarray(gh, dtype=str))
+    precision = len(ghs.flat[0])
+    nlon, nlat = _gh_nbits(precision)
+    g = np.zeros(ghs.shape, dtype=np.uint64)
+    for j in range(precision):
+        vals = np.array([_GH_DEC[s[j]] for s in ghs.ravel()],
+                        dtype=np.uint64).reshape(ghs.shape)
+        g = (g << np.uint64(5)) | vals
+    if precision % 2 == 0:
+        lat_q, lon_q = z2_decode(g)
+    else:
+        lon_q, lat_q = z2_decode(g)
+    lon_err = 180.0 / (1 << nlon)
+    lat_err = 90.0 / (1 << nlat)
+    lon = (lon_q.astype(np.float64) + 0.5) * (360.0 / (1 << nlon)) - 180.0
+    lat = (lat_q.astype(np.float64) + 0.5) * (180.0 / (1 << nlat)) - 90.0
+    return lon, lat, np.full_like(lon, lon_err), np.full_like(lat, lat_err)
+
+
+def geohash_int_sql(lon_expr: str, lat_expr: str, precision: int = 6,
+                    dialect: str = "spark") -> str:
+    """SQL expression for geohash_int — identical quantize + interleave in
+    Spark SQL and DuckDB (pure IEEE-double + integer bit math, no UDF).
+    Compute it once (CTE / withColumn), then render chars from the column
+    with geohash_chars_sql to avoid repeating the interleave per char."""
+    nlon, nlat = _gh_nbits(precision)
+    lon_q = (f"LEAST(GREATEST(CAST(floor((({lon_expr}) + 180.0) / 360.0 "
+             f"* {1 << nlon}) AS BIGINT), 0), {(1 << nlon) - 1})")
+    lat_q = (f"LEAST(GREATEST(CAST(floor((({lat_expr}) + 90.0) / 180.0 "
+             f"* {1 << nlat}) AS BIGINT), 0), {(1 << nlat) - 1})")
+    if precision % 2 == 0:
+        return z2_sql(lat_q, lon_q, dialect)
+    return z2_sql(lon_q, lat_q, dialect)
+
+
+def geohash_chars_sql(ghi_expr: str, precision: int = 6,
+                      dialect: str = "spark") -> str:
+    """Render a geohash integer column/expression as its base32 string."""
+    parts = []
+    for j in range(precision):
+        sh = 5 * (precision - 1 - j)
+        if sh == 0:
+            v = f"({ghi_expr})"
+        elif dialect == "spark":
+            v = f"shiftrightunsigned({ghi_expr}, {sh})"
+        else:
+            v = f"(({ghi_expr}) >> {sh})"
+        parts.append(
+            f"substr('{GEOHASH32}', CAST(({v} & 31) AS INT) + 1, 1)"
+        )
+    return "concat(" + ", ".join(parts) + ")"

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import codec
-from .cell import z2_encode, z2_sql
+from .cell import geohash_chars_sql, geohash_int_sql, z2_encode, z2_sql
 from .geometry import wkb_encode_polygon
 from .grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
 from .operators import LAYER_SCHEMA
@@ -119,6 +119,35 @@ def _o_zorder_topk() -> str:
     return f"""
 WITH k AS (SELECT event_id, {cx} AS col, {rx} AS row FROM events)
 SELECT event_id, {cell} AS cell FROM k ORDER BY cell, event_id LIMIT 100
+"""
+
+
+def q_geohash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell rollup: densest 20 precision-5 geohash cells of the
+    event corpus — the interoperable string twin of the Z2 cells above
+    (cell.geohash_*: same Morton interleave, base32-rendered; computed
+    once per row as a BIGINT then rendered, all codegen, one groupBy
+    shuffle on a bounded key domain)."""
+    ghi = geohash_int_sql(LON_E, LAT_E, 5, "spark")
+    chars = geohash_chars_sql("ghi", 5, "spark")
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ghi", F.expr(ghi))
+        .withColumn("gh", F.expr(chars))
+        .groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gh")
+        .limit(20)
+    )
+
+
+def _o_geohash_topk() -> str:
+    ghi = geohash_int_sql(LON_E, LAT_E, 5, "duckdb")
+    chars = geohash_chars_sql("ghi", 5, "duckdb")
+    return f"""
+WITH g AS (SELECT {ghi} AS ghi FROM events)
+SELECT {chars} AS gh, COUNT(*) AS n FROM g
+GROUP BY gh ORDER BY n DESC, gh LIMIT 20
 """
 
 
@@ -4775,6 +4804,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "decontaminate": q_decontaminate,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "geohash_topk": q_geohash_topk,
     "stream_dedup": q_stream_dedup,
     "pack_sequences": q_pack_sequences,
     "aspect_buckets": q_aspect_buckets,
@@ -4853,6 +4883,7 @@ ORACLES = {
     "ann_recall": _o_ann_recall(),
     "decontaminate": _o_decontaminate(),
     "dedup_paragraphs": _o_dedup_paragraphs(),
+    "geohash_topk": _o_geohash_topk(),
     "stream_dedup": _o_stream_dedup(),
     "pack_sequences": _o_pack_sequences(),
     "aspect_buckets": _o_aspect_buckets(),
