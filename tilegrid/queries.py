@@ -27,6 +27,7 @@ from .grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
 from .operators import LAYER_SCHEMA
 from .operators import ann as A
 from .operators import dedup as D
+from .operators import profile as PF
 from .operators import sample as SMP
 from .operators import text as T
 from .operators.focal import focal_sum
@@ -148,6 +149,53 @@ def _o_geohash_topk() -> str:
 WITH g AS (SELECT {ghi} AS ghi FROM events)
 SELECT {chars} AS gh, COUNT(*) AS n FROM g
 GROUP BY gh ORDER BY n DESC, gh LIMIT 20
+"""
+
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA profile (profile.profile_columns): one aggregation pass
+    over the documents scan -> per-column null count, exact cardinality,
+    native-order min/max, exact total rendered length."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return PF.profile_columns(docs, _PROFILE_COLS).orderBy("column")
+
+
+def _o_profile_docs() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS \"column\", COUNT(*) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_s, "
+            f"CAST(SUM(length(CAST({c} AS VARCHAR))) AS BIGINT) AS total_len "
+            "FROM documents"
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def q_skew_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell census (profile.key_skew): the 15 heaviest zoom-8 cells of
+    the event corpus with exact share-ppm and x-mean ratios — the census
+    signal the tiler's salted two-phase merge routes on (tiler.py:380)."""
+    pts = _events_points(spark, sf_dir)
+    keyed = with_key_columns(pts, L8, "lon", "lat", 8)
+    return PF.key_skew(keyed, ["col", "row"], top=15)
+
+
+def _o_skew_cells() -> str:
+    cx, rx = _keyed_sql(LON_E, LAT_E, L8)
+    return f"""
+WITH k AS (SELECT {cx} AS col, {rx} AS row FROM events),
+c AS (SELECT col, row, COUNT(*) AS n FROM k GROUP BY col, row),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+SELECT col, row, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((n * n_keys * 1000) // total AS BIGINT) AS xmean_milli
+FROM c, t ORDER BY n DESC, col, row LIMIT 15
 """
 
 
@@ -4805,6 +4853,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dedup_paragraphs": q_dedup_paragraphs,
     "geohash_topk": q_geohash_topk,
+    "profile_docs": q_profile_docs,
+    "skew_cells": q_skew_cells,
     "stream_dedup": q_stream_dedup,
     "pack_sequences": q_pack_sequences,
     "aspect_buckets": q_aspect_buckets,
@@ -4884,6 +4934,8 @@ ORACLES = {
     "decontaminate": _o_decontaminate(),
     "dedup_paragraphs": _o_dedup_paragraphs(),
     "geohash_topk": _o_geohash_topk(),
+    "profile_docs": _o_profile_docs(),
+    "skew_cells": _o_skew_cells(),
     "stream_dedup": _o_stream_dedup(),
     "pack_sequences": _o_pack_sequences(),
     "aspect_buckets": _o_aspect_buckets(),
