@@ -469,6 +469,44 @@ class TestMultimodal:
             arr = codec.decode_tile(bytes(t.tile), t.fmt)
             assert arr.shape[:2] == (32, 32)
 
+    def test_codec_error_stats_exact(self, spark):
+        from tilegrid import codec, fixtures
+
+        pdf = fixtures.images_table(8).rename(columns={"bytes": "tile"})
+        pdf = pdf[pdf.fmt == "png"]
+        df = spark.createDataFrame(pdf[["image_id", "tile", "fmt"]])
+        out = (
+            M.codec_error_stats(df, "fjpg")
+            .toPandas()
+            .set_index("image_id")
+        )
+        for t in pdf.itertuples(index=False):
+            arr = codec.decode_tile(bytes(t.tile), t.fmt).astype(np.int64)
+            rt = codec.decode_tile(
+                codec.encode_tile(arr.astype(np.uint8), "fjpg"), "fjpg"
+            ).astype(np.int64)
+            row = out.loc[t.image_id]
+            assert row.n_samples == arr.size
+            assert row.sse == int(((arr - rt) ** 2).sum())
+            assert bool(row.psnr_ge_40)
+
+    def test_codec_error_stats_real_jpeg_meets_invariant(self, spark):
+        from tilegrid import fixtures
+
+        pdf = fixtures.images_table(12).rename(columns={"bytes": "tile"})
+        # the i%4==3 modulo-97 band is uniform high-frequency noise — a
+        # worst case NO dct codec holds 40 dB on at q95; the invariant is
+        # claimed (and tested) for structured imagery, i.e. images whose
+        # bands (i, i+1, i+2) avoid the noise case -> i % 4 == 0
+        ids = pdf.image_id.str.extract(r"(\d+)$")[0].astype(int)
+        pdf = pdf[(pdf.fmt == "png") & (ids % 4 == 0)]
+        assert len(pdf) >= 2
+        df = spark.createDataFrame(pdf[["image_id", "tile", "fmt"]])
+        out = M.codec_error_stats(df, "jpeg").toPandas()
+        # north-rule invariant on the REAL from-scratch JPEG codec
+        assert out.psnr_ge_40.all()
+        assert (out.sse > 0).any()  # lossy: not a trivially-zero check
+
     def test_audio_stub(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame({"clip_id": ["a", "b"], "audio": [b"\x01" * 64, b"\x02" * 100]})

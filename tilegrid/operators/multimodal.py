@@ -283,3 +283,39 @@ def _bucket_dim_expr(buckets, axis: int) -> str:
         f"WHEN bucket_id = {i} THEN {b[axis]}" for i, b in enumerate(buckets)
     )
     return f"CASE {arms} END"
+
+
+def codec_error_stats(
+    df: DataFrame,
+    fmt: str = "jpeg",
+    id_col: str = "image_id",
+    data_col: str = "tile",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Lossy-codec QA over the corpus: decode each image, round-trip it
+    through the lossy `fmt`, and emit the EXACT integer error sum —
+    (id, n_samples, sse, psnr_ge_40). The north-rule per-row invariant
+    (decoded pixels PSNR >= 40 dB for lossy formats) becomes a checkable
+    column: PSNR >= 40 <=> MSE <= peak^2 * 1e-4 <=> sse * 10^4 <=
+    n_samples * 255^2 — pure integer math, so engines hash-agree (a float
+    log10 would not). One Arrow batch pass, no shuffle."""
+    from pyspark.sql import functions as F
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for rid, data, f in zip(
+                pdf[id_col], pdf[data_col], pdf[fmt_col]
+            ):
+                arr = codec.decode_tile(bytes(data), str(f)).astype(np.int64)
+                rt = codec.decode_tile(
+                    codec.encode_tile(arr.astype(np.uint8), fmt), fmt
+                ).astype(np.int64)
+                e = arr - rt
+                out.append((str(rid), int(arr.size), int((e * e).sum())))
+            yield pd.DataFrame(out, columns=[id_col, "n_samples", "sse"])
+
+    res = df.mapInPandas(run, f"{id_col} string, n_samples long, sse long")
+    return res.withColumn(
+        "psnr_ge_40", F.expr("sse * 10000 <= n_samples * 65025")
+    )

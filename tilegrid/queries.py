@@ -2464,6 +2464,56 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psnr_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule lossy-decode invariant as a driver-gate row
+    (multimodal.codec_error_stats): round-trip every corpus image through
+    the deterministic lossy codec and emit the EXACT integer SSE plus the
+    integer-math PSNR>=40dB flag. The oracle replays the quantizer
+    (v -> least(5*(v div 5) + 2, 255)) over the closed-form pixel recipe,
+    so a hash match proves decode -> lossy encode -> decode -> error
+    accounting end-to-end."""
+    from .operators import multimodal as MM
+
+    corpus = _image_corpus(spark, _IMG_FEAT_N)
+    return MM.codec_error_stats(corpus, "fjpg").orderBy("image_id")
+
+
+def _o_psnr_lossy() -> str:
+    def band(b: int) -> str:
+        return (
+            f"(CASE (i + {b}) % 4"
+            f" WHEN 0 THEN (i + {b}) % 256"
+            f" WHEN 1 THEN (gx + gy) % 256"
+            f" WHEN 2 THEN ((gx // 8 + gy // 8) % 2) * 255"
+            f" ELSE (gx * gy + i + {b}) % 97 END)"
+        )
+
+    errs = ", ".join(
+        f"({band(b)} - LEAST(({band(b)} // 5) * 5 + 2, 255)) AS e{b}"
+        for b in range(3)
+    )
+    return f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS w,
+         CASE (i // 3) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS h
+  FROM range({_IMG_FEAT_N}) t(i)
+),
+err AS (
+  SELECT i, w, h, {errs}
+  FROM imgs
+  JOIN range(256) xs(gx) ON gx < w
+  JOIN range(256) ys(gy) ON gy < h
+)
+SELECT printf('img%010d', i) AS image_id,
+       CAST(3 * w * h AS BIGINT) AS n_samples,
+       CAST(SUM(e0*e0 + e1*e1 + e2*e2) AS BIGINT) AS sse,
+       (CAST(SUM(e0*e0 + e1*e1 + e2*e2) AS BIGINT) * 10000
+          <= CAST(3 * w * h AS BIGINT) * 65025) AS psnr_ge_40
+FROM err GROUP BY i, w, h ORDER BY image_id
+"""
+
+
 def _o_image_features() -> str:
     def band(b: int) -> str:
         return (
@@ -4855,6 +4905,7 @@ QUERIES = {
     "geohash_topk": q_geohash_topk,
     "profile_docs": q_profile_docs,
     "skew_cells": q_skew_cells,
+    "psnr_lossy": q_psnr_lossy,
     "stream_dedup": q_stream_dedup,
     "pack_sequences": q_pack_sequences,
     "aspect_buckets": q_aspect_buckets,
@@ -4936,6 +4987,7 @@ ORACLES = {
     "geohash_topk": _o_geohash_topk(),
     "profile_docs": _o_profile_docs(),
     "skew_cells": _o_skew_cells(),
+    "psnr_lossy": _o_psnr_lossy(),
     "stream_dedup": _o_stream_dedup(),
     "pack_sequences": _o_pack_sequences(),
     "aspect_buckets": _o_aspect_buckets(),
