@@ -247,6 +247,24 @@ def kernel_density(
             row_out[c] = [first[c]]
         return pd.DataFrame(row_out)
 
-    return exploded.groupBy("zoom", "col", "row", *group_cols).applyInPandas(
-        stamp, out_schema
+    if not group_cols:
+        return exploded.groupBy("zoom", "col", "row").applyInPandas(
+            stamp, out_schema
+        )
+
+    # One Spark group per SPATIAL key, time slices sub-grouped in pandas:
+    # applyInPandas costs ~ms of Arrow/pandas setup per group, so grouping
+    # on (key x slice) pays it n_slices times per tile (1920 groups ~= 8 s
+    # at sf0.1); per-key grouping pays it once and loops slices in-process.
+    # All slices of one key land in one task — fine while slices/key stays
+    # modest (tiles are small); extreme slice counts would re-split here.
+    def stamp_slices(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            stamp(sub)
+            for _, sub in pdf.groupby(list(group_cols), sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return exploded.groupBy("zoom", "col", "row").applyInPandas(
+        stamp_slices, out_schema
     )
