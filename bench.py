@@ -106,6 +106,13 @@ HEADLINE = [
     "temporal_gapfill",
     "temporal_trend",
     "temporal_composite",
+    # round-5 endgame: geohash cells, corpus QA, skew census, lossy-codec
+    # invariant, fixed-radius pair join
+    "geohash_topk",
+    "profile_docs",
+    "skew_cells",
+    "psnr_lossy",
+    "distance_pairs",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

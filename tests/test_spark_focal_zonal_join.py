@@ -332,3 +332,56 @@ class TestKnn:
         a = salted.set_index("cell")["n"].sort_index()
         b = plain.set_index("cell")["count"].sort_index()
         pd.testing.assert_series_equal(a, b, check_names=False)
+
+
+class TestWithinDistancePairs:
+    def test_matches_bruteforce(self, spark):
+        from tilegrid.operators.join import within_distance_pairs
+
+        rng = np.random.default_rng(11)
+        n = 120
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(n),
+                "lon": rng.uniform(-20, 20, n),
+                "lat": rng.uniform(-10, 10, n),
+            }
+        )
+        r = 3.0
+        got = (
+            within_distance_pairs(spark.createDataFrame(pdf), r, "id")
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        exp = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d2 = (pdf.lon[i] - pdf.lon[j]) ** 2 + (pdf.lat[i] - pdf.lat[j]) ** 2
+                if d2 <= r * r:
+                    exp.append((i, j, d2))
+        assert len(got) == len(exp)
+        assert list(map(tuple, got[["id_a", "id_b"]].values)) == [
+            (a, b) for a, b, _ in exp
+        ]
+        np.testing.assert_allclose(got.dist2.values, [d for _, _, d in exp])
+
+    def test_each_pair_exactly_once(self, spark):
+        from tilegrid.operators.join import within_distance_pairs
+
+        # points in the SAME block and in adjacent blocks: no duplicates
+        pdf = pd.DataFrame(
+            {"id": [1, 2, 3], "lon": [0.1, 0.2, 1.1], "lat": [0.1, 0.2, 0.1]}
+        )
+        out = within_distance_pairs(spark.createDataFrame(pdf), 1.5, "id").toPandas()
+        assert len(out) == len(out.drop_duplicates(["id_a", "id_b"])) == 3
+
+    def test_no_cartesian_in_plan(self, spark):
+        from tilegrid.operators.join import within_distance_pairs
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "lon": [0.0, 1.0], "lat": [0.0, 1.0]})
+        )
+        plan = within_distance_pairs(df, 1.0, "id")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan

@@ -348,3 +348,71 @@ def knn_join_df(
     for df in results[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ----------------------------------------------------- distance (radius) join
+
+def within_distance_pairs(
+    df: DataFrame,
+    radius: float,
+    id_col: str,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """All unordered pairs of points within planar distance <= radius —
+    the fixed-radius twin of the kNN join (the dedup/conflation primitive:
+    "find every observation pair closer than r").
+
+    Cell-blocked, never a cross join: points key to a radius-sized grid
+    block (floor(x/r), floor(y/r)); one side explodes to its 3x3 block
+    neighborhood, the other stays single-block, so any qualifying pair
+    meets in EXACTLY one (block) bucket — an equi-join Catalyst can hash,
+    with work O(n x local density) instead of O(n^2). The refine predicate
+    and emitted dist2 are the plain IEEE product-sum (dx*dx + dy*dy), so a
+    SQL oracle reproduces them bit-for-bit. Output (id_a, id_b, dist2),
+    id_a < id_b, each pair exactly once. Skewed blocks (a hot city) are
+    AQE-splittable since the join key is the block id."""
+    r = float(radius)
+    base = (
+        df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(x).cast("double").alias("_x"),
+            F.col(y).cast("double").alias("_y"),
+        )
+        .withColumn("_bx", F.expr(f"CAST(floor(_x / {r!r}) AS BIGINT)"))
+        .withColumn("_by", F.expr(f"CAST(floor(_y / {r!r}) AS BIGINT)"))
+    )
+    offs = ",".join(
+        f"struct(CAST({dx} AS BIGINT) AS dx, CAST({dy} AS BIGINT) AS dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    a = base.select(
+        "_id",
+        "_x",
+        "_y",
+        "_bx",
+        "_by",
+        F.expr(f"explode(array({offs}))").alias("_o"),
+    ).select(
+        F.col("_id").alias("_ida"),
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+        (F.col("_bx") + F.col("_o.dx")).alias("_bx"),
+        (F.col("_by") + F.col("_o.dy")).alias("_by"),
+    )
+    joined = a.join(base, ["_bx", "_by"]).where(F.col("_ida") < F.col("_id"))
+    dist2 = (
+        (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x"))
+        + (F.col("_ya") - F.col("_y")) * (F.col("_ya") - F.col("_y"))
+    )
+    return (
+        joined.withColumn("dist2", dist2)
+        .where(F.col("dist2") <= F.lit(r * r))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            "dist2",
+        )
+    )

@@ -1913,6 +1913,34 @@ FROM z GROUP BY zone
 _KNN_G = (-37.19, 11.83, 100)
 
 
+def q_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius pair join (join.within_distance_pairs): every customer
+    pair within 5 planar degrees, via radius-block equi-join + exact
+    refine — never a cross join; the brute-force O(n^2) oracle proves the
+    blocking loses nothing."""
+    from .operators.join import within_distance_pairs
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .withColumn("lon", F.expr(LON_C))
+        .withColumn("lat", F.expr(LAT_C))
+        .select("c_custkey", "lon", "lat")
+    )
+    return within_distance_pairs(cust, 5.0, "c_custkey")
+
+
+def _o_distance_pairs() -> str:
+    return f"""
+WITH pts AS (SELECT c_custkey, {LON_C} AS lon, {LAT_C} AS lat FROM customer)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+WHERE (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat) <= 25.0
+"""
+
+
 def q_knn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k nearest to one point (KNearestRDD.takeOrdered ->
     distributed TakeOrdered via orderBy/limit)."""
@@ -4906,6 +4934,7 @@ QUERIES = {
     "profile_docs": q_profile_docs,
     "skew_cells": q_skew_cells,
     "psnr_lossy": q_psnr_lossy,
+    "distance_pairs": q_distance_pairs,
     "stream_dedup": q_stream_dedup,
     "pack_sequences": q_pack_sequences,
     "aspect_buckets": q_aspect_buckets,
@@ -4988,6 +5017,7 @@ ORACLES = {
     "profile_docs": _o_profile_docs(),
     "skew_cells": _o_skew_cells(),
     "psnr_lossy": _o_psnr_lossy(),
+    "distance_pairs": _o_distance_pairs(),
     "stream_dedup": _o_stream_dedup(),
     "pack_sequences": _o_pack_sequences(),
     "aspect_buckets": _o_aspect_buckets(),
