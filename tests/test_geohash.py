@@ -133,3 +133,45 @@ class TestGeohashSqlLockstep:
             out.lon.to_numpy(), out.lat.to_numpy(), precision
         )
         assert list(out.gh) == list(want)
+
+
+class TestGeohashNeighbors:
+    def test_canonical_ezs42(self):
+        # public canonical neighbor set of ezs42
+        assert sorted(cell.geohash_neighbors("ezs42")) == sorted(
+            ["ezs48", "ezs49", "ezefx", "ezs40", "ezs43", "ezefp",
+             "ezs41", "ezefr"]
+        )
+
+    def test_neighbors_by_offset_encoding(self):
+        rng = np.random.default_rng(5)
+        for lon, lat in zip(
+            rng.uniform(-170, 170, 30), rng.uniform(-80, 80, 30)
+        ):
+            gh = geohash1(lon, lat, 6)
+            clon, clat, elon, elat = cell.geohash_decode(gh)
+            got = set(cell.geohash_neighbors(gh))
+            want = set()
+            for dlat in (-1, 0, 1):
+                for dlon in (-1, 0, 1):
+                    if dlat == dlon == 0:
+                        continue
+                    want.add(
+                        geohash1(
+                            float(clon[0] + 2 * dlon * elon[0]),
+                            float(clat[0] + 2 * dlat * elat[0]),
+                            6,
+                        )
+                    )
+            assert got == want
+
+    def test_pole_clamp_and_antimeridian_wrap(self):
+        top = geohash1(0.0, 89.99, 4)
+        n = cell.geohash_neighbors(top)
+        assert len(n) == 5  # the 3 past-the-pole cells are dropped
+        west_edge = geohash1(-179.99, 0.0, 4)
+        n2 = cell.geohash_neighbors(west_edge)
+        assert len(n2) == 8  # wraps across the antimeridian
+        assert any(
+            cell.geohash_decode(g)[0][0] > 170 for g in n2
+        )

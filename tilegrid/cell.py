@@ -719,3 +719,51 @@ def geohash_chars_sql(ghi_expr: str, precision: int = 6,
             f"substr('{GEOHASH32}', CAST(({v} & 31) AS INT) + 1, 1)"
         )
     return "concat(" + ", ".join(parts) + ")"
+
+
+def _gh_from_quant(lon_q, lat_q, precision: int) -> np.ndarray:
+    if precision % 2 == 0:
+        g = z2_encode(lat_q, lon_q)
+    else:
+        g = z2_encode(lon_q, lat_q)
+    g = np.asarray(g).astype(np.uint64)
+    tbl = np.array(list(GEOHASH32))
+    out = None
+    for j in range(precision):
+        sh = np.uint64(5 * (precision - 1 - j))
+        ch = tbl[((g >> sh) & np.uint64(31)).astype(np.int64)]
+        out = ch if out is None else np.char.add(out, ch)
+    return out
+
+
+def geohash_neighbors(gh: str) -> list[str]:
+    """The <= 8 adjacent geohash cells (proximity blocking: a radius-r
+    search over geohash-bucketed data probes a cell + its neighbors, the
+    string-cell analogue of k_ring). Longitude wraps at the antimeridian;
+    latitude neighbors past the poles are dropped."""
+    ghs = np.atleast_1d(np.asarray(gh, dtype=str))
+    precision = len(ghs.flat[0])
+    nlon, nlat = _gh_nbits(precision)
+    g = np.uint64(0)
+    for j in range(precision):
+        g = (g << np.uint64(5)) | np.uint64(_GH_DEC[str(gh)[j]])
+    if precision % 2 == 0:
+        lat_q, lon_q = z2_decode(g)
+    else:
+        lon_q, lat_q = z2_decode(g)
+    lon_q, lat_q = int(lon_q), int(lat_q)
+    out = []
+    for dlat in (-1, 0, 1):
+        la = lat_q + dlat
+        if not 0 <= la < (1 << nlat):
+            continue
+        for dlon in (-1, 0, 1):
+            if dlat == 0 and dlon == 0:
+                continue
+            lo = (lon_q + dlon) % (1 << nlon)
+            out.append(
+                str(_gh_from_quant(
+                    np.int64(lo), np.int64(la), precision
+                ).item())
+            )
+    return out
