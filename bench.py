@@ -113,6 +113,7 @@ HEADLINE = [
     "skew_cells",
     "psnr_lossy",
     "distance_pairs",
+    "quadkey_topk",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -175,3 +175,51 @@ class TestGeohashNeighbors:
         assert any(
             cell.geohash_decode(g)[0][0] > 170 for g in n2
         )
+
+
+class TestQuadkey:
+    def test_canonical_bing_example(self):
+        # docs.microsoft.com Bing tile system worked example
+        assert str(np.asarray(cell.quadkey_encode(3, 3, 5)).item()) == "213"
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(9)
+        for zoom in (1, 4, 8, 12):
+            col = rng.integers(0, 1 << zoom, 50)
+            row = rng.integers(0, 1 << zoom, 50)
+            qk = cell.quadkey_encode(zoom, col, row)
+            z2, c2, r2 = cell.quadkey_decode(qk)
+            assert (z2 == zoom).all()
+            np.testing.assert_array_equal(col, c2)
+            np.testing.assert_array_equal(row, r2)
+
+    def test_parent_is_prefix(self):
+        qk = str(np.asarray(cell.quadkey_encode(6, 33, 21)).item())
+        pqk = str(np.asarray(cell.quadkey_encode(5, 33 >> 1, 21 >> 1)).item())
+        assert qk.startswith(pqk)
+
+    def test_sql_lockstep_both_dialects(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(10)
+        zoom = 7
+        pdf = pd.DataFrame(
+            {
+                "col": rng.integers(0, 1 << zoom, 100),
+                "row": rng.integers(0, 1 << zoom, 100),
+            }
+        )
+        want = list(cell.quadkey_encode(zoom, pdf.col.values, pdf.row.values))
+        expr = cell.quadkey_sql("col", "row", zoom, "spark")
+        got = (
+            spark.createDataFrame(pdf)
+            .withColumn("qk", F.expr(expr))
+            .toPandas()
+        )
+        assert list(got.qk) == want
+        con = duckdb.connect()
+        con.register("p", pdf)
+        dexpr = cell.quadkey_sql("col", "row", zoom, "duckdb")
+        got2 = [r[0] for r in con.execute(f"SELECT {dexpr} FROM p").fetchall()]
+        assert got2 == want

@@ -767,3 +767,58 @@ def geohash_neighbors(gh: str) -> list[str]:
                 ).item())
             )
     return out
+
+
+# ---- Quadkey (Bing/Azure tile id: base-4 string of the ZXY address) ----
+# digit j of a zoom-z quadkey is (row_bit << 1) | col_bit at level j+1 —
+# exactly two bits of the Z2 Morton code (col in even bits, row in odd),
+# so encode/decode/SQL all reuse the interleave above.
+
+def quadkey_encode(zoom: int, col, row) -> np.ndarray:
+    """Quadkey strings for (col,row) tiles at `zoom` (vectorized)."""
+    z = np.asarray(z2_encode(col, row)).astype(np.uint64)
+    tbl = np.array(list("0123"))
+    out = None
+    for j in range(zoom):
+        sh = np.uint64(2 * (zoom - 1 - j))
+        ch = tbl[((z >> sh) & np.uint64(3)).astype(np.int64)]
+        out = ch if out is None else np.char.add(out, ch)
+    return out if out is not None else np.full(np.shape(z), "", dtype=object)
+
+
+def quadkey_decode(qk) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(zoom, col, row) of quadkey strings (all must share one length)."""
+    qks = np.atleast_1d(np.asarray(qk, dtype=str))
+    zoom = len(qks.flat[0])
+    z = np.zeros(qks.shape, dtype=np.uint64)
+    for j in range(zoom):
+        digits = np.array(
+            [int(s[j]) for s in qks.ravel()], dtype=np.uint64
+        ).reshape(qks.shape)
+        z = (z << np.uint64(2)) | digits
+    col, row = z2_decode(z)
+    return np.full(qks.shape, zoom, dtype=np.int64), col, row
+
+
+def quadkey_sql(
+    col_expr: str, row_expr: str, zoom: int, dialect: str = "spark"
+) -> str:
+    """SQL expression for quadkey_encode — compute the z2 interleave once
+    (CTE/withColumn) with z2_sql, then render with quadkey_chars_sql; this
+    form inlines both for convenience at small zooms."""
+    return quadkey_chars_sql(z2_sql(col_expr, row_expr, dialect), zoom, dialect)
+
+
+def quadkey_chars_sql(z2_expr: str, zoom: int, dialect: str = "spark") -> str:
+    """Render a Z2 Morton column/expression as its zoom-level quadkey."""
+    parts = []
+    for j in range(zoom):
+        sh = 2 * (zoom - 1 - j)
+        if sh == 0:
+            v = f"({z2_expr})"
+        elif dialect == "spark":
+            v = f"shiftrightunsigned({z2_expr}, {sh})"
+        else:
+            v = f"(({z2_expr}) >> {sh})"
+        parts.append(f"substr('0123', CAST(({v} & 3) AS INT) + 1, 1)")
+    return "concat(" + ", ".join(parts) + ")"

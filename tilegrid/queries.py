@@ -21,7 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import codec
-from .cell import geohash_chars_sql, geohash_int_sql, z2_encode, z2_sql
+from .cell import (geohash_chars_sql, geohash_int_sql, quadkey_chars_sql,
+                   z2_encode, z2_sql)
 from .geometry import wkb_encode_polygon
 from .grid import LATLNG_WORLD, Extent, LayoutDefinition, TileLayout
 from .operators import LAYER_SCHEMA
@@ -196,6 +197,37 @@ t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
 SELECT col, row, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
        CAST((n * n_keys * 1000) // total AS BIGINT) AS xmean_milli
 FROM c, t ORDER BY n DESC, col, row LIMIT 15
+"""
+
+
+def q_quadkey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey rollup: densest 20 zoom-8 Bing-style quadkeys of the event
+    corpus (cell.quadkey_*: two Morton bits per digit, rendered from the
+    same z2 interleave the storage sort uses — one groupBy shuffle)."""
+    pts = _events_points(spark, sf_dir)
+    keyed = with_key_columns(pts, L8, "lon", "lat", 8)
+    return (
+        # cell = (zoom << 58) | z2 (cell_encode): mask to the low 58
+        # z2 bits, then render 8 levels of 2 Morton bits each
+        keyed.withColumn(
+            "qk", F.expr(quadkey_chars_sql("cell & 288230376151711743", 8))
+        )
+        .groupBy("qk")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "qk")
+        .limit(20)
+    )
+
+
+def _o_quadkey_topk() -> str:
+    cx, rx = _keyed_sql(LON_E, LAT_E, L8)
+    z2 = z2_sql("col", "row", "duckdb")
+    chars = quadkey_chars_sql("z2", 8, "duckdb")
+    return f"""
+WITH k AS (SELECT {cx} AS col, {rx} AS row FROM events),
+z AS (SELECT {z2} AS z2 FROM k)
+SELECT {chars} AS qk, COUNT(*) AS n FROM z
+GROUP BY qk ORDER BY n DESC, qk LIMIT 20
 """
 
 
@@ -4931,6 +4963,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dedup_paragraphs": q_dedup_paragraphs,
     "geohash_topk": q_geohash_topk,
+    "quadkey_topk": q_quadkey_topk,
     "profile_docs": q_profile_docs,
     "skew_cells": q_skew_cells,
     "psnr_lossy": q_psnr_lossy,
@@ -5014,6 +5047,7 @@ ORACLES = {
     "decontaminate": _o_decontaminate(),
     "dedup_paragraphs": _o_dedup_paragraphs(),
     "geohash_topk": _o_geohash_topk(),
+    "quadkey_topk": _o_quadkey_topk(),
     "profile_docs": _o_profile_docs(),
     "skew_cells": _o_skew_cells(),
     "psnr_lossy": _o_psnr_lossy(),
