@@ -114,6 +114,7 @@ HEADLINE = [
     "psnr_lossy",
     "distance_pairs",
     "quadkey_topk",
+    "dedup_keep_best",
 ]
 
 FLAGSHIP_ZOOM = int(os.environ.get("BENCH_ZOOM", "6"))

@@ -1082,3 +1082,39 @@ class TestAspectBucket:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestKeepBest:
+    def test_keep_longest_tie_lowest_id(self, spark):
+        from tilegrid.operators import dedup as DD
+
+        docs = spark.createDataFrame(
+            [(0, 10), (1, 30), (2, 30), (3, 5), (9, 7)],
+            "doc_id long, n_chars long",
+        )
+        clusters = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 0), (3, 3), (9, 3)],
+            "doc_id long, cluster_id long",
+        )
+        out = (
+            DD.keep_best(docs, clusters)
+            .toPandas()
+            .set_index("cluster_id")
+            .sort_index()
+        )
+        # cluster 0: docs 1 and 2 tie at 30 chars -> lowest id (1) wins
+        assert out.loc[0, "keep_id"] == 1 and out.loc[0, "score"] == 30
+        assert out.loc[0, "n_members"] == 3
+        # cluster 3: doc 9 is longest
+        assert out.loc[3, "keep_id"] == 9 and out.loc[3, "n_members"] == 2
+
+    def test_no_window_sort_in_plan(self, spark):
+        from tilegrid.operators import dedup as DD
+
+        docs = spark.createDataFrame([(0, 1)], "doc_id long, n_chars long")
+        clusters = spark.createDataFrame(
+            [(0, 0)], "doc_id long, cluster_id long"
+        )
+        plan = DD.keep_best(docs, clusters)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Window" not in plan

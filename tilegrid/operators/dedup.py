@@ -571,3 +571,37 @@ def chunk_dedup_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection — the step AFTER clustering: per dup
+    cluster keep the highest-`score_col` member (tie -> lowest id), the
+    "keep longest / keep best-quality" dedup policy of production corpus
+    pipelines. Output (cluster_id, keep_id, score, n_members).
+
+    Deterministic and window-free: the winner is a single hash aggregation
+    of max(struct(score, -id)) — struct comparison is lexicographic, so
+    ties fall to the smallest id — plus the member count; no per-cluster
+    sort, so a pathological mega-cluster costs a partial-aggregated max,
+    not an O(n log n) window. One doc_id equi-join (uniform key), one
+    groupBy on cluster_id."""
+    j = docs.select(id_col, score_col).join(clusters, id_col)
+    agg = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("best.nid")).alias("keep_id"),
+        F.col("best.s").alias("score"),
+        "n_members",
+    )

@@ -2357,6 +2357,42 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection over the LSH dup clusters (dedup.keep_best):
+    per cluster the longest member wins (tie -> lowest doc_id) — the
+    "keep best" retention policy, window-free (max-struct hash agg)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, max_bucket=10_000)
+    clusters = D.cluster_duplicates(docs, pairs)
+    return D.keep_best(docs, clusters)
+
+
+def _o_dedup_keep_best() -> str:
+    pairs_sql = _o_minhash_lsh_pairs().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, keep_id, score, n_members FROM (
+  SELECT c.cluster_id, d.doc_id AS keep_id, d.n_chars AS score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+           AS n_members
+  FROM cl c JOIN documents d USING (doc_id)
+) WHERE rk = 1
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.with_simhash(_read(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
@@ -4964,6 +5000,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "geohash_topk": q_geohash_topk,
     "quadkey_topk": q_quadkey_topk,
+    "dedup_keep_best": q_dedup_keep_best,
     "profile_docs": q_profile_docs,
     "skew_cells": q_skew_cells,
     "psnr_lossy": q_psnr_lossy,
@@ -5048,6 +5085,7 @@ ORACLES = {
     "dedup_paragraphs": _o_dedup_paragraphs(),
     "geohash_topk": _o_geohash_topk(),
     "quadkey_topk": _o_quadkey_topk(),
+    "dedup_keep_best": _o_dedup_keep_best(),
     "profile_docs": _o_profile_docs(),
     "skew_cells": _o_skew_cells(),
     "psnr_lossy": _o_psnr_lossy(),
