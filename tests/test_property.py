@@ -163,3 +163,59 @@ class TestVectorIOProperties:
         assert np.array_equal(via_wkb, ring)
         assert np.array_equal(via_wkt, ring)
         assert np.array_equal(via_gj, ring)
+
+
+class TestGeohashQuadkeyProperties:
+    @given(
+        st.floats(-180.0, 180.0, allow_nan=False),
+        st.floats(-90.0, 90.0, allow_nan=False),
+        st.integers(1, 11),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_geohash_decode_contains_point(self, lon, lat, precision):
+        from tilegrid.cell import geohash_decode, geohash_encode
+
+        gh = geohash_encode(lon, lat, precision)
+        clon, clat, elon, elat = geohash_decode(str(np.asarray(gh).item()))
+        # +180/+90 clamp into the last cell; containment holds within one
+        # half-width (exact) everywhere else
+        lon_c = min(lon, np.nextafter(180.0, -np.inf))
+        lat_c = min(lat, np.nextafter(90.0, -np.inf))
+        assert abs(clon[0] - lon_c) <= elon[0] + 1e-9
+        assert abs(clat[0] - lat_c) <= elat[0] + 1e-9
+
+    @given(
+        st.floats(-180.0, 180.0, allow_nan=False),
+        st.floats(-90.0, 90.0, allow_nan=False),
+        st.integers(2, 10),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_geohash_parent_prefix(self, lon, lat, precision):
+        from tilegrid.cell import geohash_encode
+
+        full = str(np.asarray(geohash_encode(lon, lat, precision)).item())
+        # geohash is hierarchical ONLY at even/odd-consistent truncation:
+        # every prefix of the base32 string is the coarser cell's code
+        for p in range(1, precision):
+            coarse = str(np.asarray(geohash_encode(lon, lat, p)).item())
+            assert full[:p] == coarse
+
+    @given(
+        st.integers(1, 23),
+        st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_quadkey_roundtrip_and_prefix(self, zoom, data):
+        from tilegrid.cell import quadkey_decode, quadkey_encode
+
+        col = data.draw(st.integers(0, (1 << zoom) - 1))
+        row = data.draw(st.integers(0, (1 << zoom) - 1))
+        qk = str(np.asarray(quadkey_encode(zoom, col, row)).item())
+        assert len(qk) == zoom
+        z2, c2, r2 = quadkey_decode(qk)
+        assert (int(z2[0]), int(c2[0]), int(r2[0])) == (zoom, col, row)
+        if zoom > 1:
+            pq = str(
+                np.asarray(quadkey_encode(zoom - 1, col >> 1, row >> 1)).item()
+            )
+            assert qk.startswith(pq)
